@@ -1,0 +1,185 @@
+"""Deterministic synthetic Common-Crawl-style page corpus (FIXTURES.md F1).
+
+Generates the ``pages`` table BASELINE.json's input_hint mandates:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``
+with a seeded power-law link structure:
+
+- site sizes Zipf-ish (a few hub sites dominate)
+- preferential-attachment in-degree + a designated mega-hub receiving ~8%
+  of all in-links (exercises hub splitting)
+- >=2 weakly-connected components plus isolated pages
+- self-links, duplicate links, fragment/off-corpus/relative hrefs
+- ~10% dangling pages (zero out-links; PageRank drops their mass, matching
+  /root/reference/pagerank_simple.c:51 where a dangling src simply has no
+  edges to push over)
+- ~1% of urls duplicated with a later warc_ts and different html
+  (dedup-keep-latest test)
+
+``text`` is by construction ``html.extract_text(html_bytes)`` — the byte
+identity oracle column. Everything is a pure function of ``(n_pages, seed)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from everythinggraph_ray.html import extract_text
+
+_WORDS = (
+    "graph rank crawl page link node edge web data index query batch "
+    "stream actor block shuffle vertex degree label frontier partition "
+    "arrow parquet cluster hash superstep gather scatter combine"
+).split()
+
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+
+def _site_of_page(i: int, n_sites: int, rng: np.random.Generator) -> int:
+    # power-law site popularity: site = floor(n_sites * u^2) biases small ids
+    return int(n_sites * rng.random() ** 2.2)
+
+
+def page_url(site: int, k: int) -> str:
+    return f"https://site{site}.example/p/{k}"
+
+
+def generate_pages(n_pages: int, seed: int = 42) -> pa.Table:
+    """Build the corpus as one Arrow table (deterministic in n_pages, seed)."""
+    rng = np.random.default_rng(seed)
+    n_sites = max(3, n_pages // 40)
+
+    # --- static layout: component + site + per-site page index -------------
+    comp_bounds = [0.78, 0.93, 0.98]  # comp0, comp1, comp2, rest isolated
+    comps = np.searchsorted(comp_bounds, rng.random(n_pages), side="right")
+    sites = np.array([_site_of_page(i, n_sites, rng) for i in range(n_pages)])
+    # per-site running index => unique urls
+    site_counter: dict[int, int] = {}
+    page_keys = np.empty(n_pages, dtype=np.int64)
+    for i in range(n_pages):
+        c = site_counter.get(sites[i], 0)
+        page_keys[i] = c
+        site_counter[sites[i]] = c + 1
+    urls = [page_url(sites[i], page_keys[i]) for i in range(n_pages)]
+
+    comp_members: list[list[int]] = [[], [], []]
+    for i in range(n_pages):
+        if comps[i] < 3:
+            comp_members[comps[i]].append(i)
+    hub = comp_members[0][0] if comp_members[0] else 0
+
+    langs = np.where(
+        rng.random(n_pages) < 0.90, "en", np.where(rng.random(n_pages) < 0.5, "de", "fr")
+    )
+
+    # preferential-attachment pools (indices repeated once per in-link)
+    pools: list[list[int]] = [list(m) for m in comp_members]
+
+    def _para(rng: np.random.Generator) -> str:
+        n = int(rng.integers(5, 25))
+        return " ".join(_WORDS[int(j)] for j in rng.integers(0, len(_WORDS), n))
+
+    html_rows: list[bytes] = []
+    ts_rows = np.empty(n_pages, dtype=np.int64)
+    for i in range(n_pages):
+        c = comps[i]
+        parts = [
+            f"<html><head><title>Page {page_keys[i]} of site{sites[i]}</title>",
+        ]
+        if rng.random() < 0.15:
+            parts.append("<script>var x = 1 < 2 && 3 > 2;</script>")
+        if rng.random() < 0.1:
+            parts.append("<style>body { color: #000; }</style>")
+        parts.append("</head><body>")
+        parts.append(f"<h1>Site {sites[i]} &amp; page {page_keys[i]}</h1>")
+        n_paras = int(rng.integers(1, 4))
+        for _ in range(n_paras):
+            parts.append(f"<p>{_para(rng)}</p>")
+
+        # ----- out-links --------------------------------------------------
+        hrefs: list[str] = []
+        dangling = rng.random() < 0.10
+        if c < 3 and not dangling and len(comp_members[c]) > 1:
+            k_out = 1 + min(int(rng.pareto(1.6)), 20)
+            for _ in range(k_out):
+                if c == 0 and rng.random() < 0.08:
+                    t = hub  # mega-hub in-link
+                elif rng.random() < 0.35 or not pools[c]:
+                    t = comp_members[c][int(rng.integers(0, len(comp_members[c])))]
+                else:
+                    t = pools[c][int(rng.integers(0, len(pools[c])))]
+                pools[c].append(t)
+                target_url = urls[t]
+                r = rng.random()
+                if r < 0.6 or sites[t] != sites[i]:
+                    hrefs.append(target_url)  # absolute
+                else:
+                    hrefs.append(f"/p/{page_keys[t]}")  # relative same-site
+            if rng.random() < 0.05:
+                hrefs.append(urls[i])  # self-link
+            if hrefs and rng.random() < 0.10:
+                hrefs.append(hrefs[0])  # duplicate link
+        if rng.random() < 0.07:
+            hrefs.append(f"https://external{int(rng.integers(0, 50))}.example.org/x")
+        if rng.random() < 0.10:
+            hrefs.append("#section-1")  # fragment-only, dropped by extractor
+        for j, h in enumerate(hrefs):
+            parts.append(f'<p>see <a href="{h}">link {j}</a></p>')
+        parts.append("</body></html>")
+        html_rows.append("".join(parts).encode("utf-8"))
+        ts_rows[i] = BASE_TS_US + i * 1_000_000 + int(rng.integers(0, 1000))
+
+    # ----- ~1% duplicated urls with a LATER warc_ts and different html ----
+    n_dup = max(1, n_pages // 100)
+    dup_idx = rng.choice(n_pages, size=n_dup, replace=False)
+    dup_urls, dup_html, dup_ts, dup_lang = [], [], [], []
+    for i in dup_idx:
+        body = html_rows[i].decode("utf-8").replace(
+            "</body></html>", f"<p>revision two {_para(rng)}</p></body></html>"
+        )
+        dup_urls.append(urls[i])
+        dup_html.append(body.encode("utf-8"))
+        dup_ts.append(BASE_TS_US + (n_pages + int(i)) * 1_000_000)  # strictly later
+        dup_lang.append(str(langs[i]))
+
+    all_urls = urls + dup_urls
+    all_html = html_rows + dup_html
+    all_ts = np.concatenate([ts_rows, np.asarray(dup_ts, dtype=np.int64)])
+    all_lang = [str(x) for x in langs] + dup_lang
+    all_text = [extract_text(h) for h in all_html]
+
+    return pa.table(
+        {
+            "url": pa.array(all_urls, pa.string()),
+            "warc_ts": pa.array(all_ts, pa.timestamp("us")),
+            "html": pa.array(all_html, pa.binary()),
+            "text": pa.array(all_text, pa.string()),
+            "lang": pa.array(all_lang, pa.string()),
+        }
+    )
+
+
+def ensure_corpus(n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus") -> str:
+    """Write (once) and return the parquet path for a (n_pages, seed) corpus.
+
+    Cached under /tmp keyed by size+seed; multi-file layout so Ray Data
+    reads it with parallelism.
+    """
+    d = os.path.join(root, f"pages_n{n_pages}_s{seed}")
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = generate_pages(n_pages, seed)
+    n_files = max(1, min(32, n_pages // 2000))
+    rows_per = (t.num_rows + n_files - 1) // n_files
+    for f in range(n_files):
+        chunk = t.slice(f * rows_per, rows_per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(d, f"part-{f:04d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
