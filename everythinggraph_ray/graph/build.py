@@ -1,0 +1,154 @@
+"""Graph build: edge Dataset → per-partition parquet layout + metadata.
+
+The distributed analogue of the reference's layout builders
+(init_all.c:629-790 init_adj_sort / 252-361 init_grid_sort): instead of a
+global radix sort into one CSR, edges are hash-partitioned on
+``src % P`` and spilled to one parquet directory per partition; each
+partition actor (engine.py) then builds its local CSR in-memory. The
+partitioned layout on disk is what makes builds resumable and lets a
+failed run skip finished partitions.
+
+Skew (the web's power-law hubs, SURVEY.md §4 "Load balance"): a src whose
+out-degree exceeds ``hub_threshold`` has its edges SPREAD across partitions
+via ``(src + dst) % P`` instead of ``src % P``; every partition that holds
+a slice of a hub's edge list becomes a *mirror* that receives the hub's
+value by broadcast each superstep and emits partial aggregates — the
+"mirror + partial aggregate" pattern. Edge coverage stays disjoint (each
+edge is assigned to exactly one partition), which keeps sum-combining
+correct; min-combining is idempotent and unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from everythinggraph_ray.stages.edges import out_degrees
+
+
+def _partition_spiller(out_dir: str, part_col: str):
+    """map_groups writer: one group (one partition id) → one parquet file.
+
+    Writes atomically (tmp + rename) so a re-run of the same build is
+    idempotent; returns a one-row manifest."""
+
+    def spill(group: pa.Table) -> pa.Table:
+        pid = int(group[part_col][0].as_py())
+        d = os.path.join(out_dir, f"p={pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        body = group.drop_columns([part_col])
+        tmp = os.path.join(d, ".data.parquet.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(d, "data.parquet"))
+        return pa.table({"part": pa.array([pid], pa.int64()), "rows": pa.array([body.num_rows], pa.int64())})
+
+    return spill
+
+
+def _add_part_column(edges: ray.data.Dataset, P: int, hub_vids: np.ndarray) -> ray.data.Dataset:
+    hub_sorted = np.sort(hub_vids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        part = s % P
+        if len(hub_sorted):
+            idx = np.searchsorted(hub_sorted, s)
+            is_hub = (idx < len(hub_sorted)) & (hub_sorted[np.minimum(idx, len(hub_sorted) - 1)] == s)
+            part = np.where(is_hub, (s + d) % P, part)
+        return batch.append_column("spart", pa.array(part.astype(np.int64), pa.int64()))
+
+    return edges.map_batches(assign, batch_format="pyarrow")
+
+
+def build_graph(
+    edges: ray.data.Dataset,
+    build_dir: str,
+    *,
+    num_partitions: int = 8,
+    hub_threshold: int | None = None,
+    weighted: bool = False,
+) -> dict:
+    """Partition ``edges`` (int64 src/dst [+ float64 weight]) into
+    ``build_dir`` and return the graph metadata dict (also written to
+    ``build_dir/meta.json``).
+
+    hub_threshold: out-degree above which a src is mirror-split. None →
+    auto: max(256, 8 × mean out-degree). Hub vids are collected to the
+    driver — they are by construction few (degree > threshold bounds their
+    count by n_edges / threshold).
+    """
+    P = int(num_partitions)
+    marker = os.path.join(build_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(os.path.join(build_dir, "meta.json")) as fh:
+            return json.load(fh)
+    os.makedirs(build_dir, exist_ok=True)
+
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = edges.select_columns(cols)
+
+    # --- vertex universe + out-degrees (one combiner groupby) -------------
+    verts = out_degrees(edges)  # (vid, outdeg)
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        v = batch["vid"].to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", pa.array((v % P).astype(np.int64), pa.int64()))
+
+    verts = verts.map_batches(add_vpart, batch_format="pyarrow")
+    vm = (
+        verts.groupby("vpart")
+        .map_groups(_partition_spiller(os.path.join(build_dir, "verts"), "vpart"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_vertices = int(vm["rows"].sum())
+
+    # --- hubs (small by construction: <= n_edges / threshold) -------------
+    deg_stats = None
+    if hub_threshold is None:
+        # need mean degree: n_edges via a cheap count on the edge ds
+        n_edges_est = edges.count()
+        mean_deg = max(1.0, n_edges_est / max(1, n_vertices))
+        hub_threshold = int(max(256, 8 * mean_deg))
+        deg_stats = {"mean_outdeg": mean_deg}
+    hub_tbl = (
+        ray.data.read_parquet(os.path.join(build_dir, "verts"))
+        .filter(expr=f"outdeg > {int(hub_threshold)}")
+        .to_pandas()
+    )
+    hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
+    hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64) if len(hub_vids) else np.array([], dtype=np.int64)
+
+    # --- edges, partitioned by spart --------------------------------------
+    em = (
+        _add_part_column(edges, P, hub_vids)
+        .groupby("spart")
+        .map_groups(_partition_spiller(os.path.join(build_dir, "edges"), "spart"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_edges = int(em["rows"].sum())
+
+    meta = {
+        "P": P,
+        "n_vertices": n_vertices,
+        "n_edges": n_edges,
+        "weighted": bool(weighted),
+        "hub_threshold": int(hub_threshold),
+        "hub_vids": [int(x) for x in hub_vids],
+        "hub_outdeg": [int(x) for x in hub_outdeg],
+        "edge_parts": {int(r.part): int(r.rows) for r in em.itertuples()},
+        "vert_parts": {int(r.part): int(r.rows) for r in vm.itertuples()},
+    }
+    if deg_stats:
+        meta.update(deg_stats)
+    with open(os.path.join(build_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return meta

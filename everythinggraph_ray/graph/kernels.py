@@ -1,0 +1,236 @@
+"""Vertex-program kernels for the superstep engine (SURVEY.md §2.j / §2.k).
+
+The reference's extension surface is a 4-function vtable per algorithm
+(``struct algo_func`` random.h:64-69). Ours is a picklable Kernel object
+with vectorized numpy methods; the engine (engine.py) drives it inside the
+partition actors:
+
+  scatter:  per-src message  = ``src_messages(value[src], outdeg[src])``
+            per-edge message = ``edge_values(per_src_expanded, weight)``
+  combine:  'sum' or 'min' — partial-aggregated per partition, re-aggregated
+            at the destination owner (the distributed replacement for the
+            reference's atomic write_add / writeMin CAS loops,
+            pagerank_simple.c:31-36, wcc.c:21-27)
+  apply:    ``apply(old, agg, has_msg, ctx) -> (new, changed_mask, delta)``
+
+Frontier kernels (``frontier=True``) scatter only from vertices changed in
+the previous superstep; the driver stops when no vertex changes. Value
+kernels stop on ``delta < tol`` (or a fixed iteration count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UNREACHED = np.iinfo(np.int64).max
+
+
+class Kernel:
+    name = "kernel"
+    combine = "sum"  # 'sum' | 'min'
+    frontier = False
+    needs_weights = False
+    skip_self_loops = False
+    fixed_iters: int | None = None
+    dtype = np.float64
+
+    def init_values(self, vids: np.ndarray, outdeg: np.ndarray, ctx: dict) -> np.ndarray:
+        raise NotImplementedError
+
+    def init_active(self, vids: np.ndarray, ctx: dict) -> np.ndarray:
+        return np.ones(len(vids), dtype=bool)
+
+    def src_messages(self, vals: np.ndarray, outdeg: np.ndarray) -> np.ndarray:
+        return vals
+
+    def edge_values(self, per_edge: np.ndarray, weights: np.ndarray | None) -> np.ndarray:
+        return per_edge
+
+    def apply(self, old, agg, has_msg, ctx):
+        raise NotImplementedError
+
+
+class PageRankKernel(Kernel):
+    """Reference PageRank (pagerank_simple.c): prev init 0.15, per superstep
+    rank[v] = (1-d)/N + d * sum_{u->v} prev[u]/outdeg[u]; duplicate edges add
+    multiplicity; dangling mass dropped. float64 (reference is float32; the
+    1e-6 convergence target requires doubles)."""
+
+    name = "pagerank"
+    combine = "sum"
+
+    def __init__(self, damping: float = 0.85):
+        self.damping = damping
+
+    def init_values(self, vids, outdeg, ctx):
+        return np.full(len(vids), 0.15, dtype=np.float64)
+
+    def src_messages(self, vals, outdeg):
+        # outdeg >= 1 for every vertex that appears as a src
+        return vals / np.maximum(outdeg, 1)
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = (1.0 - self.damping) / ctx["n_vertices"] + self.damping * agg
+        delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
+        return new, np.ones(len(old), dtype=bool), delta
+
+
+class WCCKernel(Kernel):
+    """Symmetric min-label propagation (wcc.c:211-216): labels init to own
+    vid; run on the UNDIRECTED edge table (build with undirect=True) which is
+    equivalent to the reference's both-direction writeMin per edge."""
+
+    name = "wcc"
+    combine = "min"
+    frontier = True
+    dtype = np.int64
+
+    def init_values(self, vids, outdeg, ctx):
+        return vids.astype(np.int64).copy()
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg < old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
+class LabelPropKernel(WCCKernel):
+    """Label propagation: WCC machinery with arbitrary initial labels
+    (min-semiring). ``seeds`` maps vid -> label; unseeded vertices start at
+    their own vid (so with no seeds this IS wcc)."""
+
+    name = "labelprop"
+
+    def __init__(self, seeds: dict[int, int] | None = None):
+        self.seeds = seeds or {}
+
+    def init_values(self, vids, outdeg, ctx):
+        lab = vids.astype(np.int64).copy()
+        if self.seeds:
+            svids = np.fromiter(self.seeds.keys(), dtype=np.int64, count=len(self.seeds))
+            slabs = np.fromiter(self.seeds.values(), dtype=np.int64, count=len(self.seeds))
+            idx = np.searchsorted(vids, svids)
+            ok = (idx < len(vids)) & (vids[np.minimum(idx, len(vids) - 1)] == svids)
+            lab[idx[ok]] = slabs[ok]
+        return lab
+
+
+class BFSKernel(Kernel):
+    """Level BFS (bfs_simple.c edge-centric semantics): dist init 0, root
+    dist 1, unreached stays 0, dist[dst] = dist[src]+1 on first touch."""
+
+    name = "bfs"
+    combine = "min"
+    frontier = True
+    dtype = np.int64
+
+    def __init__(self, root: int):
+        self.root = root
+
+    def init_values(self, vids, outdeg, ctx):
+        d = np.zeros(len(vids), dtype=np.int64)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            d[i] = 1
+        return d
+
+    def init_active(self, vids, ctx):
+        a = np.zeros(len(vids), dtype=bool)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            a[i] = True
+        return a
+
+    def src_messages(self, vals, outdeg):
+        return vals + 1
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        touch = has_msg & (old == 0)
+        new[touch] = agg[touch]
+        return new, touch, 0.0
+
+
+class SSSPHopsKernel(Kernel):
+    """Reference push SSSP (sssp_pushpull.c:39-56): relax +1 hop, self-loops
+    skipped, dist init 'infinity', root 0."""
+
+    name = "sssp_hops"
+    combine = "min"
+    frontier = True
+    skip_self_loops = True
+    dtype = np.int64
+
+    def __init__(self, root: int):
+        self.root = root
+
+    def init_values(self, vids, outdeg, ctx):
+        d = np.full(len(vids), UNREACHED, dtype=np.int64)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            d[i] = 0
+        return d
+
+    init_active = BFSKernel.init_active
+
+    def src_messages(self, vals, outdeg):
+        return vals + 1
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg < old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
+class SSSPWeightedKernel(Kernel):
+    """Weighted SSSP (sssp_pushpull.c:81 pull semantics: relax dist+weight),
+    self-loops skipped; weights from the edge table (synthesize_weights for
+    the reference's CREATE_WEIGHT rule). dist float64, init +inf, root 0."""
+
+    name = "sssp_weighted"
+    combine = "min"
+    frontier = True
+    needs_weights = True
+    skip_self_loops = True
+    dtype = np.float64
+
+    def __init__(self, root: int):
+        self.root = root
+
+    def init_values(self, vids, outdeg, ctx):
+        d = np.full(len(vids), np.inf)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            d[i] = 0.0
+        return d
+
+    init_active = BFSKernel.init_active
+
+    def edge_values(self, per_edge, weights):
+        return per_edge + weights
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg < old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
+class SpMVKernel(Kernel):
+    """One gather-scatter step (spmv.c:98-106): y[v] = sum 0.001*x[u] over
+    in-edges, x[u] = u."""
+
+    name = "spmv"
+    combine = "sum"
+    fixed_iters = 1
+
+    def init_values(self, vids, outdeg, ctx):
+        return vids.astype(np.float64)
+
+    def src_messages(self, vals, outdeg):
+        return 0.001 * vals
+
+    def apply(self, old, agg, has_msg, ctx):
+        return agg, np.ones(len(old), dtype=bool), float("inf")

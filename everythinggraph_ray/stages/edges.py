@@ -1,0 +1,102 @@
+"""Edge-table transforms (SURVEY.md §2.b M1-M5, §2.g).
+
+All operate on a Ray Data Dataset with int64 ``src``/``dst`` columns
+(optional float64 ``weight``), vectorized pyarrow/numpy per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def reverse_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(src,dst) → (dst,src); the reference's in-edge build
+    (init_all.c:745-760)."""
+
+    def swap(batch: pa.Table) -> pa.Table:
+        cols = {"src": batch["dst"], "dst": batch["src"]}
+        if "weight" in batch.column_names:
+            cols["weight"] = batch["weight"]
+        return pa.table(cols)
+
+    return edges.map_batches(swap, batch_format="pyarrow")
+
+
+def undirect_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Append reversed edges (the reference's ``-u`` createUndir,
+    random.c:80-82)."""
+    return edges.union(reverse_edges(edges))
+
+
+def filter_self_loops(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop src==dst rows (the reference's skip_loops flag, init_all.h:40)."""
+    return edges.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow",
+    )
+
+
+def synthesize_weights(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Add weight = src%10 + dst%10 (the reference's CREATE_WEIGHT,
+    init_all.c:663-666) as float64."""
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        w = (s % 10 + d % 10).astype(np.float64)
+        out = batch
+        if "weight" in out.column_names:
+            out = out.drop_columns(["weight"])
+        return out.append_column("weight", pa.array(w, pa.float64()))
+
+    return edges.map_batches(add_w, batch_format="pyarrow")
+
+
+def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact (src,dst) dedup: within-batch first (cheap, removes the bulk),
+    then a grouped global pass. The within-batch combiner keeps the shuffle
+    small — the partial-aggregate pattern."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [
+                batch["src"].to_numpy(zero_copy_only=False),
+                batch["dst"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        u = np.unique(arr, axis=0)
+        return pa.table({"src": pa.array(u[:, 0], pa.int64()), "dst": pa.array(u[:, 1], pa.int64())})
+
+    local_ds = edges.select_columns(["src", "dst"]).map_batches(local, batch_format="pyarrow")
+    return local_ds.groupby(["src", "dst"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(vid, outdeg) for every vertex in the universe (dst-only vertices get
+    outdeg 0). Partial counts per batch, then one small groupby-sum —
+    the combiner pattern for A1 (init_all.c:425-443)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        su, sc = np.unique(s, return_counts=True)
+        du = np.unique(d)
+        vid = np.concatenate([su, du])
+        cnt = np.concatenate([sc.astype(np.int64), np.zeros(len(du), np.int64)])
+        return pa.table({"vid": pa.array(vid, pa.int64()), "outdeg_partial": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        edges.select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("outdeg_partial", alias_name="outdeg"))
+    )

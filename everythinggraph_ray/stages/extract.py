@@ -1,0 +1,130 @@
+"""Ray Data extraction stages: pages → (url, text, out-links) → edge table.
+
+The distributed front end the reference lacks (SURVEY.md §2.a S4). All
+stages are ``map_batches`` over Arrow batches; the per-row extraction calls
+exactly the serial reference functions in :mod:`everythinggraph_ray.html`,
+which is what makes the distributed text byte-identical to the serial
+oracle (the north-rule per-row invariant).
+
+The wide ``html`` binary column is projected away in the FIRST stage —
+everything downstream moves only urls/links (SURVEY.md §7 hard part (e)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from everythinggraph_ray.hashing import urls_to_vids
+from everythinggraph_ray.html import extract_links, extract_text
+
+
+class ExtractPages:
+    """Actor-pool stage: pages batch → (url, warc_ts, text, links:list<str>).
+
+    A callable class so the (already module-level-compiled) regex machinery
+    and any future parser state lives once per actor, not once per batch.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = [extract_text(h) for h in htmls]
+        links = [extract_links(h, u) for h, u in zip(htmls, urls)]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "text": pa.array(texts, pa.string()),
+                "links": pa.array(links, pa.list_(pa.string())),
+            }
+        )
+
+
+def extract_pages(
+    pages: ray.data.Dataset, *, batch_size: int = 1024, concurrency: int | None = None
+) -> ray.data.Dataset:
+    """pages → extracted dataset, html dropped. Small batches: html rows are
+    wide (binary payload), so batch_size stays modest to bound heap use."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return pages.map_batches(
+        ExtractPages(), batch_format="pyarrow", batch_size=batch_size, **kwargs
+    )
+
+
+def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts") -> ray.data.Dataset:
+    """Keep the row with the max ``ts`` per ``key`` (crawl snapshots: the
+    latest capture of a url wins).
+
+    Implemented as a grouped reduce: ``groupby(key).map_groups`` taking the
+    ts-argmax row of each group — an all-to-all shuffle on the key, which is
+    unavoidable in general. Upstream stages have already dropped the html
+    payload, so only (url, ts, text, links) rows move.
+    """
+
+    def latest(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group
+        i = pc.index(group[ts], pc.max(group[ts])).as_py()
+        return group.slice(i, 1)
+
+    return ds.groupby(key).map_groups(latest, batch_format="pyarrow")
+
+
+def explode_links(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, links:list<str>) → (src_url, dst_url), one row per out-link.
+    Duplicate links kept (reference treats duplicate edges as multiplicity)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        links = batch["links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        counts = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.int64), nan=0)
+        src = pc.take(batch["url"], pa.array(np.repeat(np.arange(len(counts)), counts)))
+        return pa.table({"src_url": src, "dst_url": flat})
+
+    return extracted.select_columns(["url", "links"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def urls_to_edge_ids(url_edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(src_url, dst_url) → (src:int64, dst:int64) via the stable 63-bit
+    blake2b vid (hashing.py). Stateless, embarrassingly parallel."""
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(urls_to_vids(batch["src_url"]), pa.int64()),
+                "dst": pa.array(urls_to_vids(batch["dst_url"]), pa.int64()),
+            }
+        )
+
+    return url_edges.map_batches(to_ids, batch_format="pyarrow")
+
+
+def pages_to_edges(
+    pages: ray.data.Dataset, *, keep_latest: bool = True, batch_size: int = 1024
+) -> ray.data.Dataset:
+    """Full front end: pages → (src, dst) int64 edge table."""
+    ex = extract_pages(pages, batch_size=batch_size)
+    if keep_latest:
+        ex = dedup_keep_latest(ex)
+    return urls_to_edge_ids(explode_links(ex))
+
+
+def pages_to_text(pages: ray.data.Dataset, *, keep_latest: bool = True) -> ray.data.Dataset:
+    """pages → (url, text): the byte-identity surface checked against the
+    serial extractor."""
+    ex = extract_pages(pages).select_columns(["url", "warc_ts", "text"])
+    if keep_latest:
+        ex = dedup_keep_latest(ex)
+    return ex.select_columns(["url", "text"])
