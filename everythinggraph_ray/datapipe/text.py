@@ -1,0 +1,179 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting — each a vectorized ``map_batches`` stage over the
+``documents`` table. The SQL-checkable ops (token/char/punct/stopword
+counts) use RE2 regexes via ``pyarrow.compute`` so DuckDB's
+``regexp_extract_all`` (also RE2) produces identical counts — verified in
+tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+TOKEN_RE = r"\S+"
+WORD_RE = r"[a-z0-9]+"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORD_RE = r"\b(the|and|of|a|to|in|is)\b"
+
+# tiny per-language stopword profiles for the language-ID heuristic
+_LANG_PROFILES = {
+    "en": r"\b(the|and|of|to|in|is|that|it|for|was|with|you|this|have|are)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|von|mit|sich|auf|für|ein|eine|den|dem)\b",
+    "fr": r"\b(le|la|les|et|de|des|un|une|est|que|pour|dans|qui|pas|sur)\b",
+    "es": r"\b(el|la|los|las|y|de|que|en|un|una|es|por|para|con|no)\b",
+}
+
+
+def doc_stats(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, n_chars_calc, n_tokens, n_punct, n_stop) — quality-signal
+    counts, all integers so the DuckDB oracle matches exactly."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_tokens": pc.cast(pc.count_substring_regex(txt, TOKEN_RE), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(txt, PUNCT_RE), pa.int64()),
+                "n_stop": pc.cast(
+                    pc.count_substring_regex(pc.utf8_lower(txt), STOPWORD_RE), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, quality) in [0,1]: length, punctuation-density and
+    stopword-density heuristics (the usual web-corpus quality gates).
+    Deterministic pure function of the text."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_tok = pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = pc.count_substring_regex(txt, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_stop = (
+            pc.count_substring_regex(pc.utf8_lower(txt), STOPWORD_RE)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        len_score = np.clip(n_chars / 1000.0, 0.0, 1.0)
+        tok = np.maximum(n_tok, 1.0)
+        punct_ratio = n_punct / tok
+        punct_score = np.clip(1.0 - np.abs(punct_ratio - 0.1) * 2.0, 0.0, 1.0)
+        stop_score = np.clip(n_stop / tok * 4.0, 0.0, 1.0)
+        q = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
+        return pa.table(
+            {"doc_id": batch["doc_id"], "quality": pa.array(np.round(q, 8), pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """Actor-pool language-ID: stopword-profile hit densities, argmax.
+
+    State (compiled per-language patterns) built once per actor in
+    __init__ — the reference pattern for stateful map_batches stages."""
+
+    def __init__(self, min_tokens: int = 3):
+        self.min_tokens = min_tokens
+        self.langs = sorted(_LANG_PROFILES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(batch["text"])
+        n_tok = np.maximum(
+            pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(txt, _LANG_PROFILES[lg])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                / n_tok
+                for lg in self.langs
+            ]
+        )
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(scores.shape[1])]
+        too_short = (
+            pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False)
+            < self.min_tokens
+        )
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[(best_score <= 0.0) | too_short] = "und"
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(list(pred), pa.string())}
+        )
+
+
+def lang_id(docs: ray.data.Dataset, *, concurrency: int = 4) -> ray.data.Dataset:
+    return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(1469598103934665603)
+
+
+def _rolling_fingerprint(tokens: list[str]) -> int:
+    """FNV-1a-style rolling hash over whitespace tokens — a stable 63-bit
+    document fingerprint (order-sensitive, whitespace-normalized)."""
+    h = _FP_SEED
+    for tok in tokens:
+        for b in tok.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * _FP_BASE
+        h = (h ^ np.uint64(32)) * _FP_BASE  # normalized single separator
+    return int(h & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+
+
+def fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, fingerprint): deterministic rolling hash of the
+    whitespace-normalized text. Two docs differing only in whitespace
+    runs/kind collide on purpose."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import re
+
+        toks = [re.findall(r"\S+", t) for t in batch[text_col].to_pylist()]
+        out = np.fromiter((_rolling_fingerprint(t) for t in toks), dtype=np.int64, count=len(toks))
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.int64())})
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def top_tokens(docs: ray.data.Dataset, k: int = 50, text_col: str = "text") -> ray.data.Dataset:
+    """Top-k word frequencies: per-batch partial counts (the combiner),
+    then one small groupby-sum + sort. Ties broken by token asc."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import re
+
+        cnt: dict[str, int] = {}
+        rx = re.compile(WORD_RE)
+        for t in pc.utf8_lower(batch[text_col]).to_pylist():
+            for w in rx.findall(t):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)

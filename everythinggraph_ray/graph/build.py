@@ -25,6 +25,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -117,13 +118,20 @@ def build_graph(
         mean_deg = max(1.0, n_edges_est / max(1, n_vertices))
         hub_threshold = int(max(256, 8 * mean_deg))
         deg_stats = {"mean_outdeg": mean_deg}
+    th = int(hub_threshold)
     hub_tbl = (
         ray.data.read_parquet(os.path.join(build_dir, "verts"))
-        .filter(expr=f"outdeg > {int(hub_threshold)}")
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
+        )
         .to_pandas()
     )
-    hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
-    hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64) if len(hub_vids) else np.array([], dtype=np.int64)
+    if len(hub_tbl):
+        hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
+        hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64)
+    else:
+        hub_vids = np.array([], dtype=np.int64)
+        hub_outdeg = np.array([], dtype=np.int64)
 
     # --- edges, partitioned by spart --------------------------------------
     em = (

@@ -1,0 +1,68 @@
+"""Flagship pipeline: Common-Crawl-style pages → link graph → PageRank.
+
+The end-to-end path the north rule describes: read pages parquet →
+extract (map_batches actor pool, html dropped immediately) →
+keep-latest-per-url → explode links → stable vids → partitioned graph
+build (hash-partition + hub split) → superstep PageRank to 1e-6 →
+(vid, pagerank) Dataset. Checkpointing optional via ``checkpoint_dir``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import ray.data
+
+from everythinggraph_ray.corpus import ensure_corpus
+from everythinggraph_ray.graph.build import build_graph
+from everythinggraph_ray.graph.engine import GraphEngine
+from everythinggraph_ray.graph.kernels import PageRankKernel
+from everythinggraph_ray.stages.extract import pages_to_edges
+
+BUILD_VERSION = "v1"  # bump when the on-disk build layout changes
+
+
+def build_dir_for(tag: str, P: int, root: str = "/tmp/egray_builds") -> str:
+    h = hashlib.blake2b(f"{tag}|{P}|{BUILD_VERSION}".encode(), digest_size=8).hexdigest()
+    return os.path.join(root, f"{tag.split('/')[-1][:40]}_{h}")
+
+
+def web_pagerank(
+    pages_dir: str,
+    *,
+    num_partitions: int = 8,
+    tol: float = 1e-6,
+    n_iters: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    keep_engine: bool = False,
+):
+    """pages parquet dir → PageRank result. Returns (result dict, engine or
+    None); the result's 'dataset' is a Ray Dataset (vid, pagerank)."""
+    pages = ray.data.read_parquet(pages_dir)
+    edges = pages_to_edges(pages)
+    bdir = build_dir_for(f"web|{pages_dir}", num_partitions)
+    build_graph(edges, bdir, num_partitions=num_partitions)
+    eng = GraphEngine(bdir)
+    res = eng.run(
+        PageRankKernel(),
+        tol=tol,
+        n_iters=n_iters,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    if keep_engine:
+        return res, eng
+    res["dataset"] = res["dataset"].materialize()
+    eng.shutdown()
+    return res, None
+
+
+def flagship_small() -> ray.data.Dataset:
+    """The driver's smoke entry: tiny corpus → full pipeline → ranks."""
+    corpus = ensure_corpus(800, seed=42)
+    res, _ = web_pagerank(corpus, num_partitions=4)
+    return res["dataset"]

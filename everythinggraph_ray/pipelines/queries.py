@@ -1,0 +1,564 @@
+"""Query catalog: every operator surfaced as a (ray_fn, oracle_sql) pair.
+
+``QUERIES[name]`` is a callable ``sf_dir -> Dataset | DataFrame | Table``;
+``ORACLES[name]`` (when present) is the equivalent DuckDB SQL over the
+same parquet tables. Column names and rounding match EXACTLY on both
+sides (the driver hash-compares values after sorting columns by name).
+
+Graph queries run over a *derived* integer edge table so the SQL oracle
+can reproduce the graph without our blake2b url-hash:
+
+    src = l_orderkey % 1000, dst = l_partkey % 1000   (REL_V = 1000)
+
+Float-summing queries either (a) sum exact integer cents (TPC-H style
+aggregates — no float-association flakiness at all) or (b) round to a
+precision far coarser than the achievable float error (PageRank 1e-8 vs
+~1e-14 error).
+
+Web-graph queries (url corpus → blake2b vids) have no SQL oracle by
+construction (the hash isn't SQL-expressible); they are validated
+byte-for-byte / exactly in tests/ against the serial oracles instead and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from everythinggraph_ray.corpus import ensure_corpus
+from everythinggraph_ray.datapipe.dedup import exact_duplicates, minhash_near_duplicates
+from everythinggraph_ray.datapipe.knn import knn_bruteforce
+from everythinggraph_ray.datapipe.text import (
+    PUNCT_RE,
+    STOPWORD_RE,
+    TOKEN_RE,
+    doc_stats,
+    fingerprint,
+    lang_id,
+    quality_score,
+    top_tokens,
+)
+from everythinggraph_ray.graph.build import build_graph
+from everythinggraph_ray.graph.engine import GraphEngine
+from everythinggraph_ray.graph.kernels import (
+    BFSKernel,
+    PageRankKernel,
+    SpMVKernel,
+    SSSPHopsKernel,
+    WCCKernel,
+)
+from everythinggraph_ray.graph.triangles import triangle_count
+from everythinggraph_ray.pipelines.flagship import build_dir_for
+from everythinggraph_ray.stages.edges import dedup_edges, out_degrees, undirect_edges
+from everythinggraph_ray.stages.extract import pages_to_edges, pages_to_text
+
+REL_V = 1000
+KNN_QUERIES = 8
+KNN_K = 10
+
+# pages-corpus size per test scale (deterministic, cached in /tmp)
+_CORPUS_ROWS = {"sf0.001": 800, "sf0.01": 3000, "sf0.1": 20000}
+
+
+def _corpus_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return ensure_corpus(_CORPUS_ROWS.get(tag, 3000), seed=42)
+
+
+# ----------------------------------------------------------------------
+# derived relational edge table (identical in Ray and SQL)
+# ----------------------------------------------------------------------
+SQL_REL_EDGES = (
+    f"SELECT l_orderkey % {REL_V} AS src, l_partkey % {REL_V} AS dst FROM lineitem"
+)
+
+
+def rel_edges(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(o % REL_V, pa.int64()),
+                "dst": pa.array(p % REL_V, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _rel_build(sf_dir: str, *, undirect: bool = False, P: int = 8) -> str:
+    tag = f"rel|{sf_dir}|{'und' if undirect else 'dir'}"
+    bdir = build_dir_for(tag, P)
+    e = rel_edges(sf_dir)
+    if undirect:
+        e = undirect_edges(e)
+    build_graph(e, bdir, num_partitions=P, hub_threshold=10**9)  # dense ids: no hubs
+    return bdir
+
+
+def _run_engine(bdir: str, kernel, **kw) -> pd.DataFrame:
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(kernel, **kw)
+        return res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    finally:
+        eng.shutdown()
+
+
+def _rel_root(sf_dir: str) -> int:
+    # min vid of the universe — cheap: scan src/dst minima
+    e = rel_edges(sf_dir)
+    return int(min(e.min("src"), e.min("dst")))
+
+
+# ----------------------------------------------------------------------
+# graph queries
+# ----------------------------------------------------------------------
+def q_rel_edges(sf_dir):
+    return rel_edges(sf_dir)
+
+
+def q_rel_degree(sf_dir):
+    return out_degrees(rel_edges(sf_dir))
+
+
+def q_rel_distinct_edges(sf_dir):
+    return dedup_edges(rel_edges(sf_dir))
+
+
+def q_rel_top_outdegree(sf_dir):
+    return out_degrees(rel_edges(sf_dir)).sort(["outdeg", "vid"], descending=[True, False]).limit(20)
+
+
+def q_rel_pagerank10(sf_dir):
+    df = _run_engine(_rel_build(sf_dir), PageRankKernel(), n_iters=10)
+    df["pagerank"] = np.round(df["pagerank"].to_numpy(), 8)
+    return df[["vid", "pagerank"]]
+
+
+def q_rel_pagerank(sf_dir):
+    """To-convergence PageRank (the north-rule mode). No SQL oracle
+    (iteration count is data-dependent); matched vs the NumPy oracle in
+    tests."""
+    df = _run_engine(_rel_build(sf_dir), PageRankKernel(), tol=1e-6)
+    return df[["vid", "pagerank"]]
+
+
+def q_rel_wcc(sf_dir):
+    df = _run_engine(_rel_build(sf_dir, undirect=True), WCCKernel())
+    return df.rename(columns={"wcc": "component"})[["vid", "component"]]
+
+
+def q_rel_labelprop(sf_dir):
+    """Label propagation = WCC machinery with arbitrary seed labels (here:
+    default own-vid labels → equals wcc; exercised with real seeds in
+    tests). Rows-only check."""
+    from everythinggraph_ray.graph.kernels import LabelPropKernel
+
+    df = _run_engine(_rel_build(sf_dir, undirect=True), LabelPropKernel())
+    return df.rename(columns={"labelprop": "label"})[["vid", "label"]]
+
+
+def q_rel_bfs(sf_dir):
+    df = _run_engine(_rel_build(sf_dir), BFSKernel(_rel_root(sf_dir)))
+    return df.rename(columns={"bfs": "dist"})[["vid", "dist"]]
+
+
+def q_rel_sssp_hops(sf_dir):
+    df = _run_engine(_rel_build(sf_dir), SSSPHopsKernel(_rel_root(sf_dir)))
+    return df.rename(columns={"sssp_hops": "dist"})[["vid", "dist"]]
+
+
+def q_rel_spmv(sf_dir):
+    df = _run_engine(_rel_build(sf_dir), SpMVKernel())
+    df["y"] = np.round(df["spmv"].to_numpy(), 6)
+    return df[["vid", "y"]]
+
+
+def q_rel_triangles(sf_dir):
+    n = triangle_count(rel_edges(sf_dir))
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+# ----------------------------------------------------------------------
+# web-graph queries (url corpus; rows-only checks, pytest-validated)
+# ----------------------------------------------------------------------
+def q_web_extract_text(sf_dir):
+    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+    return pages_to_text(pages)
+
+
+def q_web_edges(sf_dir):
+    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+    return pages_to_edges(pages)
+
+
+def q_web_pagerank(sf_dir):
+    corpus = _corpus_for(sf_dir)
+    bdir = build_dir_for(f"web|{corpus}", 8)
+    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=8)
+    return _run_engine(bdir, PageRankKernel(), tol=1e-6)
+
+
+def q_web_wcc(sf_dir):
+    corpus = _corpus_for(sf_dir)
+    bdir = build_dir_for(f"webund|{corpus}", 8)
+    build_graph(
+        undirect_edges(pages_to_edges(ray.data.read_parquet(corpus))), bdir, num_partitions=8
+    )
+    df = _run_engine(bdir, WCCKernel())
+    return df.rename(columns={"wcc": "component"})
+
+
+# ----------------------------------------------------------------------
+# documents / embeddings / events queries
+# ----------------------------------------------------------------------
+def _docs(sf_dir):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_doc_stats(sf_dir):
+    return doc_stats(_docs(sf_dir))
+
+
+def q_docs_exact_dedup(sf_dir):
+    return exact_duplicates(_docs(sf_dir))
+
+
+def q_docs_quality(sf_dir):
+    return quality_score(_docs(sf_dir))
+
+
+def q_docs_lang_counts(sf_dir):
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_docs_top_tokens(sf_dir):
+    return top_tokens(_docs(sf_dir), k=50)
+
+
+def q_docs_langid(sf_dir):
+    return lang_id(_docs(sf_dir))
+
+
+def q_docs_fingerprint(sf_dir):
+    return fingerprint(_docs(sf_dir))
+
+
+def q_docs_minhash_clusters(sf_dir):
+    return minhash_near_duplicates(_docs(sf_dir), threshold=0.8)
+
+
+def q_knn_top10(sf_dir):
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].nsmallest(KNN_QUERIES)
+    return knn_bruteforce(emb, [int(x) for x in ids], k=KNN_K)
+
+
+def q_events_hourly(sf_dir):
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        val_u = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "hour_bucket": hour, "v": val_u})
+        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("v", "size"), value_sum_u=("v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("value_sum_u", alias_name="value_sum_u"))
+    )
+
+
+def q_events_sessions(sf_dir):
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        new_s = (gap.isna() | (gap > 1800)).sum()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(new_s)]})
+
+    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def q_q1_returnflag(sf_dir):
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_c"] = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        df["price_c"] = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["disc_price_c2"] = df["price_c"] * (100 - disc_c)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty_c", "sum"),
+            sum_base_c=("price_c", "sum"),
+            sum_disc_c2=("disc_price_c2", "sum"),
+            n_rows=("qty_c", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c2", alias_name="sum_disc_c2"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def q_mktsegment_revenue(sf_dir):
+    """Broadcast hash join: customer (small side) shipped once via
+    ray.put, orders stream through map_batches — no shuffle."""
+    import ray as _ray
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_of = _ray.put(dict(zip(cust["c_custkey"].astype(np.int64), cust["c_mktsegment"])))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _ray.get(seg_of)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        seg = np.array([m.get(int(c), "NONE") for c in ck], dtype=object)
+        price_c = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"c_mktsegment": seg, "p": price_c})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue_c=("p", "sum"), n_orders=("p", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"), Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+# ----------------------------------------------------------------------
+# SQL oracles
+# ----------------------------------------------------------------------
+def _sql_graph_prelude(*, undirect: bool = False, no_self: bool = False) -> str:
+    parts = [f"e AS ({SQL_REL_EDGES})"]
+    if no_self:
+        parts.append("e2 AS (SELECT src, dst FROM e WHERE src <> dst)")
+    if undirect:
+        parts.append(
+            "und AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst "
+            "UNION SELECT dst AS u, src AS v FROM e WHERE src <> dst)"
+        )
+    parts.append(
+        "verts AS (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))"
+    )
+    return ", ".join(parts)
+
+
+def _pagerank10_sql() -> str:
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"r{k} AS (SELECT v.vid, (SELECT 0.15/n FROM nv) + 0.85 * coalesce(s.contrib, 0) AS r "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, sum(p.r / deg.d) AS contrib "
+            f"FROM e JOIN r{k-1} p ON p.vid = e.src JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) s ON s.vid = v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 8) AS pagerank FROM r10"
+
+
+ORACLES: dict[str, str] = {
+    "rel_edges": SQL_REL_EDGES,
+    "rel_degree": (
+        f"WITH e AS ({SQL_REL_EDGES}) SELECT vid, CAST(sum(c) AS BIGINT) AS outdeg FROM "
+        "(SELECT src AS vid, 1 AS c FROM e UNION ALL SELECT DISTINCT dst AS vid, 0 AS c FROM e) t "
+        "GROUP BY vid"
+    ),
+    "rel_distinct_edges": f"WITH e AS ({SQL_REL_EDGES}) SELECT DISTINCT src, dst FROM e",
+    "rel_top_outdegree": (
+        f"WITH e AS ({SQL_REL_EDGES}), d AS (SELECT vid, CAST(sum(c) AS BIGINT) AS outdeg FROM "
+        "(SELECT src AS vid, 1 AS c FROM e UNION ALL SELECT DISTINCT dst AS vid, 0 AS c FROM e) t "
+        "GROUP BY vid) SELECT vid, outdeg FROM d ORDER BY outdeg DESC, vid LIMIT 20"
+    ),
+    "rel_pagerank10": _pagerank10_sql(),
+    "rel_wcc": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(undirect=True)
+        + ", r(vid, lab) AS (SELECT vid, vid FROM verts UNION "
+        "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
+        "SELECT v.vid, m.c AS component FROM verts v "
+        "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    "rel_bfs": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r(vid, d) AS (SELECT rv, CAST(1 AS BIGINT) FROM root UNION "
+        "SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.vid WHERE r.d < 64) "
+        "SELECT v.vid, coalesce(m.d, 0) AS dist FROM verts v "
+        "LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    "rel_sssp_hops": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(no_self=True)
+        + ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r(vid, d) AS (SELECT rv, CAST(0 AS BIGINT) FROM root UNION "
+        "SELECT e2.dst, r.d + 1 FROM r JOIN e2 ON e2.src = r.vid WHERE r.d < 64) "
+        "SELECT v.vid, coalesce(m.d, 9223372036854775807) AS dist FROM verts v "
+        "LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    "rel_spmv": (
+        "WITH "
+        + _sql_graph_prelude()
+        + ", s AS (SELECT dst AS vid, sum(0.001 * src) AS y FROM e GROUP BY dst) "
+        "SELECT v.vid, round(coalesce(s.y, 0.0), 6) AS y FROM verts v "
+        "LEFT JOIN s ON s.vid = v.vid"
+    ),
+    "rel_triangles": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
+        "WHERE src <> dst) "
+        "SELECT count(*) AS n_triangles FROM und a "
+        "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v"
+    ),
+    "doc_stats": (
+        r"SELECT doc_id, length(text) AS n_chars_calc, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+        r"CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct, "
+        r"CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is)\b')) AS BIGINT) AS n_stop "
+        r"FROM documents"
+    ),
+    "docs_exact_dedup": (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+    "docs_quality": (
+        r"WITH s AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt0, "
+        r"CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS np_, "
+        r"CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is)\b')) AS DOUBLE) AS ns "
+        r"FROM documents) "
+        r"SELECT doc_id, round(0.4 * least(nc / 1000.0, 1.0) "
+        r"+ 0.3 * greatest(least(1.0 - abs(np_ / greatest(nt0, 1.0) - 0.1) * 2.0, 1.0), 0.0) "
+        r"+ 0.3 * least(ns / greatest(nt0, 1.0) * 4.0, 1.0), 8) AS quality FROM s"
+    ),
+    "docs_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "docs_top_tokens": (
+        r"SELECT t AS token, count(*) AS n FROM "
+        r"(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents) "
+        r"GROUP BY t ORDER BY n DESC, token LIMIT 50"
+    ),
+    "knn_top10": (
+        f"WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}) "
+        "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, "
+        "e.vec_id) AS BIGINT) AS rank "
+        "FROM q, embeddings e WHERE e.vec_id <> q.vec_id "
+        "QUALIFY rank <= " + str(KNN_K)
+    ),
+    "events_hourly": (
+        "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n_events, "
+        "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_u "
+        "FROM events GROUP BY user_id, hour_bucket"
+    ),
+    "events_sessions": (
+        "WITH x AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM x GROUP BY user_id"
+    ),
+    "q1_returnflag": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c2, "
+        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "mktsegment_revenue": (
+        "SELECT c.c_mktsegment, "
+        "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c, "
+        "count(*) AS n_orders FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
+}
+
+QUERIES = {
+    "rel_edges": q_rel_edges,
+    "rel_degree": q_rel_degree,
+    "rel_distinct_edges": q_rel_distinct_edges,
+    "rel_top_outdegree": q_rel_top_outdegree,
+    "rel_pagerank10": q_rel_pagerank10,
+    "rel_pagerank": q_rel_pagerank,
+    "rel_wcc": q_rel_wcc,
+    "rel_labelprop": q_rel_labelprop,
+    "rel_bfs": q_rel_bfs,
+    "rel_sssp_hops": q_rel_sssp_hops,
+    "rel_spmv": q_rel_spmv,
+    "rel_triangles": q_rel_triangles,
+    "web_extract_text": q_web_extract_text,
+    "web_edges": q_web_edges,
+    "web_pagerank": q_web_pagerank,
+    "web_wcc": q_web_wcc,
+    "doc_stats": q_doc_stats,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_quality": q_docs_quality,
+    "docs_lang_counts": q_docs_lang_counts,
+    "docs_top_tokens": q_docs_top_tokens,
+    "docs_langid": q_docs_langid,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_minhash_clusters": q_docs_minhash_clusters,
+    "knn_top10": q_knn_top10,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "q1_returnflag": q_q1_returnflag,
+    "mktsegment_revenue": q_mktsegment_revenue,
+}
