@@ -1,0 +1,138 @@
+"""Training-data operators: dedup, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from everythinggraph_ray.datapipe.dedup import (
+    MinHashStage,
+    exact_duplicates,
+    jaccard,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+    _token_shingles,
+)
+from everythinggraph_ray.datapipe.multimodal import FEATURE_DIM, decode_features, frame_sample
+from everythinggraph_ray.datapipe.text import doc_stats, fingerprint, lang_id
+
+
+def _docs_ds(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_exact_duplicates():
+    ds = _docs_ds(["aaa", "bbb", "aaa", "ccc", "aaa"])
+    out = exact_duplicates(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out.set_index("doc_id")["n_copies"].to_dict() == {0: 3, 1: 1, 3: 1}
+
+
+def test_minhash_finds_near_duplicates():
+    base = "the quick brown fox jumps over the lazy dog and runs far away home " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words about graphs and rays and arrows " * 6
+    ds = _docs_ds([base, near, other, base])
+    out = minhash_near_duplicates(ds, threshold=0.5)
+    clusters = out.set_index("doc_id")["cluster_id"].to_dict()
+    assert clusters.get(0) == 0 and clusters.get(1) == 0 and clusters.get(3) == 0
+    assert 2 not in clusters  # unrelated doc not clustered
+
+
+def test_minhash_estimates_jaccard():
+    stage = MinHashStage(num_perm=256, bands=32)
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "one two three four five six seven eight nine ten thirteen fourteen"
+    sa, sb = stage.signature(a), stage.signature(b)
+    est = float(np.mean(sa == sb))
+    true = jaccard(np.sort(_token_shingles(a)), np.sort(_token_shingles(b)))
+    assert abs(est - true) < 0.2
+
+
+def test_simhash_near_vs_far():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("dog", "cat")
+    far = "unrelated text entirely about something else completely different " * 8
+    ds = _docs_ds([base, near, far])
+    sh = simhash(ds).to_pandas().sort_values("doc_id")["simhash"].to_numpy(np.uint64)
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+    cand = simhash_candidates(ds)
+    pairs = {tuple(r) for r in cand[["a", "b"]].to_numpy()} if len(cand) else set()
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_pairs():
+    ds = _docs_ds(["a b c d e f", "a b c d e g", "x y z w v u"])
+    pairs = pd.DataFrame({"a": [0, 0], "b": [1, 2]})
+    out = ngram_jaccard_pairs(ds, pairs)
+    j01 = out[(out["a"] == 0) & (out["b"] == 1)]["jaccard"].iloc[0]
+    j02 = out[(out["a"] == 0) & (out["b"] == 2)]["jaccard"].iloc[0]
+    assert j01 > 0.3 and j02 == 0.0
+
+
+def test_doc_stats_counts():
+    ds = _docs_ds(["The cat, and the dog!", ""])
+    out = doc_stats(ds).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [5, 0]
+    assert out["n_punct"].tolist() == [2, 0]
+    assert out["n_stop"].tolist() == [3, 0]
+
+
+def test_lang_id_heuristic():
+    ds = _docs_ds(
+        [
+            "the cat and the dog are in the house and it is big",
+            "der Hund und die Katze sind nicht auf dem Tisch mit der Maus",
+            "le chat et le chien sont dans la maison pour les vacances",
+            "xz qqq",
+        ]
+    )
+    out = lang_id(ds).to_pandas().sort_values("doc_id")["lang_pred"].tolist()
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_fingerprint_whitespace_invariant():
+    ds = _docs_ds(["a b  c", "a\tb\nc", "a b d"])
+    out = fingerprint(ds).to_pandas().sort_values("doc_id")["fingerprint"].tolist()
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_multimodal_decode_plumbing():
+    items = ray.data.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array([b"abc" * 100, b"", b"zzz"], pa.binary()),
+            }
+        )
+    )
+    out = decode_features(items, batch_size=2).to_pandas().sort_values("item_id")
+    assert out["n_bytes"].tolist() == [300, 0, 3]
+    feats = np.stack(out["features"].to_numpy())
+    assert feats.shape == (3, FEATURE_DIM)
+    # deterministic
+    out2 = decode_features(items, batch_size=2).to_pandas().sort_values("item_id")
+    assert np.array_equal(feats, np.stack(out2["features"].to_numpy()))
+
+
+def test_frame_sample():
+    items = ray.data.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([7], pa.int64()),
+                "payload": pa.array([bytes(1024 * 25)], pa.binary()),
+            }
+        )
+    )
+    out = frame_sample(items, every_n=10).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 10, 20]
+    assert all(len(f) == 1024 for f in out["frame"])

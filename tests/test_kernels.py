@@ -1,0 +1,166 @@
+"""Graph kernels vs serial NumPy oracles (reference semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from everythinggraph_ray.graph import oracle as O
+from everythinggraph_ray.graph.engine import GraphEngine
+from everythinggraph_ray.graph.kernels import (
+    BFSKernel,
+    LabelPropKernel,
+    PageRankKernel,
+    SpMVKernel,
+    SSSPHopsKernel,
+    SSSPWeightedKernel,
+    WCCKernel,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(small_build):
+    eng = GraphEngine(small_build)
+    yield eng
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def engine_und(small_build_undirected):
+    eng = GraphEngine(small_build_undirected)
+    yield eng
+    eng.shutdown()
+
+
+def _vals(res, col):
+    df = res["dataset"].to_pandas().sort_values("vid")
+    return df["vid"].to_numpy(), df[col].to_numpy()
+
+
+def test_pagerank_allclose(engine, small_edges):
+    sv, dv = small_edges
+    res = engine.run(PageRankKernel(), tol=1e-6)
+    vids, pr = _vals(res, "pagerank")
+    ovids, opr, oiters = O.pagerank_oracle(sv, dv, tol=1e-6)
+    assert np.array_equal(vids, ovids)
+    np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-6)
+    assert res["iterations"] == oiters
+
+
+def test_pagerank_fixed10_matches_reference_mode(engine, small_edges):
+    sv, dv = small_edges
+    res = engine.run(PageRankKernel(), n_iters=10)
+    _, pr = _vals(res, "pagerank")
+    _, opr, _ = O.pagerank_oracle(sv, dv, n_iters=10)
+    np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-12)
+
+
+def test_hub_split_is_partition_invariant(small_corpus, small_edges, tmp_path):
+    """Skew axis: hub-split build (low threshold → many mirrors) must give
+    bit-equal-to-tolerance ranks vs the oracle — partial aggregation over
+    disjoint mirror edge sets is exact."""
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    sv, dv = small_edges
+    bdir = str(tmp_path / "hubsplit")
+    edges = pages_to_edges(ray.data.read_parquet(small_corpus))
+    meta = build_graph(edges, bdir, num_partitions=5, hub_threshold=2)
+    assert len(meta["hub_vids"]) > 10  # exercise many mirrors
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(PageRankKernel(), tol=1e-6)
+        vids, pr = _vals(res, "pagerank")
+        ovids, opr, _ = O.pagerank_oracle(sv, dv, tol=1e-6)
+        np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-6)
+    finally:
+        eng.shutdown()
+
+
+def test_wcc_exact(engine_und, small_edges):
+    sv, dv = small_edges
+    res = engine_und.run(WCCKernel())
+    vids, lab = _vals(res, "wcc")
+    ovids, olab = O.wcc_oracle(sv, dv)
+    assert np.array_equal(vids, ovids)
+    assert np.array_equal(lab, olab)
+
+
+def test_labelprop_with_seeds(engine_und, small_edges):
+    sv, dv = small_edges
+    ovids, olab = O.wcc_oracle(sv, dv)
+    # seed two vertices with tiny labels — their whole components take them
+    seeds = {int(ovids[0]): -5, int(ovids[len(ovids) // 2]): -9}
+    res = engine_und.run(LabelPropKernel(seeds))
+    vids, lab = _vals(res, "labelprop")
+    init = ovids.astype(np.int64).copy()
+    for v, s in seeds.items():
+        init[np.searchsorted(ovids, v)] = s
+    _, olab2 = O.wcc_oracle(sv, dv, labels=init)
+    assert np.array_equal(lab, olab2)
+
+
+def test_bfs_exact(engine, small_edges):
+    sv, dv = small_edges
+    root = int(O.vertex_universe(sv, dv)[0])
+    res = engine.run(BFSKernel(root))
+    vids, dist = _vals(res, "bfs")
+    _, od = O.bfs_oracle(sv, dv, root)
+    assert np.array_equal(dist, od)
+
+
+def test_sssp_hops_exact(engine, small_edges):
+    sv, dv = small_edges
+    root = int(O.vertex_universe(sv, dv)[0])
+    res = engine.run(SSSPHopsKernel(root))
+    vids, dist = _vals(res, "sssp_hops")
+    _, od = O.sssp_hops_oracle(sv, dv, root)
+    assert np.array_equal(dist, od)
+
+
+def test_sssp_weighted_exact(small_corpus, small_edges, tmp_path):
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.stages.edges import synthesize_weights
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    sv, dv = small_edges
+    bdir = str(tmp_path / "weighted")
+    edges = synthesize_weights(pages_to_edges(ray.data.read_parquet(small_corpus)))
+    build_graph(edges, bdir, num_partitions=4, hub_threshold=8, weighted=True)
+    eng = GraphEngine(bdir)
+    try:
+        root = int(O.vertex_universe(sv, dv)[0])
+        res = eng.run(SSSPWeightedKernel(root))
+        vids, dist = _vals(res, "sssp_weighted")
+        _, od = O.sssp_weighted_oracle(sv, dv, root)
+        assert np.array_equal(dist, od)
+    finally:
+        eng.shutdown()
+
+
+def test_spmv_allclose(engine, small_edges):
+    sv, dv = small_edges
+    res = engine.run(SpMVKernel())
+    vids, y = _vals(res, "spmv")
+    _, oy = O.spmv_oracle(sv, dv)
+    np.testing.assert_allclose(y, oy, rtol=1e-12)
+
+
+def test_cross_variant_pagerank_dataset_vs_actor(engine, small_edges, small_corpus):
+    """The reference's push-vs-pull cross-check: the pure-Dataset PageRank
+    (groupby-sum supersteps) must agree with the actor engine."""
+    import ray.data
+
+    from everythinggraph_ray.graph.dataset_kernels import pagerank_dataset
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    edges = pages_to_edges(ray.data.read_parquet(small_corpus))
+    t = pagerank_dataset(edges, tol=1e-6)
+    res = engine.run(PageRankKernel(), tol=1e-6)
+    vids, pr = _vals(res, "pagerank")
+    assert np.array_equal(t["vid"].to_numpy(), vids)
+    np.testing.assert_allclose(t["pagerank"].to_numpy(), pr, rtol=0, atol=1e-9)

@@ -1,0 +1,61 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from everythinggraph_ray.datapipe.knn import knn_bruteforce, knn_lsh
+
+
+def _emb_ds(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    return (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(m.tolist(), pa.list_(pa.float32(), dim)),
+                }
+            )
+        ),
+        m,
+    )
+
+
+def _numpy_topk(m, q_idx, k):
+    m64 = m.astype(np.float64)
+    m64 = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = m64 @ m64[q_idx]
+    sims[q_idx] = -np.inf
+    order = np.lexsort((np.arange(len(m)), -sims))
+    return order[:k]
+
+
+def test_bruteforce_matches_numpy():
+    ds, m = _emb_ds()
+    out = knn_bruteforce(ds, [0, 5], k=10)
+    for q in (0, 5):
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].to_numpy()
+        want = _numpy_topk(m, q, 10)
+        assert np.array_equal(got, want)
+
+
+def test_bruteforce_multiple_batches():
+    ds, m = _emb_ds(n=500)
+    ds = ds.repartition(8)  # force several batches → exercises the combiner
+    out = knn_bruteforce(ds, [7], k=5)
+    got = out.sort_values("rank")["neighbor_id"].to_numpy()
+    assert np.array_equal(got, _numpy_topk(m, 7, 5))
+
+
+def test_lsh_recall():
+    ds, m = _emb_ds(n=400)
+    brute = knn_bruteforce(ds, [3], k=10)
+    approx = knn_lsh(ds, [3], k=10, n_planes=6, multiprobe=1)
+    b = set(brute["neighbor_id"])
+    a = set(approx["neighbor_id"])
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5  # approximate, but must find a decent fraction

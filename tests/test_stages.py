@@ -1,0 +1,53 @@
+"""Edge-table transform stages (SURVEY.md §2.b)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from everythinggraph_ray.stages.edges import (
+    dedup_edges,
+    filter_self_loops,
+    out_degrees,
+    reverse_edges,
+    synthesize_weights,
+    undirect_edges,
+)
+
+
+def _ds(sv, dv):
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+    )
+
+
+def test_reverse_and_undirect():
+    ds = _ds([1, 2], [2, 3])
+    rev = reverse_edges(ds).to_pandas()
+    assert rev["src"].tolist() == [2, 3] and rev["dst"].tolist() == [1, 2]
+    und = undirect_edges(ds).to_pandas()
+    assert len(und) == 4
+
+
+def test_filter_self_loops():
+    out = filter_self_loops(_ds([1, 2, 3], [1, 3, 3])).to_pandas()
+    assert out["src"].tolist() == [2]
+
+
+def test_synthesize_weights_matches_reference_rule():
+    out = synthesize_weights(_ds([13, 27], [5, 31])).to_pandas()
+    # w = src%10 + dst%10 (init_all.c:663-666)
+    assert out["weight"].tolist() == [8.0, 8.0]
+
+
+def test_dedup_edges():
+    out = dedup_edges(_ds([1, 1, 2, 1], [2, 2, 3, 2])).to_pandas()
+    got = sorted(map(tuple, out[["src", "dst"]].to_numpy()))
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_out_degrees_includes_dst_only_vertices():
+    out = out_degrees(_ds([1, 1, 2], [2, 3, 9])).to_pandas().sort_values("vid")
+    assert out["vid"].tolist() == [1, 2, 3, 9]
+    assert out["outdeg"].tolist() == [2, 1, 0, 0]
