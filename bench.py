@@ -1,0 +1,248 @@
+"""Benchmark harness — prints ONE JSON line.
+
+    python bench.py              # full headline suite at $GRAFT_SF_DIR
+    python bench.py --scaling    # PageRank core at num_cpus=8 vs 32 in
+                                 # fresh processes + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32). The headline metric is edges/sec per PageRank superstep to
+1e-6 convergence (BASELINE.json), measured on a deterministic power-law
+graph (the reference's RMAT analogue) plus the full web pipeline
+(extract → build → rank) and the training-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_V = int(os.environ.get("GRAFT_BENCH_V", "200000"))
+BENCH_E = int(os.environ.get("GRAFT_BENCH_E", "4000000"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "30000"))
+P_PARTS = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
+
+
+def _init_ray():
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+
+
+def pagerank_core() -> dict:
+    """The scaling-criterion job: PageRank to 1e-6 on the synthetic
+    power-law graph, P_PARTS partitions. Reports per-superstep wall and
+    edges/sec/superstep."""
+    import ray.data
+
+    from everythinggraph_ray.benchgraph import ensure_bench_edges
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import PageRankKernel
+    from everythinggraph_ray.pipelines.flagship import build_dir_for
+
+    edir = ensure_bench_edges(BENCH_V, BENCH_E)
+    bdir = build_dir_for(f"bench|{edir}", P_PARTS)
+    t0 = time.perf_counter()
+    meta = build_graph(ray.data.read_parquet(edir), bdir, num_partitions=P_PARTS)
+    build_sec = time.perf_counter() - t0
+
+    eng = GraphEngine(bdir)
+    try:
+        t0 = time.perf_counter()
+        res = eng.run(PageRankKernel(), tol=1e-6)
+        pr_sec = time.perf_counter() - t0
+    finally:
+        eng.shutdown()
+    iters = res["iterations"]
+    walls = sorted(m["wall_sec"] for m in res["metrics"])
+    med = walls[len(walls) // 2]
+    return {
+        "build_sec": round(build_sec, 3),
+        "pagerank_sec": round(pr_sec, 3),
+        "iterations": iters,
+        "n_edges": meta["n_edges"],
+        "n_vertices": meta["n_vertices"],
+        "hubs": len(meta["hub_vids"]),
+        "median_superstep_sec": round(med, 4),
+        "edges_per_sec_superstep": round(meta["n_edges"] / med, 0),
+    }
+
+
+def full_suite() -> dict:
+    import ray.data
+
+    from everythinggraph_ray.corpus import ensure_corpus
+    from everythinggraph_ray.datapipe.knn import knn_bruteforce
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import WCCKernel
+    from everythinggraph_ray.graph.triangles import triangle_count
+    from everythinggraph_ray.pipelines import queries as Q
+    from everythinggraph_ray.pipelines.flagship import build_dir_for
+    from everythinggraph_ray.stages.edges import undirect_edges
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    out: dict[str, float] = {}
+    extra: dict = {}
+
+    # warm the page cache (untimed): corpus + testdata reads
+    corpus = ensure_corpus(BENCH_PAGES, seed=42)
+    ray.data.read_parquet(corpus).count()
+    ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    # 1. extraction front end (pages -> edge table)
+    t0 = time.perf_counter()
+    n_edges_web = pages_to_edges(ray.data.read_parquet(corpus)).count()
+    out["extract_edges"] = time.perf_counter() - t0
+    extra["web_edges"] = n_edges_web
+
+    # 2. web pagerank end-to-end (build + rank)
+    from everythinggraph_ray.graph.kernels import PageRankKernel
+
+    t0 = time.perf_counter()
+    bdir = build_dir_for(f"benchweb|{corpus}", P_PARTS)
+    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=P_PARTS)
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(PageRankKernel(), tol=1e-6)
+    finally:
+        eng.shutdown()
+    out["web_pagerank"] = time.perf_counter() - t0
+    extra["web_pagerank_iters"] = res["iterations"]
+
+    # 3. synthetic power-law pagerank (the headline metric)
+    core = pagerank_core()
+    out["rmat_build"] = core["build_sec"]
+    out["rmat_pagerank"] = core["pagerank_sec"]
+    extra["core"] = core
+
+    # 4. WCC on the undirected synthetic graph
+    from everythinggraph_ray.benchgraph import ensure_bench_edges
+
+    edir = ensure_bench_edges(BENCH_V, BENCH_E)
+    budir = build_dir_for(f"benchund|{edir}", P_PARTS)
+    t0 = time.perf_counter()
+    build_graph(undirect_edges(ray.data.read_parquet(edir)), budir, num_partitions=P_PARTS)
+    eng = GraphEngine(budir)
+    try:
+        wres = eng.run(WCCKernel())
+    finally:
+        eng.shutdown()
+    out["rmat_wcc"] = time.perf_counter() - t0
+    extra["wcc_iters"] = wres["iterations"]
+
+    # 5. triangles on the derived relational graph
+    t0 = time.perf_counter()
+    extra["rel_triangles"] = triangle_count(Q.rel_edges(SF_DIR))
+    out["rel_triangles"] = time.perf_counter() - t0
+
+    # 6. relational aggregate + broadcast join
+    t0 = time.perf_counter()
+    Q.q_q1_returnflag(SF_DIR).to_pandas()
+    out["q1_returnflag"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Q.q_mktsegment_revenue(SF_DIR).to_pandas()
+    out["mktsegment_revenue"] = time.perf_counter() - t0
+
+    # 7. training-data ops at SF scale
+    t0 = time.perf_counter()
+    Q.q_docs_exact_dedup(SF_DIR).to_pandas()
+    out["docs_exact_dedup"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Q.q_docs_minhash_clusters(SF_DIR)
+    out["docs_minhash"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].nsmallest(8)
+    knn_bruteforce(emb, [int(x) for x in ids], k=10)
+    out["knn_top10"] = time.perf_counter() - t0
+
+    out = {k: round(v, 3) for k, v in out.items()}
+    return {"queries": out, "extra": extra}
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="prcore")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo = r_lo["extra"]["core"]["edges_per_sec_superstep"]
+    tp_hi = r_hi["extra"]["core"]["edges_per_sec_superstep"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "edges_per_sec_superstep_lo": tp_lo,
+                "edges_per_sec_superstep_hi": tp_hi,
+                "pagerank_sec_lo": r_lo["extra"]["core"]["pagerank_sec"],
+                "pagerank_sec_hi": r_hi["extra"]["core"]["pagerank_sec"],
+                "n_edges": r_lo["extra"]["core"]["n_edges"],
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+    _init_ray()
+    import ray
+
+    mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+    t_all = time.perf_counter()
+    if mode == "prcore":
+        core = pagerank_core()
+        payload = {"queries": {"rmat_pagerank": core["pagerank_sec"]}, "extra": {"core": core}}
+    else:
+        payload = full_suite()
+    total = round(time.perf_counter() - t_all, 3)
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "edges_per_sec_superstep": payload["extra"]["core"]["edges_per_sec_superstep"],
+        "queries": payload["queries"],
+        "sf": SF_DIR,
+        "num_cpus": CPUS,
+        "extra": payload["extra"],
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -108,17 +108,30 @@ def exact_duplicates(docs: ray.data.Dataset, text_col: str = "text") -> ray.data
     minimum id of the group, n_copies its multiplicity. Matches
     ``SELECT min(doc_id), count(*) ... GROUP BY text``."""
 
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
     def add_hash(batch: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, pa.string())})
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()], "n_copies": [np.int64(len(g))]})
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (int(x[:8], 16) for x in batch["h"].to_pylist()), dtype=np.int64, count=batch.num_rows
+        )
 
-    return (
-        docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(keep_min, batch_format="pandas")
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "n_copies": pa.array(df["n_copies"], pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(
+        docs.map_batches(add_hash, batch_format="pyarrow"), bucket_of, red
     )
 
 

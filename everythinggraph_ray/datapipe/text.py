@@ -169,11 +169,27 @@ def top_tokens(docs: ray.data.Dataset, k: int = 50, text_col: str = "text") -> r
             }
         )
 
-    from ray.data.aggregate import Sum
+    from hashlib import blake2b
 
-    agg = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="n"))
-    )
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
+                for t in batch["token"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().groupby("token", as_index=False)["c"].sum()
+        return pa.table(
+            {"token": pa.array(df["token"], pa.string()), "n": pa.array(df["c"], pa.int64())}
+        )
+
+    agg = bucketed_reduce(docs.map_batches(partial, batch_format="pyarrow"), bucket_of, red)
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)

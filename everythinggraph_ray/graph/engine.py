@@ -258,7 +258,9 @@ class GraphPartition:
         new, changed, delta = k.apply(self.vals, agg_full, has_msg, self.ctx)
         self.vals = new
         self.active = changed if k.frontier else np.ones(len(self.owned_vids), dtype=bool)
-        return float(delta), int(changed.sum()), int(n_msgs)
+        # piggyback the fresh hub snapshot: saves the driver a whole extra
+        # RPC round per superstep
+        return float(delta), int(changed.sum()), int(n_msgs), self.hub_snapshot()
 
     # ------------------------------------------------------------------
     def collect(self, value_col: str = "value") -> pa.Table:
@@ -313,10 +315,9 @@ class GraphEngine:
         self.has_hubs = bool(self.meta.get("hub_vids"))
 
     # ------------------------------------------------------------------
-    def _hub_broadcast(self):
-        if not self.has_hubs:
-            return None
-        snaps = [s for s in ray.get([a.hub_snapshot.remote() for a in self.actors]) if s]
+    @staticmethod
+    def _combine_hub_snaps(snaps):
+        snaps = [s for s in snaps if s]
         if not snaps:
             return None
         vids = np.concatenate([s[0] for s in snaps])
@@ -357,9 +358,12 @@ class GraphEngine:
         limit = n_iters if n_iters is not None else max_iters
 
         it = start_iter
+        hub_snaps = (
+            ray.get([a.hub_snapshot.remote() for a in self.actors]) if self.has_hubs else []
+        )
         while it < limit:
             t0 = time.perf_counter()
-            hub_ref = self._hub_broadcast()
+            hub_ref = self._combine_hub_snaps(hub_snaps) if self.has_hubs else None
             buckets = ray.get([a.scatter.remote(hub_ref) for a in self.actors])
             results = ray.get(
                 [
@@ -370,6 +374,7 @@ class GraphEngine:
             delta = max(r[0] for r in results)
             changed = sum(r[1] for r in results)
             n_msgs = sum(r[2] for r in results)
+            hub_snaps = [r[3] for r in results]
             it += 1
             metrics.append(
                 {

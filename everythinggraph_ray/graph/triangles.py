@@ -1,60 +1,39 @@
 """Distributed triangle counting (SURVEY.md §2.k K6 — north-rule addition,
 absent in the reference).
 
-Classic two-round MapReduce-style algorithm over Ray Data, no driver-side
-graph materialization:
+Vectorized two-round algorithm over Ray Data:
 
-1. Clean: drop self-loops, undirect + exact-dedup, then ORIENT each
-   undirected edge low→high by (degree, vid) order — every triangle
-   becomes exactly one length-2 path u→v→w with rank(u)<rank(v)<rank(w).
-2. Adjacency: ``groupby(src).map_groups`` → one (src, nbrs[]) row per
-   vertex, neighbors sorted. Orientation bounds every list by
-   O(sqrt(E)) — the hub problem disappears by construction.
-3. Wedge check: for each oriented edge (u, v), ship N+(u) to v's
-   adjacency owner (a groupby on v) and count |N+(u) ∩ N+(v)| by sorted
-   intersection. Partial counts per group, one tiny final sum.
+1. Clean: drop self-loops, canonicalize (lo,hi), exact-dedup (bucketed).
+2. Rank: relabel every vertex to its dense rank in (degree, vid) order —
+   after relabeling, degree-orientation is simply ``u < v``, every
+   triangle is exactly one rank-increasing path u→v→w, and each
+   adjacency list N+(u) is O(sqrt(E)) long (the hub problem disappears
+   by construction). The rank map is built from the (small) degree table
+   and broadcast via ray.put.
+3. Wedges: per src-hash bucket, emit all rank-ordered pairs (v,w) ⊂
+   N+(u) — numpy triu indices per vertex, no per-edge Python.
+4. Close: wedge rows and oriented-edge rows meet in a hash bucket of
+   their (v,w) key; matches counted with one np.isin per bucket.
 
-Partitioning assumption: adjacency and wedge work are co-located by
-hash of the join vertex (Ray Data's groupby shuffle); skew is bounded by
-the orientation step, so no hub salting is needed here.
+Partitioning assumption: wedge/edge co-location by hash of the closing
+pair (Ray Data groupby shuffle). The rank map is a vertex-count-sized
+broadcast — the documented small-side assumption (V ≪ E); a fully
+partitioned rank join would replace it at extreme vertex counts.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
-from ray.data.aggregate import Sum
 
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
 from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops
 
 
-def _orient(edges: ray.data.Dataset, deg_ref) -> ray.data.Dataset:
-    """Orient undirected (lo,hi) pairs by (degree, vid) rank."""
-
-    def orient(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        dvids, dcnt = _ray.get(deg_ref)
-        a = batch["src"].to_numpy(zero_copy_only=False)
-        b = batch["dst"].to_numpy(zero_copy_only=False)
-        da = dcnt[np.searchsorted(dvids, a)]
-        db = dcnt[np.searchsorted(dvids, b)]
-        a_first = (da < db) | ((da == db) & (a < b))
-        u = np.where(a_first, a, b)
-        v = np.where(a_first, b, a)
-        return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
-
-    return edges.map_batches(orient, batch_format="pyarrow")
-
-
-def triangle_count(edges: ray.data.Dataset) -> int:
-    """Exact triangle count of the (deduped, undirected, loop-free) graph."""
-    import ray as _ray
-
-    # canonical undirected edge set as (lo, hi)
+def _canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
     def lo_hi(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
         d = batch["dst"].to_numpy(zero_copy_only=False)
@@ -65,69 +44,113 @@ def triangle_count(edges: ray.data.Dataset) -> int:
             }
         )
 
-    und = dedup_edges(
+    return dedup_edges(
         filter_self_loops(edges.select_columns(["src", "dst"])).map_batches(
             lo_hi, batch_format="pyarrow"
         )
-    ).materialize()
+    )
 
-    # undirected degrees (small table: one row per vertex) → broadcast
+
+def triangle_count(edges: ray.data.Dataset) -> int:
+    """Exact triangle count of the (deduped, undirected, loop-free) graph."""
+    und = _canonical_undirected(edges).materialize()
+
+    # undirected degree table → dense rank by (deg, vid)
     def deg_partial(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
         d = batch["dst"].to_numpy(zero_copy_only=False)
         vid, cnt = np.unique(np.concatenate([s, d]), return_counts=True)
         return pa.table({"vid": pa.array(vid, pa.int64()), "c": pa.array(cnt, pa.int64())})
 
+    from everythinggraph_ray.stages.agg import sum_by_key
+
     deg = (
-        und.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("c", alias_name="deg"))
+        sum_by_key(
+            und.map_batches(deg_partial, batch_format="pyarrow", batch_size=256 * 1024),
+            "vid",
+            ["c"],
+            out_names=["deg"],
+        )
         .to_pandas()
-        .sort_values("vid")
     )
-    deg_ref = _ray.put((deg["vid"].to_numpy(np.int64), deg["deg"].to_numpy(np.int64)))
+    vids = deg["vid"].to_numpy(np.int64)
+    degs = deg["deg"].to_numpy(np.int64)
+    order = np.lexsort((vids, degs))  # rank by (deg, vid)
+    vid_sorted_by_rank = vids[order]
+    # rank lookup keyed by vid (sorted-by-vid arrays for searchsorted)
+    vs = np.sort(vids)
+    rank_of_vs = np.empty(len(vids), dtype=np.int64)
+    rank_of_vs[np.searchsorted(vs, vid_sorted_by_rank)] = np.arange(len(vids))
+    rank_ref = ray.put((vs, rank_of_vs))
 
-    oriented = _orient(und, deg_ref)
+    def orient_ranked(batch: pa.Table) -> pa.Table:
+        rvs, rk = ray.get(rank_ref)
+        a = rk[np.searchsorted(rvs, batch["src"].to_numpy(zero_copy_only=False))]
+        b = rk[np.searchsorted(rvs, batch["dst"].to_numpy(zero_copy_only=False))]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
 
-    # adjacency lists keyed by the oriented source
-    def to_adj(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nbrs = np.sort(g["v"].to_numpy(np.int64))
-        return pd.DataFrame({"key": [u], "nbrs": [nbrs], "is_adj": [True], "u": [np.int64(-1)]})
+    oriented = und.map_batches(orient_ranked, batch_format="pyarrow").materialize()
 
-    adj = oriented.groupby("u").map_groups(to_adj, batch_format="pandas")
+    # ---- wedges: rank-ordered pairs within each N+(u) --------------------
+    def wedge_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["u"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
 
-    # wedges: each oriented edge (u,v) ships N+(u) to v's group
-    def ship(df: pd.DataFrame) -> pd.DataFrame:
-        keys, nbrs_col, u_col = [], [], []
-        for _, row in df.iterrows():
-            nbrs = np.asarray(row["nbrs"], dtype=np.int64)
-            for v in nbrs:
-                keys.append(int(v))
-                nbrs_col.append(nbrs)
-                u_col.append(int(row["key"]))
-        return pd.DataFrame(
+    def make_wedges(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(u) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(u)] if len(st) else st
+        a_out, b_out = [], []
+        for s, e in zip(st, ends):
+            nb = v[s:e]  # sorted ascending = rank order
+            if len(nb) >= 2:
+                i, j = np.triu_indices(len(nb), k=1)
+                a_out.append(nb[i])
+                b_out.append(nb[j])
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
             {
-                "key": pd.array(keys, dtype="int64"),
-                "nbrs": nbrs_col,
-                "is_adj": [False] * len(keys),
-                "u": pd.array(u_col, dtype="int64"),
+                "a": pa.array(np.concatenate(a_out), pa.int64()),
+                "b": pa.array(np.concatenate(b_out), pa.int64()),
             }
         )
 
-    shipped = adj.map_batches(ship, batch_format="pandas")
+    wedges = bucketed_reduce(oriented, wedge_bucket, make_wedges)
 
-    def intersect(g: pd.DataFrame) -> pd.DataFrame:
-        mine = g[g["is_adj"]]
-        wedges = g[~g["is_adj"]]
-        if not len(mine) or not len(wedges):
-            return pd.DataFrame({"tri": [0]})
-        nv = mine["nbrs"].iloc[0]
-        total = 0
-        for nu in wedges["nbrs"]:
-            total += len(np.intersect1d(nu, nv, assume_unique=True))
-        return pd.DataFrame({"tri": [total]})
+    # ---- close: match wedge (a,b) against oriented edge (u,v) ------------
+    def tag(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = batch.column_names
+            a = batch[cols[0]].to_numpy(zero_copy_only=False)
+            b = batch[cols[1]].to_numpy(zero_copy_only=False)
+            key = (a << np.int64(31)) ^ b  # ranks < 2^31: injective
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "kind": pa.array(np.full(len(key), kind, np.int8), pa.int8()),
+                }
+            )
 
-    per_v = adj.union(shipped).groupby("key").map_groups(intersect, batch_format="pandas")
-    out = per_v.sum("tri")
-    return int(out)
+        return f
+
+    tagged = wedges.map_batches(tag(0), batch_format="pyarrow").union(
+        oriented.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def close_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["key"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def count_matches(g: pa.Table) -> pa.Table:
+        k = g["key"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        ek = np.unique(k[kind == 1])
+        n = int(np.isin(k[kind == 0], ek, assume_unique=False).sum())
+        return pa.table({"tri": pa.array([n], pa.int64())})
+
+    per_bucket = bucketed_reduce(tagged, close_bucket, count_matches)
+    return int(per_bucket.sum("tri"))

@@ -274,6 +274,8 @@ def q_events_hourly(sf_dir):
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -285,12 +287,19 @@ def q_events_hourly(sf_dir):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        h = batch["hour_bucket"].to_numpy(zero_copy_only=False)
+        return (mix64(u) ^ mix64(~h)).astype(np.int64) & 0x7FFFFFFF
 
-    return (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("value_sum_u", alias_name="value_sum_u"))
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("n_events", "sum"), value_sum_u=("value_sum_u", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=256 * 1024), bucket_of, red
     )
 
 
@@ -299,13 +308,27 @@ def q_events_sessions(sf_dir):
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
     )
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds()
-        new_s = (gap.isna() | (gap > 1800)).sum()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(new_s)]})
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
 
-    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def sess_bucket(g: pa.Table) -> pa.Table:
+        # vectorized over the whole bucket: a session starts where the user
+        # changes or the in-user gap exceeds 30 min (sorted user, ts, id)
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        gap = df["ts"].diff().dt.total_seconds()
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        df["ns"] = (new_user | gap.isna() | (gap > 1800)).astype(np.int64)
+        out = df.groupby("user_id", as_index=False)["ns"].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64), pa.int64()),
+                "n_sessions": pa.array(out["ns"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
 def q_q1_returnflag(sf_dir):

@@ -1,0 +1,96 @@
+"""Bucketed grouped-reduce: the high-cardinality aggregation pattern.
+
+Ray Data's ``groupby(key).aggregate(...)`` / per-key ``map_groups`` pay
+per-GROUP overhead — fine for dozens of groups, catastrophic for 10^5+
+keys (measured ~80x slower than this pattern on a 200k-key degree count).
+The scalable shape is:
+
+    1. map_batches: PARTIAL-aggregate within each batch (combiner)
+    2. add ``bucket = hash(key) % B`` (B ~ a few x cluster cores)
+    3. ``groupby(bucket).map_groups``: ONE vectorized numpy/pandas
+       reduction per bucket, not per key
+
+Step 3 still re-aggregates exactly (all rows of a key land in one
+bucket); the shuffle moves only partials. This is the distributed
+analogue of the reference's count-sort degree pass (init_all.c:425-443)
+and is reused by degrees, dedup, token counts, windowed aggregates and
+triangle counting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_BUCKETS = 64
+
+
+def bucketed_reduce(
+    ds: ray.data.Dataset,
+    bucket_of: Callable[[pa.Table], np.ndarray],
+    reduce_group: Callable[[pa.Table], pa.Table],
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """groupby-by-bucket with a vectorized per-bucket reducer.
+
+    ``bucket_of(batch) -> int64 array`` assigns each row a bucket (callers
+    hash their key columns); ``reduce_group`` sees one bucket's full table
+    (WITHOUT the bucket column) and returns its reduced table."""
+    B = int(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (bucket_of(batch) % B).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def red(group: pa.Table) -> pa.Table:
+        return reduce_group(group.drop_columns(["__bucket"]))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
+        red, batch_format="pyarrow"
+    )
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Cheap 64-bit integer mix (splitmix64 finalizer) for bucket hashing —
+    avoids bucket skew when keys are sequential ints."""
+    z = x.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def sum_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_cols: list[str],
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+    out_names: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Exact sum of ``val_cols`` grouped by an int64 ``key_col`` using the
+    bucketed pattern (input should already be batch-partial-aggregated)."""
+    out_names = out_names or val_cols
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch[key_col].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        o = np.argsort(k, kind="stable")
+        ks = k[o]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.empty(0, np.int64)
+        cols = {key_col: pa.array(ks[st] if len(ks) else ks, pa.int64())}
+        for vc, on in zip(val_cols, out_names):
+            v = g[vc].to_numpy(zero_copy_only=False)[o]
+            cols[on] = pa.array(np.add.reduceat(v, st) if len(st) else v[:0])
+        return pa.table(cols)
+
+    return bucketed_reduce(ds, bucket_of, red, num_buckets=num_buckets)
