@@ -65,7 +65,7 @@ def pagerank_core() -> dict:
     meta = build_graph(ray.data.read_parquet(edir), bdir, num_partitions=P_PARTS)
     build_sec = time.perf_counter() - t0
 
-    eng = GraphEngine(bdir)
+    eng = GraphEngine(bdir, cpu_limit=CPUS)
     try:
         t0 = time.perf_counter()
         res = eng.run(PageRankKernel(), tol=1e-6)

@@ -9,13 +9,14 @@ partitioned layout on disk is what makes builds resumable and lets a
 failed run skip finished partitions.
 
 Skew (the web's power-law hubs, SURVEY.md §4 "Load balance"): a src whose
-out-degree exceeds ``hub_threshold`` has its edges SPREAD across partitions
-via ``(src + dst) % P`` instead of ``src % P``; every partition that holds
-a slice of a hub's edge list becomes a *mirror* that receives the hub's
-value by broadcast each superstep and emits partial aggregates — the
-"mirror + partial aggregate" pattern. Edge coverage stays disjoint (each
-edge is assigned to exactly one partition), which keeps sum-combining
-correct; min-combining is idempotent and unaffected.
+out-degree exceeds ``hub_threshold`` has its edges partitioned by
+``dst % P`` instead of ``src % P`` — each receiver holds a static CSC
+slice of the hub's edge list and applies the hub's contribution locally
+from an 8-byte value that rides along with every scatter round (see
+engine.py; the distributed analogue of the reference's per-socket NUMA
+mirrors, pr_numa.c:136-196). Edge coverage stays disjoint (each edge is
+assigned to exactly one partition), which keeps sum-combining exact;
+min-combining is idempotent and unaffected.
 """
 
 from __future__ import annotations
@@ -62,7 +63,7 @@ def _add_part_column(edges: ray.data.Dataset, P: int, hub_vids: np.ndarray) -> r
         if len(hub_sorted):
             idx = np.searchsorted(hub_sorted, s)
             is_hub = (idx < len(hub_sorted)) & (hub_sorted[np.minimum(idx, len(hub_sorted) - 1)] == s)
-            part = np.where(is_hub, (s + d) % P, part)
+            part = np.where(is_hub, d % P, part)  # hub edges live with their dst
         return batch.append_column("spart", pa.array(part.astype(np.int64), pa.int64()))
 
     return edges.map_batches(assign, batch_format="pyarrow")

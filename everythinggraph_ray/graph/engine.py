@@ -7,23 +7,35 @@ random.h:82-93, rebuilt here as per-partition numpy buffers inside Ray
 actors, SURVEY.md §2.c C1/C2). Everything around it (extract, dedup,
 degree, partition spill, result collection) is Ray Data.
 
-Message flow per superstep (the distributed replacement for the
-reference's atomic scatter, pagerank_simple.c:31-36):
+Execution model — ONE fused RPC round per superstep:
 
-  driver: hub_ref = broadcast of hub-vertex values (ray.put once)
-  each actor.scatter(): gather src values (owned state or hub broadcast)
-      → per-edge messages over the local CSR (vectorized numpy)
-      → PARTIAL-aggregate by dst (sort+reduceat, precomputed for the
-        all-active path) → bucket by dst % P → ray.put each bucket
-  each actor.apply(refs): fetch its P buckets straight from the object
-      store (never through the driver), final-aggregate, apply, report
-      (delta, n_changed). BSP barrier = the driver's ray.get.
+    step(prev_refs):
+        apply   — fetch my slice of every sender's packed messages from
+                  the previous round (zero-copy plasma), final-combine,
+                  kernel.apply  (superstep i)
+        scatter — partial-aggregate my partition's fresh messages by dst,
+                  pack receiver-contiguously, return ONE object
+                  (superstep i+1)
 
-Partitioning assumption (documented per SURVEY.md §2 custom-operator
-rule): vertex v's state is owned by partition ``v % P``; all edges with
-src=v live in partition ``v % P`` EXCEPT hub srcs (outdeg > threshold),
-whose edges are spread ``(src+dst) % P`` and whose values are broadcast —
-mirrors emit partial aggregates, edge coverage stays disjoint.
+The returned object carries (dst_ids, values, offsets, hub_snapshot,
+stats); the driver reads only stats (zero-copy) and hands the refs to the
+next round. The ray.get barrier between rounds IS the BSP barrier. The
+partial-aggregate + final-combine pair replaces the reference's atomic
+``write_add``/``writeMin`` scatter (pagerank_simple.c:31-36, wcc.c:21-27).
+
+Skew (power-law hubs): a src whose out-degree exceeds the build's
+hub_threshold is NOT scattered by its owner. Its edges are partitioned by
+``dst % P`` and applied RECEIVER-side: each partition holds a static
+hub-edge CSC block over its owned dsts (the distributed analogue of the
+reference's per-socket NUMA mirrors, pr_numa.c:136-196), and the hub
+VALUES (8 bytes each) ride along in every scatter output — post-apply of
+the same superstep as regular messages, so semantics are exact. No
+broadcast round, no mirror imbalance: a 10^8-degree hub costs each
+partition deg/P edge-applies and one float of traffic.
+
+Partitioning assumptions (documented per SURVEY.md §2): vertex v's state
+lives at partition ``v % P``; non-hub out-edges at ``src % P``; hub
+out-edges at ``dst % P``.
 
 Checkpoint/resume (north rule): every ``checkpoint_every`` supersteps each
 actor writes its owned state ``(vid, value, active)`` to
@@ -59,14 +71,37 @@ def _read_part_dir(path: str) -> pa.Table | None:
 
 @ray.remote
 class GraphPartition:
-    """One graph partition: pinned CSR block + owned vertex state."""
+    """One graph partition: pinned CSR/CSC blocks + owned vertex state."""
 
-    def __init__(self, pid: int, build_dir: str, meta: dict):
+    def __init__(self, pid: int, build_dir: str, meta: dict, cpu_limit: int | None = None):
+        if cpu_limit:
+            # honest parallelism-level emulation on a shared box: pin this
+            # actor to the first cpu_limit cores (the reference pins its
+            # workers the same way, init_all.c:792-800). Without this,
+            # num_cpus=0 actors would silently use every physical core and
+            # the N-vs-4N scaling evidence would measure nothing.
+            os.sched_setaffinity(0, set(range(int(cpu_limit))))
         self.pid = pid
         self.P = int(meta["P"])
         self.meta = meta
 
-        # ---- edges of this partition (src-grouped CSR) -------------------
+        hub_vids = np.asarray(meta.get("hub_vids", []), dtype=np.int64)  # sorted
+        hub_outdeg = np.asarray(meta.get("hub_outdeg", []), dtype=np.int64)
+        self.hub_vids = hub_vids
+        self.hub_outdeg = hub_outdeg
+
+        # ---- owned vertices + out-degrees --------------------------------
+        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"))
+        if vt is None:
+            self.owned_vids = np.empty(0, np.int64)
+            self.owned_outdeg = np.empty(0, np.int64)
+        else:
+            ov = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            od = vt["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            o = np.argsort(ov)
+            self.owned_vids, self.owned_outdeg = ov[o], od[o]
+
+        # ---- edges of this partition -------------------------------------
         et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"))
         if et is None:
             src = np.empty(0, np.int64)
@@ -80,6 +115,20 @@ class GraphPartition:
                 if "weight" in et.column_names
                 else None
             )
+        # split: hub edges (applied receiver-side) vs regular (scattered)
+        if len(hub_vids):
+            hi = np.searchsorted(hub_vids, src)
+            is_hub = (hi < len(hub_vids)) & (hub_vids[np.minimum(hi, len(hub_vids) - 1)] == src)
+        else:
+            is_hub = np.zeros(len(src), dtype=bool)
+        h_src, h_dst = src[is_hub], dst[is_hub]
+        h_w = w[is_hub] if w is not None else None
+        src, dst = src[~is_hub], dst[~is_hub]
+        if w is not None:
+            w = w[~is_hub]
+        self.n_edges = len(dst) + len(h_dst)
+
+        # ---- regular out-edge CSR (grouped by src) -----------------------
         order = np.argsort(src, kind="stable")
         src, dst = src[order], dst[order]
         if w is not None:
@@ -87,69 +136,77 @@ class GraphPartition:
         self.usrc, self.out_counts = np.unique(src, return_counts=True)
         self.dst_by_src = dst
         self.w_by_src = w
-        self.n_edges = len(dst)
         srcs_expanded = np.repeat(self.usrc, self.out_counts)
-        self.not_self = srcs_expanded != dst  # for skip_self_loops kernels
+        self.not_self = srcs_expanded != dst
 
-        # dst-grouping precompute for the all-active fast path
-        self.perm_dst = np.argsort(dst, kind="stable")
-        dst_sorted = dst[self.perm_dst]
-        if len(dst_sorted):
-            starts = np.flatnonzero(np.r_[True, dst_sorted[1:] != dst_sorted[:-1]])
-        else:
-            starts = np.empty(0, np.int64)
+        # regular srcs must be owned here (non-hub partitioning invariant)
+        oi = np.searchsorted(self.owned_vids, self.usrc)
+        assert len(oi) == 0 or (
+            (oi < len(self.owned_vids)).all() and (self.owned_vids[oi] == self.usrc).all()
+        ), f"partition {pid}: non-hub src not owned — partitioning invariant broken"
+        self.src_owned_idx = oi
+        self.src_outdeg = (
+            self.owned_outdeg[oi] if len(self.owned_vids) else np.empty(0, np.int64)
+        )
+
+        # dst-grouping precompute for the all-active fast path: edges in
+        # dst-sorted order as int32 indices into the per-src message vector
+        perm_dst = np.argsort(dst, kind="stable")
+        dst_sorted = dst[perm_dst]
+        starts = (
+            np.flatnonzero(np.r_[True, dst_sorted[1:] != dst_sorted[:-1]])
+            if len(dst_sorted)
+            else np.empty(0, np.int64)
+        )
         self.red_starts = starts
         self.uniq_dst = dst_sorted[starts] if len(starts) else np.empty(0, np.int64)
-        self.uniq_dst_bucket = (self.uniq_dst % self.P).astype(np.int64)
+        self.src_idx_dst_sorted = np.repeat(
+            np.arange(len(self.usrc), dtype=np.int32), self.out_counts
+        )[perm_dst]
 
-        # ---- owned vertices + out-degrees --------------------------------
-        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"))
-        if vt is None:
-            self.owned_vids = np.empty(0, np.int64)
-            self.owned_outdeg = np.empty(0, np.int64)
-        else:
-            ov = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            od = vt["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            o = np.argsort(ov)
-            self.owned_vids, self.owned_outdeg = ov[o], od[o]
+        # static message packing: ONE bucket-sorted object per scatter
+        bucket = (self.uniq_dst % self.P).astype(np.int64)
+        self.pack_perm = np.argsort(bucket, kind="stable")
+        self.pack_offsets = np.r_[0, np.cumsum(np.bincount(bucket, minlength=self.P))]
+        self.uniq_packed = self.uniq_dst[self.pack_perm]
 
-        # ---- hub bookkeeping --------------------------------------------
-        self.hub_vids = np.asarray(meta.get("hub_vids", []), dtype=np.int64)
-        self.hub_outdeg = np.asarray(meta.get("hub_outdeg", []), dtype=np.int64)
-        hi = np.searchsorted(self.hub_vids, self.usrc) if len(self.hub_vids) else np.empty(0, np.int64)
-        if len(self.hub_vids):
-            self.src_is_hub = (hi < len(self.hub_vids)) & (
-                self.hub_vids[np.minimum(hi, len(self.hub_vids) - 1)] == self.usrc
-            )
-            self.src_hub_idx = np.minimum(hi, len(self.hub_vids) - 1)
-        else:
-            self.src_is_hub = np.zeros(len(self.usrc), dtype=bool)
-            self.src_hub_idx = np.zeros(len(self.usrc), dtype=np.int64)
-        # non-hub srcs must be owned here (partitioning invariant)
-        nh = ~self.src_is_hub
-        oi = np.searchsorted(self.owned_vids, self.usrc[nh])
-        assert len(oi) == 0 or (
-            (oi < len(self.owned_vids)).all() and (self.owned_vids[oi] == self.usrc[nh]).all()
-        ), f"partition {pid}: non-hub src not owned — partitioning invariant broken"
-        self.src_owned_idx = np.zeros(len(self.usrc), dtype=np.int64)
-        self.src_owned_idx[nh] = oi
-        # src out-degrees (local CSR count is NOT the global degree for hubs)
-        self.src_outdeg = np.where(
-            self.src_is_hub,
-            self.hub_outdeg[self.src_hub_idx] if len(self.hub_vids) else 0,
-            self.owned_outdeg[self.src_owned_idx] if len(self.owned_vids) else 0,
+        # ---- hub-edge CSC block (incoming, receiver-side gather) ---------
+        # edges here satisfy dst % P == pid; grouped by dst for reduceat
+        assert len(h_dst) == 0 or (h_dst % self.P == pid).all(), (
+            f"partition {pid}: hub edge not owned by dst — partitioning broken"
         )
-        # owned hub positions (for hub snapshots)
-        if len(self.hub_vids):
-            own_h = np.searchsorted(self.owned_vids, self.hub_vids)
+        ho = np.argsort(h_dst, kind="stable")
+        h_src, h_dst = h_src[ho], h_dst[ho]
+        if h_w is not None:
+            h_w = h_w[ho]
+        self.hub_w = h_w
+        self.hub_src_idx = np.searchsorted(hub_vids, h_src).astype(np.int32)
+        self.hub_not_self = h_src != h_dst
+        h_starts = (
+            np.flatnonzero(np.r_[True, h_dst[1:] != h_dst[:-1]])
+            if len(h_dst)
+            else np.empty(0, np.int64)
+        )
+        self.hub_red_starts = h_starts
+        self.hub_dst_pos = (
+            np.searchsorted(self.owned_vids, h_dst[h_starts])
+            if len(h_starts)
+            else np.empty(0, np.int64)
+        )
+        self.hub_dst_all_pos = np.searchsorted(self.owned_vids, h_dst) if len(h_dst) else np.empty(0, np.int64)
+
+        # hubs owned by this partition (their values ride in scatter output)
+        if len(hub_vids):
+            own_h = np.searchsorted(self.owned_vids, hub_vids)
             mask = (own_h < len(self.owned_vids)) & (
-                self.owned_vids[np.minimum(own_h, len(self.owned_vids) - 1)] == self.hub_vids
+                self.owned_vids[np.minimum(own_h, len(self.owned_vids) - 1)] == hub_vids
             )
             self.owned_hub_pos = own_h[mask]
-            self.owned_hub_vids = self.hub_vids[mask]
+            # static positions of this partition's hubs in the GLOBAL array
+            self.owned_hub_global_idx = np.flatnonzero(mask)
         else:
             self.owned_hub_pos = np.empty(0, np.int64)
-            self.owned_hub_vids = np.empty(0, np.int64)
+            self.owned_hub_global_idx = np.empty(0, np.int64)
 
         self.kernel: Kernel | None = None
         self.vals: np.ndarray | None = None
@@ -163,81 +220,61 @@ class GraphPartition:
         self.active = kernel.init_active(self.owned_vids, ctx)
         return int(self.active.sum())
 
-    def hub_snapshot(self):
-        """(hub_vids, values, active) for hubs owned by this partition."""
+    def _hub_snapshot(self):
+        """(global_idx, values, active) of hubs owned by this partition."""
         if not len(self.owned_hub_pos):
             return None
         return (
-            self.owned_hub_vids,
+            self.owned_hub_global_idx,
             self.vals[self.owned_hub_pos],
             self.active[self.owned_hub_pos],
         )
 
     # ------------------------------------------------------------------
-    def scatter(self, hub_state=None):
-        """Produce P message buckets; returns list of P ObjectRefs of
-        (dst_ids, values) or None for empty buckets."""
+    def _scatter(self):
+        """Partial-aggregate this partition's regular out-edge messages by
+        dst; return (dst_ids, values, offsets) packed receiver-contiguously
+        (receiver q's slice is offsets[q]:offsets[q+1])."""
         k = self.kernel
-        if hub_state is not None:
-            hvids, hvals, hactive = hub_state
-        # per-src values + activity
-        src_vals = np.empty(len(self.usrc), dtype=k.dtype)
-        src_act = np.empty(len(self.usrc), dtype=bool)
-        nh = ~self.src_is_hub
-        if len(self.owned_vids):
-            src_vals[nh] = self.vals[self.src_owned_idx[nh]]
-            src_act[nh] = self.active[self.src_owned_idx[nh]]
-        if self.src_is_hub.any():
-            pos = np.searchsorted(hvids, self.usrc[self.src_is_hub])
-            src_vals[self.src_is_hub] = hvals[pos]
-            src_act[self.src_is_hub] = hactive[pos]
-
+        src_vals = self.vals[self.src_owned_idx]
+        src_act = self.active[self.src_owned_idx]
         msgs = k.src_messages(src_vals, self.src_outdeg)
-        per_edge = np.repeat(msgs, self.out_counts)
-        if k.needs_weights:
-            per_edge = k.edge_values(per_edge, self.w_by_src)
 
         all_active = (not k.frontier) or bool(src_act.all())
-        if all_active and not k.skip_self_loops:
-            # fast path: precomputed dst grouping
-            v = per_edge[self.perm_dst]
+        if all_active and not k.skip_self_loops and not k.needs_weights:
+            v = msgs[self.src_idx_dst_sorted]
             if k.combine == "sum":
                 agg = np.add.reduceat(v, self.red_starts) if len(self.red_starts) else v[:0]
             else:
                 agg = np.minimum.reduceat(v, self.red_starts) if len(self.red_starts) else v[:0]
-            uniq, bucket = self.uniq_dst, self.uniq_dst_bucket
+            return self.uniq_packed, agg[self.pack_perm], self.pack_offsets
+        per_edge = np.repeat(msgs, self.out_counts)
+        if k.needs_weights:
+            per_edge = k.edge_values(per_edge, self.w_by_src)
+        emask = np.repeat(src_act, self.out_counts)
+        if k.skip_self_loops:
+            emask = emask & self.not_self
+        d = self.dst_by_src[emask]
+        v = per_edge[emask]
+        if len(d):
+            o = np.argsort(d, kind="stable")
+            d, v = d[o], v[o]
+            st = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            uniq = d[st]
+            agg = np.add.reduceat(v, st) if k.combine == "sum" else np.minimum.reduceat(v, st)
         else:
-            emask = np.repeat(src_act, self.out_counts)
-            if k.skip_self_loops:
-                emask = emask & self.not_self
-            d = self.dst_by_src[emask]
-            v = per_edge[emask]
-            if len(d):
-                o = np.argsort(d, kind="stable")
-                d, v = d[o], v[o]
-                st = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-                uniq = d[st]
-                agg = (np.add.reduceat(v, st) if k.combine == "sum" else np.minimum.reduceat(v, st))
-            else:
-                uniq = np.empty(0, np.int64)
-                agg = v[:0]
-            bucket = (uniq % self.P).astype(np.int64)
+            uniq = np.empty(0, np.int64)
+            agg = v[:0]
+        bucket = (uniq % self.P).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        offsets = np.r_[0, np.cumsum(np.bincount(bucket, minlength=self.P))]
+        return uniq[order], agg[order], offsets
 
-        out = []
-        for q in range(self.P):
-            m = bucket == q
-            if m.any():
-                out.append(ray.put((uniq[m], agg[m])))
-            else:
-                out.append(None)
-        return out
-
-    # ------------------------------------------------------------------
-    def apply(self, refs):
-        """Final-combine this partition's incoming buckets and apply."""
+    def _apply(self, outs):
+        """Final-combine my slices of every sender's packed messages plus
+        the receiver-side hub gather, then kernel.apply."""
         k = self.kernel
-        parts = [ray.get(r) for r in refs if r is not None]
-        n_msgs = sum(len(p[0]) for p in parts)
+        n_hub = len(self.hub_vids)
         agg_full = (
             np.zeros(len(self.owned_vids), dtype=k.dtype)
             if k.combine == "sum"
@@ -248,19 +285,75 @@ class GraphPartition:
             )
         )
         has_msg = np.zeros(len(self.owned_vids), dtype=bool)
-        for dvid, dval in parts:
-            pos = np.searchsorted(self.owned_vids, dvid)
-            if k.combine == "sum":
-                agg_full[pos] += dval
+        n_msgs = 0
+
+        hub_vals = np.zeros(n_hub, dtype=k.dtype) if n_hub else None
+        hub_act = np.zeros(n_hub, dtype=bool) if n_hub else None
+        for uniq, agg, off, hub_snap, _stats in outs:
+            lo, hi = int(off[self.pid]), int(off[self.pid + 1])
+            if hi > lo:
+                dvid, dval = uniq[lo:hi], agg[lo:hi]
+                pos = np.searchsorted(self.owned_vids, dvid)
+                if k.combine == "sum":
+                    agg_full[pos] += dval
+                else:
+                    np.minimum.at(agg_full, pos, dval)
+                has_msg[pos] = True
+                n_msgs += hi - lo
+            if hub_snap is not None:
+                gidx, gvals, gact = hub_snap
+                hub_vals[gidx] = gvals
+                hub_act[gidx] = gact
+
+        # receiver-side hub gather (the NUMA-mirror analogue)
+        if n_hub and len(self.hub_src_idx):
+            hub_msgs = k.src_messages(hub_vals, self.hub_outdeg)
+            if (not k.frontier or bool(hub_act.all())) and not k.skip_self_loops and not k.needs_weights:
+                v = hub_msgs[self.hub_src_idx]
+                red = np.add.reduceat if k.combine == "sum" else np.minimum.reduceat
+                h_agg = red(v, self.hub_red_starts)
+                if k.combine == "sum":
+                    agg_full[self.hub_dst_pos] += h_agg
+                else:
+                    np.minimum.at(agg_full, self.hub_dst_pos, h_agg)
+                has_msg[self.hub_dst_pos] = True
+                n_msgs += len(self.hub_src_idx)
             else:
-                np.minimum.at(agg_full, pos, dval)
-            has_msg[pos] = True
+                per_edge = hub_msgs[self.hub_src_idx]
+                if k.needs_weights:
+                    per_edge = k.edge_values(per_edge, self.hub_w)
+                emask = hub_act[self.hub_src_idx]
+                if k.skip_self_loops:
+                    emask = emask & self.hub_not_self
+                if emask.any():
+                    pos = self.hub_dst_all_pos[emask]
+                    v = per_edge[emask]
+                    if k.combine == "sum":
+                        np.add.at(agg_full, pos, v)
+                    else:
+                        np.minimum.at(agg_full, pos, v)
+                    has_msg[pos] = True
+                    n_msgs += int(emask.sum())
+
         new, changed, delta = k.apply(self.vals, agg_full, has_msg, self.ctx)
         self.vals = new
         self.active = changed if k.frontier else np.ones(len(self.owned_vids), dtype=bool)
-        # piggyback the fresh hub snapshot: saves the driver a whole extra
-        # RPC round per superstep
-        return float(delta), int(changed.sum()), int(n_msgs), self.hub_snapshot()
+        return float(delta), int(changed.sum()), int(n_msgs)
+
+    # ------------------------------------------------------------------
+    def step(self, prev_refs=None):
+        """One fused round: apply superstep i's messages (prev_refs from
+        round i), then scatter superstep i+1's. Returns the packed scatter
+        plus this partition's hub snapshot and apply stats."""
+        stats = None
+        if prev_refs is not None:
+            stats = self._apply(ray.get(list(prev_refs)))
+        uniq, agg, off = self._scatter()
+        return uniq, agg, off, self._hub_snapshot(), stats
+
+    def apply_only(self, prev_refs):
+        """Final round: apply without producing further messages."""
+        return self._apply(ray.get(list(prev_refs)))
 
     # ------------------------------------------------------------------
     def collect(self, value_col: str = "value") -> pa.Table:
@@ -296,35 +389,24 @@ class GraphPartition:
 class GraphEngine:
     """Driver for the partition-actor fleet."""
 
-    def __init__(self, build_dir: str, *, actor_cpus: float = 0.0):
+    def __init__(self, build_dir: str, *, actor_cpus: float = 0.0, cpu_limit: int | None = None):
         """``actor_cpus=0`` by default: partition actors are resident state
         holders that compute only during supersteps (when nothing else
         runs), and reserving CPUs for them would starve the Ray Data
         stages that read inputs / collect results on the same node —
         a fleet of P actors at num_cpus=1 deadlocks a P-CPU cluster the
         moment a Dataset job needs a task slot. On a dedicated multi-node
-        deployment set actor_cpus to pin real capacity per partition."""
+        deployment set actor_cpus to pin real capacity per partition.
+        ``cpu_limit`` pins every actor to the first N cores — the
+        in-sandbox N-vs-4N parallelism emulation (see GraphPartition)."""
         with open(os.path.join(build_dir, "meta.json")) as fh:
             self.meta = json.load(fh)
         self.build_dir = build_dir
         self.P = int(self.meta["P"])
         self.actors = [
-            GraphPartition.options(num_cpus=actor_cpus).remote(p, build_dir, self.meta)
+            GraphPartition.options(num_cpus=actor_cpus).remote(p, build_dir, self.meta, cpu_limit)
             for p in range(self.P)
         ]
-        self.has_hubs = bool(self.meta.get("hub_vids"))
-
-    # ------------------------------------------------------------------
-    @staticmethod
-    def _combine_hub_snaps(snaps):
-        snaps = [s for s in snaps if s]
-        if not snaps:
-            return None
-        vids = np.concatenate([s[0] for s in snaps])
-        vals = np.concatenate([s[1] for s in snaps])
-        act = np.concatenate([s[2] for s in snaps])
-        o = np.argsort(vids)
-        return ray.put((vids[o], vals[o], act[o]))
 
     def run(
         self,
@@ -337,7 +419,7 @@ class GraphEngine:
         checkpoint_every: int = 0,
         resume: bool = False,
     ) -> dict:
-        """Run ``kernel`` to convergence (or ``n_iters``). Returns a dict:
+        """Run ``kernel`` to convergence (or ``n_iters``). Returns
         {dataset, iterations, metrics, n_vertices, n_edges}."""
         ctx = {"n_vertices": self.meta["n_vertices"], "n_edges": self.meta["n_edges"]}
         ray.get([a.init_kernel.remote(kernel, ctx) for a in self.actors])
@@ -358,34 +440,36 @@ class GraphEngine:
         limit = n_iters if n_iters is not None else max_iters
 
         it = start_iter
-        hub_snaps = (
-            ray.get([a.hub_snapshot.remote() for a in self.actors]) if self.has_hubs else []
-        )
+        # round 0: scatter only (messages of superstep start_iter+1)
+        t_round = time.perf_counter()
+        refs = [a.step.remote(None) for a in self.actors]
         while it < limit:
-            t0 = time.perf_counter()
-            hub_ref = self._combine_hub_snaps(hub_snaps) if self.has_hubs else None
-            buckets = ray.get([a.scatter.remote(hub_ref) for a in self.actors])
-            results = ray.get(
-                [
-                    self.actors[q].apply.remote([buckets[p][q] for p in range(self.P)])
-                    for q in range(self.P)
-                ]
-            )
-            delta = max(r[0] for r in results)
-            changed = sum(r[1] for r in results)
-            n_msgs = sum(r[2] for r in results)
-            hub_snaps = [r[3] for r in results]
+            # decide whether superstep it+1 is the last allowed — if so,
+            # apply without scattering the (wasted) next round
+            last = it + 1 >= limit
+            prev = refs
+            if last:
+                results = ray.get([a.apply_only.remote(prev) for a in self.actors])
+                stats = results
+            else:
+                refs = [a.step.remote(prev) for a in self.actors]
+                outs = ray.get(refs)  # zero-copy: driver reads only stats
+                stats = [o[4] for o in outs]
+            delta = max(s[0] for s in stats)
+            changed = sum(s[1] for s in stats)
+            n_msgs = sum(s[2] for s in stats)
             it += 1
             metrics.append(
                 {
                     "superstep": it,
-                    "wall_sec": round(time.perf_counter() - t0, 6),
+                    "wall_sec": round(time.perf_counter() - t_round, 6),
                     "messages": n_msgs,
                     "changed": changed,
                     "delta": delta if delta != float("inf") else None,
                     "edges": self.meta["n_edges"],
                 }
             )
+            t_round = time.perf_counter()
             if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
                 self._checkpoint(checkpoint_dir, it, kernel, metrics)
             if kernel.frontier and changed == 0:
@@ -393,8 +477,8 @@ class GraphEngine:
             if n_iters is None and not kernel.frontier and delta < tol:
                 break
 
-        refs = [a.collect.remote(kernel.name) for a in self.actors]
-        ds = ray.data.from_arrow_refs(refs)
+        out_refs = [a.collect.remote(kernel.name) for a in self.actors]
+        ds = ray.data.from_arrow_refs(out_refs)
         return {
             "dataset": ds,
             "iterations": it,
@@ -415,7 +499,11 @@ class GraphEngine:
                 "P": self.P,
                 "hub_count": len(self.meta.get("hub_vids", [])),
             },
-            "partition_map": {"owner": "vid % P", "hub_edges": "(src + dst) % P"},
+            "partition_map": {
+                "owner": "vid % P",
+                "regular_edges": "src % P",
+                "hub_edges": "dst % P (receiver-side gather)",
+            },
             "metrics": metrics,
         }
         tmp = os.path.join(ckpt_dir, ".lineage.json.tmp")
