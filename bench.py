@@ -121,9 +121,11 @@ def full_suite() -> dict:
     # 2. web pagerank end-to-end (build + rank)
     from everythinggraph_ray.graph.kernels import PageRankKernel
 
+    # small graph (~100k edges): fewer partitions, less per-round overhead
+    web_P = min(8, P_PARTS)
     t0 = time.perf_counter()
-    bdir = build_dir_for(f"benchweb|{corpus}", P_PARTS)
-    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=P_PARTS)
+    bdir = build_dir_for(f"benchweb|{corpus}", web_P)
+    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=web_P)
     eng = GraphEngine(bdir)
     try:
         res = eng.run(PageRankKernel(), tol=1e-6)

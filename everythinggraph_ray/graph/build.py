@@ -34,23 +34,35 @@ import ray.data
 from everythinggraph_ray.stages.edges import out_degrees
 
 
-def _partition_spiller(out_dir: str, part_col: str):
-    """map_groups writer: one group (one partition id) → one parquet file.
+def _write_partitioned(ds: ray.data.Dataset, out_dir: str, part_col: str):
+    """Write-side partitioning: every batch splits itself by partition id
+    and appends one parquet file per (batch, partition) — NO all-to-all
+    shuffle (a sort-based groupby spill of the same 64M-row table measured
+    ~15x slower). Readers (_read_part_dir) concatenate the per-partition
+    files. Returns {part: rows}."""
 
-    Writes atomically (tmp + rename) so a re-run of the same build is
-    idempotent; returns a one-row manifest."""
+    def spill(batch: pa.Table) -> pa.Table:
+        import uuid
 
-    def spill(group: pa.Table) -> pa.Table:
-        pid = int(group[part_col][0].as_py())
-        d = os.path.join(out_dir, f"p={pid:05d}")
-        os.makedirs(d, exist_ok=True)
-        body = group.drop_columns([part_col])
-        tmp = os.path.join(d, ".data.parquet.tmp")
-        pq.write_table(body, tmp)
-        os.replace(tmp, os.path.join(d, "data.parquet"))
-        return pa.table({"part": pa.array([pid], pa.int64()), "rows": pa.array([body.num_rows], pa.int64())})
+        p = batch[part_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        t = batch.take(pa.array(order)).drop_columns([part_col])
+        ps = p[order]
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]]) if len(ps) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(ps)] if len(starts) else starts
+        tag = uuid.uuid4().hex[:12]
+        parts, rows = [], []
+        for s, e in zip(starts, ends):
+            pid = int(ps[s])
+            d = os.path.join(out_dir, f"p={pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t.slice(int(s), int(e - s)), os.path.join(d, f"chunk-{tag}-{pid}.parquet"))
+            parts.append(pid)
+            rows.append(int(e - s))
+        return pa.table({"part": pa.array(parts, pa.int64()), "rows": pa.array(rows, pa.int64())})
 
-    return spill
+    man = ds.map_batches(spill, batch_format="pyarrow", batch_size=1024 * 1024).to_pandas()
+    return man.groupby("part")["rows"].sum().to_dict()
 
 
 def _add_part_column(edges: ray.data.Dataset, P: int, hub_vids: np.ndarray) -> ray.data.Dataset:
@@ -91,7 +103,13 @@ def build_graph(
     if os.path.exists(marker):
         with open(os.path.join(build_dir, "meta.json")) as fh:
             return json.load(fh)
-    os.makedirs(build_dir, exist_ok=True)
+    # build into a scratch dir, atomically rename at the end — a rerun of a
+    # half-finished build never sees stale chunk files
+    import shutil
+
+    work = build_dir + ".building"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
 
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     edges = edges.select_columns(cols)
@@ -103,13 +121,10 @@ def build_graph(
         v = batch["vid"].to_numpy(zero_copy_only=False)
         return batch.append_column("vpart", pa.array((v % P).astype(np.int64), pa.int64()))
 
-    verts = verts.map_batches(add_vpart, batch_format="pyarrow")
-    vm = (
-        verts.groupby("vpart")
-        .map_groups(_partition_spiller(os.path.join(build_dir, "verts"), "vpart"), batch_format="pyarrow")
-        .to_pandas()
+    vm = _write_partitioned(
+        verts.map_batches(add_vpart, batch_format="pyarrow"), os.path.join(work, "verts"), "vpart"
     )
-    n_vertices = int(vm["rows"].sum())
+    n_vertices = int(sum(vm.values()))
 
     # --- hubs (small by construction: <= n_edges / threshold) -------------
     deg_stats = None
@@ -121,7 +136,7 @@ def build_graph(
         deg_stats = {"mean_outdeg": mean_deg}
     th = int(hub_threshold)
     hub_tbl = (
-        ray.data.read_parquet(os.path.join(build_dir, "verts"))
+        ray.data.read_parquet(os.path.join(work, "verts"))
         .map_batches(
             lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
         )
@@ -135,13 +150,10 @@ def build_graph(
         hub_outdeg = np.array([], dtype=np.int64)
 
     # --- edges, partitioned by spart --------------------------------------
-    em = (
-        _add_part_column(edges, P, hub_vids)
-        .groupby("spart")
-        .map_groups(_partition_spiller(os.path.join(build_dir, "edges"), "spart"), batch_format="pyarrow")
-        .to_pandas()
+    em = _write_partitioned(
+        _add_part_column(edges, P, hub_vids), os.path.join(work, "edges"), "spart"
     )
-    n_edges = int(em["rows"].sum())
+    n_edges = int(sum(em.values()))
 
     meta = {
         "P": P,
@@ -151,13 +163,15 @@ def build_graph(
         "hub_threshold": int(hub_threshold),
         "hub_vids": [int(x) for x in hub_vids],
         "hub_outdeg": [int(x) for x in hub_outdeg],
-        "edge_parts": {int(r.part): int(r.rows) for r in em.itertuples()},
-        "vert_parts": {int(r.part): int(r.rows) for r in vm.itertuples()},
+        "edge_parts": {int(k): int(v) for k, v in em.items()},
+        "vert_parts": {int(k): int(v) for k, v in vm.items()},
     }
     if deg_stats:
         meta.update(deg_stats)
-    with open(os.path.join(build_dir, "meta.json"), "w") as fh:
+    with open(os.path.join(work, "meta.json"), "w") as fh:
         json.dump(meta, fh)
-    with open(marker, "w") as fh:
+    with open(os.path.join(work, "_SUCCESS"), "w") as fh:
         fh.write("ok")
+    shutil.rmtree(build_dir, ignore_errors=True)
+    os.rename(work, build_dir)
     return meta
