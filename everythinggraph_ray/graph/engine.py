@@ -240,7 +240,18 @@ class GraphPartition:
         src_act = self.active[self.src_owned_idx]
         msgs = k.src_messages(src_vals, self.src_outdeg)
 
-        all_active = (not k.frontier) or bool(src_act.all())
+        # direction adaptivity (the reference's push<->pull switch,
+        # bfs_simple.c:191): min-semiring kernels may harmlessly RE-SEND
+        # current values, so once the frontier is large we use the dense
+        # precomputed scatter instead of masking edge-by-edge
+        send_from = src_act
+        n_src = max(1, len(src_act))
+        if k.frontier and k.resend_safe and src_act.sum() > 0.05 * n_src:
+            m = k.send_mask(src_vals)
+            send_from = (
+                np.ones(len(src_act), dtype=bool) if m is None else (m | src_act)
+            )
+        all_active = (not k.frontier) or bool(send_from.all())
         if all_active and not k.skip_self_loops and not k.needs_weights:
             v = msgs[self.src_idx_dst_sorted]
             if k.combine == "sum":
@@ -251,7 +262,7 @@ class GraphPartition:
         per_edge = np.repeat(msgs, self.out_counts)
         if k.needs_weights:
             per_edge = k.edge_values(per_edge, self.w_by_src)
-        emask = np.repeat(src_act, self.out_counts)
+        emask = np.repeat(send_from, self.out_counts)
         if k.skip_self_loops:
             emask = emask & self.not_self
         d = self.dst_by_src[emask]

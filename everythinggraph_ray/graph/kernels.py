@@ -33,6 +33,17 @@ class Kernel:
     skip_self_loops = False
     fixed_iters: int | None = None
     dtype = np.float64
+    # min-semiring kernels may RE-SEND a vertex's current value at any time
+    # without changing the fixpoint (idempotent, monotone) — this is what
+    # lets the engine switch to the dense precomputed scatter when the
+    # frontier is large, the analogue of the reference's push<->pull
+    # direction switch (bfs_simple.c:191 threshold nb_edges/20)
+    resend_safe = False
+
+    def send_mask(self, vals: np.ndarray):
+        """For resend-safe kernels: which vertices hold a sendable value
+        (None = all). E.g. BFS must not send from unvisited vertices."""
+        return None
 
     def init_values(self, vids: np.ndarray, outdeg: np.ndarray, ctx: dict) -> np.ndarray:
         raise NotImplementedError
@@ -84,6 +95,7 @@ class WCCKernel(Kernel):
     combine = "min"
     frontier = True
     dtype = np.int64
+    resend_safe = True
 
     def init_values(self, vids, outdeg, ctx):
         return vids.astype(np.int64).copy()
@@ -124,6 +136,10 @@ class BFSKernel(Kernel):
     combine = "min"
     frontier = True
     dtype = np.int64
+    resend_safe = True
+
+    def send_mask(self, vals):
+        return vals != 0  # unvisited vertices (dist 0) hold nothing to send
 
     def __init__(self, root: int):
         self.root = root
@@ -161,6 +177,10 @@ class SSSPHopsKernel(Kernel):
     frontier = True
     skip_self_loops = True
     dtype = np.int64
+    resend_safe = True
+
+    def send_mask(self, vals):
+        return vals != UNREACHED
 
     def __init__(self, root: int):
         self.root = root
@@ -195,6 +215,10 @@ class SSSPWeightedKernel(Kernel):
     needs_weights = True
     skip_self_loops = True
     dtype = np.float64
+    resend_safe = True
+
+    def send_mask(self, vals):
+        return np.isfinite(vals)
 
     def __init__(self, root: int):
         self.root = root
@@ -231,6 +255,25 @@ class SpMVKernel(Kernel):
 
     def src_messages(self, vals, outdeg):
         return 0.001 * vals
+
+    def apply(self, old, agg, has_msg, ctx):
+        return agg, np.ones(len(old), dtype=bool), float("inf")
+
+
+class SpMVEdgeCentricKernel(Kernel):
+    """The reference's edge-centric SpMV asymmetry (spmv.c:130-136): sums
+    WITHOUT the 0.001 factor into ``value_out[src]`` — i.e.
+    y[u] = sum_{u->v} x[v]. Run it on the REVERSED edge table so the
+    engine's dst-directed combine lands on the original src. x[v] = v, so
+    the sums are exact int64."""
+
+    name = "spmv_edgecentric"
+    combine = "sum"
+    fixed_iters = 1
+    dtype = np.int64
+
+    def init_values(self, vids, outdeg, ctx):
+        return vids.astype(np.int64).copy()
 
     def apply(self, old, agg, has_msg, ctx):
         return agg, np.ones(len(old), dtype=bool), float("inf")

@@ -201,3 +201,12 @@ def triangles_oracle(src: np.ndarray, dst: np.ndarray) -> int:
             if rank_of(w) > rank_of(v) and w in adj[v]:
                 count += 1
     return count
+
+
+def spmv_edgecentric_oracle(src: np.ndarray, dst: np.ndarray):
+    """Edge-centric SpMV (spmv.c:130-136): y[u] = sum_{u->v} x[v], x[v]=v,
+    NO 0.001 factor — exact int64."""
+    vids, s, d = _index(src, dst)
+    y = np.zeros(len(vids), dtype=np.int64)
+    np.add.at(y, s, vids[d])
+    return vids, y

@@ -66,3 +66,31 @@ def flagship_small() -> ray.data.Dataset:
     corpus = ensure_corpus(800, seed=42)
     res, _ = web_pagerank(corpus, num_partitions=4)
     return res["dataset"]
+
+
+def save_results(result: dict, out_dir: str, *, partitions: int | None = None) -> str:
+    """Result sink (the reference only prints, SURVEY.md §2.a S3): write the
+    (vid, value) Dataset as a directory of parquet part files plus a
+    metrics.json (iterations + per-superstep metrics) — the resumable,
+    inspectable output layout."""
+    import json
+    import os
+
+    ds = result["dataset"]
+    if partitions:
+        ds = ds.repartition(partitions)
+    data_dir = os.path.join(out_dir, "data")
+    ds.write_parquet(data_dir)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
+        json.dump(
+            {
+                "iterations": result["iterations"],
+                "n_vertices": result["n_vertices"],
+                "n_edges": result["n_edges"],
+                "metrics": result["metrics"],
+            },
+            fh,
+        )
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    return out_dir

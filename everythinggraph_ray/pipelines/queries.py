@@ -192,6 +192,41 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_rel_spmv_edgecentric(sf_dir):
+    """Reference edge-centric SpMV asymmetry (spmv.c:130-136): y[u] =
+    sum_{u->v} x[v] without the 0.001 factor — run on the REVERSED edge
+    table so the combine lands on the original src. Exact int64."""
+    from everythinggraph_ray.graph.kernels import SpMVEdgeCentricKernel
+    from everythinggraph_ray.stages.edges import reverse_edges
+
+    tag = f"relrev|{sf_dir}"
+    bdir = build_dir_for(tag, 8)
+    build_graph(reverse_edges(rel_edges(sf_dir)), bdir, num_partitions=8, hub_threshold=10**9)
+    df = _run_engine(bdir, SpMVEdgeCentricKernel())
+    return df.rename(columns={"spmv_edgecentric": "y"})[["vid", "y"]]
+
+
+def q_rel_sssp_weighted(sf_dir):
+    """Weighted SSSP with the reference's synthesized weights (rows-only;
+    exactness vs the NumPy oracle is asserted in tests)."""
+    from everythinggraph_ray.graph.kernels import SSSPWeightedKernel
+    from everythinggraph_ray.stages.edges import synthesize_weights
+
+    tag = f"relw|{sf_dir}"
+    bdir = build_dir_for(tag, 8)
+    build_graph(
+        synthesize_weights(rel_edges(sf_dir)),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+        weighted=True,
+    )
+    df = _run_engine(bdir, SSSPWeightedKernel(_rel_root(sf_dir)))
+    out = df.rename(columns={"sssp_weighted": "dist"})[["vid", "dist"]]
+    out["dist"] = np.round(out["dist"].to_numpy(), 6)
+    return out
+
+
 # ----------------------------------------------------------------------
 # web-graph queries (url corpus; rows-only checks, pytest-validated)
 # ----------------------------------------------------------------------
@@ -210,6 +245,17 @@ def q_web_pagerank(sf_dir):
     bdir = build_dir_for(f"web|{corpus}", 8)
     build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=8)
     return _run_engine(bdir, PageRankKernel(), tol=1e-6)
+
+
+def q_web_top10(sf_dir):
+    """Top-10 pages by rank — the distributed form of the reference's
+    Rank[0..9] print (pagerank_simple.c:159-161). Sort + limit."""
+    df = q_web_pagerank(sf_dir)
+    return (
+        df.sort_values(["pagerank", "vid"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 def q_web_wcc(sf_dir):
@@ -484,6 +530,12 @@ ORACLES: dict[str, str] = {
         "SELECT v.vid, round(coalesce(s.y, 0.0), 6) AS y FROM verts v "
         "LEFT JOIN s ON s.vid = v.vid"
     ),
+    "rel_spmv_edgecentric": (
+        "WITH "
+        + _sql_graph_prelude()
+        + ", s AS (SELECT src AS vid, CAST(sum(dst) AS BIGINT) AS y FROM e GROUP BY src) "
+        "SELECT v.vid, coalesce(s.y, 0) AS y FROM verts v LEFT JOIN s ON s.vid = v.vid"
+    ),
     "rel_triangles": (
         f"WITH e AS ({SQL_REL_EDGES}), "
         "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
@@ -566,10 +618,13 @@ QUERIES = {
     "rel_bfs": q_rel_bfs,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_spmv": q_rel_spmv,
+    "rel_spmv_edgecentric": q_rel_spmv_edgecentric,
+    "rel_sssp_weighted": q_rel_sssp_weighted,
     "rel_triangles": q_rel_triangles,
     "web_extract_text": q_web_extract_text,
     "web_edges": q_web_edges,
     "web_pagerank": q_web_pagerank,
+    "web_top10": q_web_top10,
     "web_wcc": q_web_wcc,
     "doc_stats": q_doc_stats,
     "docs_exact_dedup": q_docs_exact_dedup,
