@@ -62,19 +62,36 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts
     """Keep the row with the max ``ts`` per ``key`` (crawl snapshots: the
     latest capture of a url wins).
 
-    Implemented as a grouped reduce: ``groupby(key).map_groups`` taking the
-    ts-argmax row of each group — an all-to-all shuffle on the key, which is
-    unavoidable in general. Upstream stages have already dropped the html
+    Bucketed grouped-reduce (stages/agg.py): rows co-locate by hash of the
+    key and each bucket resolves ALL its keys with one vectorized pandas
+    pass — never a per-key Python call. The shuffle on the key is
+    unavoidable in general; upstream stages have already dropped the html
     payload, so only (url, ts, text, links) rows move.
     """
+    from hashlib import blake2b
+
+    import numpy as np
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(u.encode(), digest_size=4).digest(), "little")
+                for u in batch[key].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
 
     def latest(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        i = pc.index(group[ts], pc.max(group[ts])).as_py()
-        return group.slice(i, 1)
+        df = group.to_pandas()
+        # stable: max ts per key; ties (same key+ts) resolve to last row
+        idx = df.groupby(key)[ts].idxmax()
+        out = df.loc[idx.sort_values()]
+        return pa.Table.from_pandas(out, preserve_index=False, schema=group.schema)
 
-    return ds.groupby(key).map_groups(latest, batch_format="pyarrow")
+    return bucketed_reduce(ds, bucket_of, latest)
 
 
 def explode_links(extracted: ray.data.Dataset) -> ray.data.Dataset:
