@@ -1,0 +1,134 @@
+"""CLI entry point — the ``ray job submit`` surface of the engine.
+
+    python -m everythinggraph_ray.cli pagerank \
+        --pages /data/pages --out /data/out --partitions 64 \
+        --checkpoint-dir /data/ckpt --checkpoint-every 5 [--resume]
+
+    python -m everythinggraph_ray.cli wcc --edges /data/edges.parquet ...
+    python -m everythinggraph_ray.cli bfs --edges ... --root 42 ...
+
+On a real cluster: ``ray job submit --working-dir . -- python -m
+everythinggraph_ray.cli ...`` — the module only calls ``ray.init`` when no
+session exists (address from the environment), per the driver contract.
+
+This replaces the reference's per-binary ``main`` + getopt driver
+(random.c:50-116: -f file, -n nodes, -m mode, -u undirect, -p root ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_kernel(args):
+    from everythinggraph_ray.graph import kernels as K
+
+    table = {
+        "pagerank": lambda: K.PageRankKernel(damping=args.damping),
+        "wcc": lambda: K.WCCKernel(),
+        "labelprop": lambda: K.LabelPropKernel(),
+        "bfs": lambda: K.BFSKernel(args.root),
+        "sssp": lambda: K.SSSPHopsKernel(args.root),
+        "sssp-weighted": lambda: K.SSSPWeightedKernel(args.root),
+        "spmv": lambda: K.SpMVKernel(),
+    }
+    return table[args.kernel]()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="everythinggraph_ray")
+    p.add_argument(
+        "kernel",
+        choices=["pagerank", "wcc", "labelprop", "bfs", "sssp", "sssp-weighted", "spmv", "triangles"],
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages parquet dir (url,warc_ts,html,text,lang)")
+    src.add_argument("--edges", help="edge parquet dir/file (src,dst[,weight])")
+    src.add_argument("--edges-bin", help="reference-format binary edge file [src:u32][dst:u32]")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--build-dir", default=None, help="graph build dir (default: <out>/build)")
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--undirect", action="store_true", help="append reversed edges (the reference's -u)")
+    p.add_argument("--weighted", action="store_true")
+    p.add_argument("--synthesize-weights", action="store_true", help="w = src%%10 + dst%%10 (CREATE_WEIGHT)")
+    p.add_argument("--root", type=int, default=0, help="bfs/sssp root vid (the reference's -p)")
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--n-iters", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.triangles import triangle_count
+    from everythinggraph_ray.pipelines.flagship import save_results
+    from everythinggraph_ray.sources.binary_edges import read_binary_edges
+    from everythinggraph_ray.stages import edges as E
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    if args.pages:
+        edges = pages_to_edges(ray.data.read_parquet(args.pages))
+    elif args.edges_bin:
+        edges = read_binary_edges(args.edges_bin, weighted=args.weighted)
+    else:
+        edges = ray.data.read_parquet(args.edges)
+
+    if args.kernel == "triangles":
+        n = triangle_count(edges)
+        print(json.dumps({"n_triangles": n}))
+        return 0
+
+    auto_undirect = args.kernel in ("wcc", "labelprop") and not args.undirect
+    if args.undirect or auto_undirect:
+        edges = E.undirect_edges(edges)
+    weighted = args.weighted
+    if args.synthesize_weights:
+        edges = E.synthesize_weights(edges)
+        weighted = True
+    if args.kernel == "sssp-weighted" and not weighted:
+        edges = E.synthesize_weights(edges)
+        weighted = True
+
+    import os
+
+    bdir = args.build_dir or os.path.join(args.out, "build")
+    build_graph(edges, bdir, num_partitions=args.partitions, weighted=weighted)
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(
+            _get_kernel(args),
+            tol=args.tol,
+            n_iters=args.n_iters,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
+        save_results(res, args.out)
+    finally:
+        eng.shutdown()
+    print(
+        json.dumps(
+            {
+                "kernel": args.kernel,
+                "iterations": res["iterations"],
+                "n_vertices": res["n_vertices"],
+                "n_edges": res["n_edges"],
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
