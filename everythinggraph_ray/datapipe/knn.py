@@ -147,3 +147,84 @@ def knn_lsh(
         if out
         else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
     )
+
+
+def embedding_near_duplicates(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets (plus
+    1-bit neighbor probes) propose candidates, exact cosine verifies.
+    Returns (a, b, cos) with a < b and cos >= threshold, deduped.
+
+    Same bucketed shape as MinHash-LSH: only (id, bucket) rows shuffle; the
+    exact verification touches candidate vectors only."""
+    first = embeddings.take(1)[0]
+    dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+    pref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        bits = (m @ pl) > 0
+        code = bits @ (1 << np.arange(n_planes)).astype(np.int64)
+        rows_id, rows_b = [], []
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rows_id.append(ids)
+        rows_b.append(code.astype(np.int64))
+        for b in range(n_planes):  # 1-bit probe: near-boundary pairs meet
+            rows_id.append(ids)
+            rows_b.append((code ^ (1 << b)).astype(np.int64))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(rows_id), pa.int64()),
+                "bucket": pa.array(np.concatenate(rows_b), pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.unique(g["vec_id"].to_numpy(np.int64)))
+        if len(ids) < 2 or len(ids) > 4000:  # degenerate bucket guard
+            return pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = (
+        embeddings.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if not len(cand):
+        return pd.DataFrame(
+            {"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64"), "cos": pd.array([], dtype="float64")}
+        )
+
+    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+    need_ref = ray.put(set(int(x) for x in need))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = [int(x) in wanted for x in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    sub = embeddings.map_batches(grab, batch_format="pyarrow").to_pandas()
+    vecs = {
+        int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64) for _, r in sub.iterrows()
+    }
+    for k in vecs:
+        n = np.linalg.norm(vecs[k])
+        vecs[k] = vecs[k] / max(n, 1e-30)
+    cos = np.array([float(vecs[int(r.a)] @ vecs[int(r.b)]) for r in cand.itertuples()])
+    out = cand.copy()
+    out["cos"] = np.round(cos, 8)
+    out = out[out["cos"] >= threshold].reset_index(drop=True)
+    return out.astype({"a": "int64", "b": "int64"})

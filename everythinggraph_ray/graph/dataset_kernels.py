@@ -85,3 +85,49 @@ def pagerank_dataset(
             break
 
     return pa.table({"vid": pa.array(vids, pa.int64()), "pagerank": pa.array(prev, pa.float64())})
+
+
+def wcc_dataset(edges: ray.data.Dataset, *, max_iters: int = 200) -> pa.Table:
+    """Pure-Dataset WCC cross-variant: symmetric min-label propagation via
+    per-superstep map_batches partial-min + small driver-side combine
+    (labels broadcast via ray.put each round). Same fixpoint as WCCKernel;
+    cross-checked in tests. Small-V assumption as pagerank_dataset."""
+    import numpy as np
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    deg = out_degrees(edges).to_pandas().sort_values("vid")
+    vids = deg["vid"].to_numpy(np.int64)
+    labels = vids.copy()
+
+    for _ in range(max_iters):
+        ref = ray.put((vids, labels))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            mv, ml = ray.get(ref)
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            ls = ml[np.searchsorted(mv, s)]
+            ld = ml[np.searchsorted(mv, d)]
+            # symmetric: each endpoint proposes its label to the other
+            vid = np.concatenate([d, s])
+            lab = np.concatenate([ls, ld])
+            o = np.argsort(vid, kind="stable")
+            vid, lab = vid[o], lab[o]
+            st = np.flatnonzero(np.r_[True, vid[1:] != vid[:-1]])
+            return pa.table(
+                {
+                    "vid": pa.array(vid[st], pa.int64()),
+                    "lab": pa.array(np.minimum.reduceat(lab, st), pa.int64()),
+                }
+            )
+
+        prop = edges.map_batches(partial, batch_format="pyarrow", batch_size=256 * 1024).to_pandas()
+        agg = prop.groupby("vid")["lab"].min()
+        new = labels.copy()
+        pos = np.searchsorted(vids, agg.index.to_numpy(np.int64))
+        np.minimum.at(new, pos, agg.to_numpy(np.int64))
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    return pa.table({"vid": pa.array(vids, pa.int64()), "component": pa.array(labels, pa.int64())})

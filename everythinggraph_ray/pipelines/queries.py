@@ -309,6 +309,45 @@ def q_docs_minhash_clusters(sf_dir):
     return minhash_near_duplicates(_docs(sf_dir), threshold=0.8)
 
 
+def q_docs_simhash(sf_dir):
+    from everythinggraph_ray.datapipe.dedup import simhash
+
+    return simhash(_docs(sf_dir))
+
+
+def q_docs_simhash_dedup(sf_dir):
+    """SimHash banding candidates verified with exact n-gram Jaccard —
+    (a, b, jaccard) pairs with jaccard >= 0.5. Rows-only check."""
+    from everythinggraph_ray.datapipe.dedup import ngram_jaccard_pairs, simhash_candidates
+
+    docs = _docs(sf_dir)
+    cand = simhash_candidates(docs)
+    if not len(cand):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"a": _pd.array([], dtype="int64"), "b": _pd.array([], dtype="int64"), "jaccard": _pd.array([], dtype="float64")}
+        )
+    out = ngram_jaccard_pairs(docs, cand)
+    return out[out["jaccard"] >= 0.5].reset_index(drop=True)
+
+
+def q_emb_near_dup(sf_dir):
+    """Embedding-cosine near-duplicate pairs (LSH + exact verify)."""
+    from everythinggraph_ray.datapipe.knn import embedding_near_duplicates
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_duplicates(emb, threshold=0.9)
+
+
+def q_rel_wcc_dataset(sf_dir):
+    """Pure-Dataset WCC cross-variant (dataset_kernels.wcc_dataset) — the
+    push-vs-pull style second formulation; same SQL oracle as rel_wcc."""
+    from everythinggraph_ray.graph.dataset_kernels import wcc_dataset
+
+    return wcc_dataset(rel_edges(sf_dir))
+
+
 def q_knn_top10(sf_dir):
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].nsmallest(KNN_QUERIES)
@@ -530,6 +569,14 @@ ORACLES: dict[str, str] = {
         "SELECT v.vid, round(coalesce(s.y, 0.0), 6) AS y FROM verts v "
         "LEFT JOIN s ON s.vid = v.vid"
     ),
+    "rel_wcc_dataset": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(undirect=True)
+        + ", r(vid, lab) AS (SELECT vid, vid FROM verts UNION "
+        "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
+        "SELECT v.vid, m.c AS component FROM verts v "
+        "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
     "rel_spmv_edgecentric": (
         "WITH "
         + _sql_graph_prelude()
@@ -634,6 +681,10 @@ QUERIES = {
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_minhash_clusters": q_docs_minhash_clusters,
+    "docs_simhash": q_docs_simhash,
+    "docs_simhash_dedup": q_docs_simhash_dedup,
+    "emb_near_dup": q_emb_near_dup,
+    "rel_wcc_dataset": q_rel_wcc_dataset,
     "knn_top10": q_knn_top10,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,

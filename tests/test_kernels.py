@@ -164,3 +164,17 @@ def test_cross_variant_pagerank_dataset_vs_actor(engine, small_edges, small_corp
     vids, pr = _vals(res, "pagerank")
     assert np.array_equal(t["vid"].to_numpy(), vids)
     np.testing.assert_allclose(t["pagerank"].to_numpy(), pr, rtol=0, atol=1e-9)
+
+
+def test_cross_variant_wcc_dataset_vs_actor(engine_und, small_edges, small_corpus):
+    import ray.data
+
+    from everythinggraph_ray.graph.dataset_kernels import wcc_dataset
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    edges = pages_to_edges(ray.data.read_parquet(small_corpus))
+    t = wcc_dataset(edges)
+    res = engine_und.run(WCCKernel())
+    vids, lab = _vals(res, "wcc")
+    assert np.array_equal(t["vid"].to_numpy(), vids)
+    assert np.array_equal(t["component"].to_numpy(), lab)

@@ -59,3 +59,27 @@ def test_lsh_recall():
     a = set(approx["neighbor_id"])
     recall = len(a & b) / len(b)
     assert recall >= 0.5  # approximate, but must find a decent fraction
+
+
+def test_embedding_near_duplicates():
+    from everythinggraph_ray.datapipe.knn import embedding_near_duplicates
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    # rows 50..54 are near-copies of rows 0..4 (tiny noise)
+    near = base[:5] + 0.01 * rng.standard_normal((5, 16)).astype(np.float32)
+    m = np.vstack([base, near])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float32(), 16)),
+            }
+        )
+    )
+    out = embedding_near_duplicates(ds, threshold=0.98)
+    pairs = set(zip(out["a"], out["b"]))
+    for i in range(5):
+        assert (i, 50 + i) in pairs, f"missing near-dup pair {(i, 50+i)}"
+    # unrelated random vectors in 16-d rarely reach cos 0.98
+    assert len(pairs) < 15
