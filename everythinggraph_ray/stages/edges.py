@@ -28,8 +28,24 @@ def reverse_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 def undirect_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Append reversed edges (the reference's ``-u`` createUndir,
-    random.c:80-82)."""
-    return edges.union(reverse_edges(edges))
+    random.c:80-82). Single pass: each batch emits both directions —
+    a union with reverse_edges would scan the input twice."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        cols = {
+            "src": pa.concat_arrays(
+                [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
+            ),
+            "dst": pa.concat_arrays(
+                [batch["dst"].combine_chunks(), batch["src"].combine_chunks()]
+            ),
+        }
+        if "weight" in batch.column_names:
+            w = batch["weight"].combine_chunks()
+            cols["weight"] = pa.concat_arrays([w, w])
+        return pa.table(cols)
+
+    return edges.map_batches(both, batch_format="pyarrow")
 
 
 def filter_self_loops(edges: ray.data.Dataset) -> ray.data.Dataset:
