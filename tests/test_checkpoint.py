@@ -56,3 +56,54 @@ def test_resume_mid_pagerank_is_bitwise_identical(small_build, tmp_path):
     assert [m["superstep"] for m in resumed["metrics"]] == list(
         range(1, resumed["iterations"] + 1)
     )
+
+
+def test_actor_failure_recovery_via_resume(small_build, tmp_path):
+    """Failure model: partition actors hold volatile state; if one dies the
+    run fails fast and a NEW engine resumes from the latest complete
+    snapshot, yielding results identical to an uninterrupted run."""
+    import ray
+
+    ckpt = str(tmp_path / "ckpt2")
+
+    eng = GraphEngine(small_build)
+    try:
+        full = eng.run(PageRankKernel(), n_iters=12)
+        full_df = full["dataset"].to_pandas().sort_values("vid")
+    finally:
+        eng.shutdown()
+
+    eng1 = GraphEngine(small_build)
+    try:
+        eng1.run(PageRankKernel(), n_iters=6, checkpoint_dir=ckpt, checkpoint_every=3)
+        # simulate a node loss mid-run
+        ray.kill(eng1.actors[1])
+        try:
+            eng1.run(
+                PageRankKernel(),
+                n_iters=12,
+                checkpoint_dir=ckpt,
+                checkpoint_every=3,
+                resume=True,
+            )
+            raised = False
+        except ray.exceptions.RayActorError:
+            raised = True
+        assert raised, "dead actor should surface as RayActorError"
+    finally:
+        for a in eng1.actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+
+    # fresh engine resumes from superstep 6 and matches the clean run
+    eng2 = GraphEngine(small_build)
+    try:
+        resumed = eng2.run(
+            PageRankKernel(), n_iters=12, checkpoint_dir=ckpt, checkpoint_every=3, resume=True
+        )
+        res_df = resumed["dataset"].to_pandas().sort_values("vid")
+    finally:
+        eng2.shutdown()
+    assert np.array_equal(full_df["pagerank"].to_numpy(), res_df["pagerank"].to_numpy())
