@@ -184,8 +184,6 @@ def top_tokens(docs: ray.data.Dataset, k: int = 50, text_col: str = "text") -> r
         )
 
     def red(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = g.to_pandas().groupby("token", as_index=False)["c"].sum()
         return pa.table(
             {"token": pa.array(df["token"], pa.string()), "n": pa.array(df["c"], pa.int64())}

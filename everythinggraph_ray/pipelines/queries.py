@@ -36,9 +36,6 @@ from everythinggraph_ray.corpus import ensure_corpus
 from everythinggraph_ray.datapipe.dedup import exact_duplicates, minhash_near_duplicates
 from everythinggraph_ray.datapipe.knn import knn_bruteforce
 from everythinggraph_ray.datapipe.text import (
-    PUNCT_RE,
-    STOPWORD_RE,
-    TOKEN_RE,
     doc_stats,
     fingerprint,
     lang_id,
