@@ -61,7 +61,10 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str, part_col: str):
             rows.append(int(e - s))
         return pa.table({"part": pa.array(parts, pa.int64()), "rows": pa.array(rows, pa.int64())})
 
+    os.makedirs(out_dir, exist_ok=True)
     man = ds.map_batches(spill, batch_format="pyarrow", batch_size=1024 * 1024).to_pandas()
+    if not len(man):
+        return {}
     return man.groupby("part")["rows"].sum().to_dict()
 
 

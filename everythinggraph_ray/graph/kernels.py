@@ -81,7 +81,7 @@ class PageRankKernel(Kernel):
         return vals / np.maximum(outdeg, 1)
 
     def apply(self, old, agg, has_msg, ctx):
-        new = (1.0 - self.damping) / ctx["n_vertices"] + self.damping * agg
+        new = (1.0 - self.damping) / max(1, ctx["n_vertices"]) + self.damping * agg
         delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
         return new, np.ones(len(old), dtype=bool), delta
 

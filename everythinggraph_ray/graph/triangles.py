@@ -73,6 +73,8 @@ def triangle_count(edges: ray.data.Dataset) -> int:
         )
         .to_pandas()
     )
+    if not len(deg):
+        return 0
     vids = deg["vid"].to_numpy(np.int64)
     degs = deg["deg"].to_numpy(np.int64)
     order = np.lexsort((vids, degs))  # rank by (deg, vid)

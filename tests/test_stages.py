@@ -51,3 +51,30 @@ def test_out_degrees_includes_dst_only_vertices():
     out = out_degrees(_ds([1, 1, 2], [2, 3, 9])).to_pandas().sort_values("vid")
     assert out["vid"].tolist() == [1, 2, 3, 9]
     assert out["outdeg"].tolist() == [2, 1, 0, 0]
+
+
+def test_empty_and_degenerate_graphs(tmp_path):
+    """Empty edge tables, self-loop-only and single-edge graphs must build
+    and run without errors."""
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import BFSKernel, PageRankKernel
+    from everythinggraph_ray.graph.triangles import triangle_count
+
+    empty = _ds([], [])
+    assert triangle_count(empty) == 0
+    build_graph(empty, str(tmp_path / "empty"), num_partitions=3)
+    eng = GraphEngine(str(tmp_path / "empty"))
+    try:
+        r = eng.run(PageRankKernel(), n_iters=2)
+        assert r["dataset"].count() == 0
+    finally:
+        eng.shutdown()
+
+    build_graph(_ds([5], [5]), str(tmp_path / "loop"), num_partitions=3)
+    eng2 = GraphEngine(str(tmp_path / "loop"))
+    try:
+        r2 = eng2.run(BFSKernel(5), max_iters=5)
+        assert r2["dataset"].to_pandas()["bfs"].tolist() == [1]
+    finally:
+        eng2.shutdown()
