@@ -213,30 +213,35 @@ def run_scaling() -> None:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
-    runs_lo = [one(lo) for _ in range(trials)]
-    runs_hi = [one(hi) for _ in range(trials)]
-    best_lo = min(r["median_superstep_sec"] for r in runs_lo)
-    best_hi = min(r["median_superstep_sec"] for r in runs_hi)
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
+    # interleave levels so co-tenant load drift hits both equally
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    meds_lo = sorted(r["median_superstep_sec"] for r in runs_lo)
+    meds_hi = sorted(r["median_superstep_sec"] for r in runs_hi)
+    best_lo, best_hi = meds_lo[0], meds_hi[0]
+    med_lo, med_hi = meds_lo[len(meds_lo) // 2], meds_hi[len(meds_hi) // 2]
     n_edges = runs_lo[0]["n_edges"]
-    tp_lo = n_edges / best_lo
-    tp_hi = n_edges / best_hi
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    eff_best = ((n_edges / best_hi) / (n_edges / best_lo)) / (hi / lo)
+    eff_median = ((n_edges / med_hi) / (n_edges / med_lo)) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": "pagerank_scaling_efficiency",
-                "value": round(eff, 3),
+                "value": round(eff_best, 3),
                 "unit": "ratio",
+                "efficiency_median": round(eff_median, 3),
                 "cpus_lo": lo,
                 "cpus_hi": hi,
-                "edges_per_sec_superstep_lo": round(tp_lo, 0),
-                "edges_per_sec_superstep_hi": round(tp_hi, 0),
-                "median_superstep_sec_lo": best_lo,
-                "median_superstep_sec_hi": best_hi,
+                "edges_per_sec_superstep_lo": round(n_edges / best_lo, 0),
+                "edges_per_sec_superstep_hi": round(n_edges / best_hi, 0),
+                "median_superstep_sec_lo_runs": [round(x, 4) for x in meds_lo],
+                "median_superstep_sec_hi_runs": [round(x, 4) for x in meds_hi],
                 "n_edges": n_edges,
                 "trials": trials,
-                "protocol": "fresh ray.init per run; P=32 partitions both levels; actors pinned to first N cores",
+                "protocol": "fresh ray.init per run, levels interleaved; P=32 partitions both levels; actors pinned to first N cores (shared box: best-of-trials per level rejects co-tenant noise)",
             }
         )
     )

@@ -213,6 +213,14 @@ class GraphPartition:
         self.active: np.ndarray | None = None
 
     # ------------------------------------------------------------------
+    def set_cpu_limit(self, cpu_limit: int | None) -> int:
+        """Re-pin this actor (interleaved A/B scaling measurement)."""
+        if cpu_limit:
+            os.sched_setaffinity(0, set(range(int(cpu_limit))))
+        else:
+            os.sched_setaffinity(0, set(range(os.cpu_count())))
+        return self.pid
+
     def init_kernel(self, kernel: Kernel, ctx: dict) -> int:
         self.kernel = kernel
         self.ctx = ctx
@@ -466,7 +474,10 @@ class GraphEngine:
             # decide whether superstep it+1 is the last allowed — if so,
             # apply without scattering the (wasted) next round
             last = it + 1 >= limit
-            prev = refs
+            # one ray.put of the ref list per round: the driver would
+            # otherwise serialize P refs into each of P actor calls (P^2
+            # ref serializations per superstep — measurable at P=32)
+            prev = ray.put(refs)
             if last:
                 results = ray.get([a.apply_only.remote(prev) for a in self.actors])
                 stats = results
@@ -513,11 +524,22 @@ class GraphEngine:
         compute entirely. Values are bit-identical to the stepwise path
         (same ops, same order); only wall-clock attribution is coarser
         (total / supersteps)."""
+        from collections import deque
+
+        WINDOW = 3  # rounds in flight: bounds live message objects to
+        # ~WINDOW x (message volume per superstep) — submit-ahead without a
+        # window spilled the object store at 10^8-edge scale (measured 18x
+        # slower); the window keeps dispatch hidden while memory stays flat
         t0 = time.perf_counter()
         refs = [a.step.remote(None) for a in self.actors]
+        inflight: deque = deque([refs])
         for _ in range(limit - 1):
-            refs = [a.step.remote(refs) for a in self.actors]
-        final_stats = ray.get([a.apply_only.remote(refs) for a in self.actors])
+            if len(inflight) >= WINDOW:
+                ray.wait(list(inflight.popleft()), num_returns=self.P)
+            packed = ray.put(refs)  # one serialization of the P refs
+            refs = [a.step.remote(packed) for a in self.actors]
+            inflight.append(refs)
+        final_stats = ray.get([a.apply_only.remote(ray.put(refs)) for a in self.actors])
         total = time.perf_counter() - t0
         delta = max(s[0] for s in final_stats)
         changed = sum(s[1] for s in final_stats)
@@ -543,6 +565,10 @@ class GraphEngine:
             "n_vertices": self.meta["n_vertices"],
             "n_edges": self.meta["n_edges"],
         }
+
+    def set_cpu_limit(self, cpu_limit: int | None):
+        """Re-pin every partition actor to the first N cores (or all)."""
+        ray.get([a.set_cpu_limit.remote(cpu_limit) for a in self.actors])
 
     def _checkpoint(self, ckpt_dir: str, superstep: int, kernel: Kernel, metrics: list):
         ray.get([a.save_checkpoint.remote(ckpt_dir, superstep) for a in self.actors])
