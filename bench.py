@@ -185,6 +185,36 @@ def full_suite() -> dict:
     return {"queries": out, "extra": extra}
 
 
+def _hw_probe(ncpu: int, n_workers: int = 32, reps: int = 5) -> float:
+    """Pure-numpy probe of the superstep kernel (gather + reduceat) with
+    n_workers processes pinned like the engine's actors — measures what the
+    HARDWARE gives at this parallelism level, no Ray involved. Returns
+    seconds per rep."""
+    import numpy as np
+    from multiprocessing import Barrier, Process
+
+    def worker(idx):
+        os.sched_setaffinity(0, {idx % ncpu})
+        rng = np.random.default_rng(idx)
+        msgs = rng.random(31250)
+        gidx = rng.integers(0, 31250, 1000000).astype(np.int32)
+        starts = np.arange(0, 1000000, 5)
+        barrier.wait()
+        for _ in range(reps):
+            v = msgs[gidx]
+            np.add.reduceat(v, starts)
+
+    barrier = Barrier(n_workers + 1)
+    ps = [Process(target=worker, args=(i,)) for i in range(n_workers)]
+    for p in ps:
+        p.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for p in ps:
+        p.join()
+    return (time.perf_counter() - t0) / reps
+
+
 def run_scaling() -> None:
     """Same job (PageRank, 25 supersteps, P=32 partitions, same input) at
     two parallelism levels in fresh processes; partition actors pin to the
@@ -226,6 +256,11 @@ def run_scaling() -> None:
     n_edges = runs_lo[0]["n_edges"]
     eff_best = ((n_edges / best_hi) / (n_edges / best_lo)) / (hi / lo)
     eff_median = ((n_edges / med_hi) / (n_edges / med_lo)) / (hi / lo)
+    # hardware ceiling: the same gather/reduceat kernel, no Ray — what this
+    # (shared, virtualized) box itself scales to between the two levels
+    hw_lo = min(_hw_probe(lo) for _ in range(2))
+    hw_hi = min(_hw_probe(hi) for _ in range(2))
+    hw_eff = (hw_lo / hw_hi) / (hi / lo)
     print(
         json.dumps(
             {
@@ -241,7 +276,11 @@ def run_scaling() -> None:
                 "median_superstep_sec_hi_runs": [round(x, 4) for x in meds_hi],
                 "n_edges": n_edges,
                 "trials": trials,
-                "protocol": "fresh ray.init per run, levels interleaved; P=32 partitions both levels; actors pinned to first N cores (shared box: best-of-trials per level rejects co-tenant noise)",
+                "hardware_ceiling_efficiency": round(hw_eff, 3),
+                "efficiency_vs_hardware": round(min(1.0, eff_best / max(hw_eff, 1e-9)), 3),
+                "hw_probe_sec_lo": round(hw_lo, 4),
+                "hw_probe_sec_hi": round(hw_hi, 4),
+                "protocol": "fresh ray.init per run, levels interleaved; P=32 partitions both levels; one pinned core per actor slot (cluster emulation); best-of-trials per level rejects co-tenant noise; hardware ceiling from a Ray-free numpy probe of the same kernel",
             }
         )
     )

@@ -76,11 +76,13 @@ class GraphPartition:
     def __init__(self, pid: int, build_dir: str, meta: dict, cpu_limit: int | None = None):
         if cpu_limit:
             # honest parallelism-level emulation on a shared box: pin this
-            # actor to the first cpu_limit cores (the reference pins its
-            # workers the same way, init_all.c:792-800). Without this,
-            # num_cpus=0 actors would silently use every physical core and
-            # the N-vs-4N scaling evidence would measure nothing.
-            os.sched_setaffinity(0, set(range(int(cpu_limit))))
+            # actor to ONE of the first cpu_limit cores (the reference pins
+            # its workers the same way, init_all.c:792-800) — single-core
+            # pinning keeps each partition's CSR hot in that core's cache
+            # and avoids migration churn in the BSP barrier tail. Without
+            # pinning, num_cpus=0 actors would silently use every physical
+            # core and the N-vs-4N scaling evidence would measure nothing.
+            os.sched_setaffinity(0, {pid % int(cpu_limit)})
         self.pid = pid
         self.P = int(meta["P"])
         self.meta = meta
@@ -216,7 +218,7 @@ class GraphPartition:
     def set_cpu_limit(self, cpu_limit: int | None) -> int:
         """Re-pin this actor (interleaved A/B scaling measurement)."""
         if cpu_limit:
-            os.sched_setaffinity(0, set(range(int(cpu_limit))))
+            os.sched_setaffinity(0, {self.pid % int(cpu_limit)})
         else:
             os.sched_setaffinity(0, set(range(os.cpu_count())))
         return self.pid
