@@ -48,6 +48,39 @@ def _init_ray():
     logging.getLogger("ray").setLevel(logging.ERROR)
 
 
+def _pin_session_tree(ncpu: int) -> None:
+    """Pin this driver AND every descendant Ray process (raylet, GCS,
+    object store, workers) to the first ncpu cores — a real N-core cluster
+    runs its services on those same N cores, so the emulation must too.
+    Pure /proc walk (no psutil in this environment)."""
+    cores = set(range(ncpu))
+    os.sched_setaffinity(0, cores)
+    me = os.getpid()
+    # build ppid map
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                parts = fh.read().split()
+            ppid = int(parts[3])
+            children.setdefault(ppid, []).append(int(d))
+        except OSError:
+            continue
+    stack, seen = [me], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            os.sched_setaffinity(pid, cores)
+        except OSError:
+            pass
+        stack.extend(children.get(pid, []))
+
+
 def pagerank_core() -> dict:
     """The scaling-criterion job: PageRank to 1e-6 on the synthetic
     power-law graph, P_PARTS partitions. Reports per-superstep wall and
@@ -66,6 +99,8 @@ def pagerank_core() -> dict:
     meta = build_graph(ray.data.read_parquet(edir), bdir, num_partitions=P_PARTS)
     build_sec = time.perf_counter() - t0
 
+    if os.environ.get("GRAFT_PIN_SESSION", "1") == "1" and CPUS < (os.cpu_count() or CPUS):
+        _pin_session_tree(CPUS)
     eng = GraphEngine(bdir, cpu_limit=CPUS)
     try:
         t0 = time.perf_counter()
@@ -225,12 +260,17 @@ def run_scaling() -> None:
     reduceat kernel, so N=4→4N=16 is the honest 4x range; a real 4x-node
     cluster multiplies bandwidth with nodes."""
 
+    scale_v = os.environ.get("GRAFT_SCALE_V", "200000")
+    scale_e = os.environ.get("GRAFT_SCALE_E", "128000000")
+
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_MODE="prcore",
             GRAFT_BENCH_PR_ITERS="25",
+            GRAFT_BENCH_V=scale_v,
+            GRAFT_BENCH_E=scale_e,
         )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
