@@ -141,7 +141,9 @@ def q_rel_top_outdegree(sf_dir):
 
 def q_rel_pagerank10(sf_dir):
     df = _run_engine(_rel_build(sf_dir), PageRankKernel(), n_iters=10)
-    df["pagerank"] = np.round(df["pagerank"].to_numpy(), 8)
+    # round 7: engine-vs-SQL float differences are ~1e-14, so 1e-7 rounding
+    # leaves ~7 orders of margin against a boundary-straddling hash mismatch
+    df["pagerank"] = np.round(df["pagerank"].to_numpy(), 7)
     return df[["vid", "pagerank"]]
 
 
@@ -516,7 +518,7 @@ def _pagerank10_sql() -> str:
             f"FROM e JOIN r{k-1} p ON p.vid = e.src JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) s ON s.vid = v.vid)"
         )
-    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 8) AS pagerank FROM r10"
+    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
 
 
 ORACLES: dict[str, str] = {
