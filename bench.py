@@ -40,6 +40,7 @@ def _init_ray():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            log_to_driver=False,  # keep stdout clean: the driver parses ONE JSON line
         )
     from ray.data import DataContext
 
