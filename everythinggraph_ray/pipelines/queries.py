@@ -257,6 +257,50 @@ def q_web_top10(sf_dir):
     )
 
 
+def q_web_curation(sf_dir):
+    """Composed training-data curation pipeline over the web corpus:
+    extract text (latest capture per url) → quality gate → exact dedup →
+    per-language counts of surviving documents. One streaming pipeline;
+    counts are deterministic. Rows-only check (pytest asserts the
+    stage-by-stage invariants)."""
+    from everythinggraph_ray.datapipe.dedup import exact_duplicates
+    from everythinggraph_ray.datapipe.text import quality_score
+    from everythinggraph_ray.hashing import urls_to_vids
+
+    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+    ex = pages_to_text(pages)  # (url, text), keep-latest
+
+    def as_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(urls_to_vids(batch["url"]), pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    docs = ex.map_batches(as_docs, batch_format="pyarrow").materialize()
+    q = quality_score(docs).to_pandas()
+    keep = set(q.loc[q["quality"] >= 0.2, "doc_id"].astype("int64"))
+    import ray as _ray
+
+    keep_ref = _ray.put(keep)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        k = _ray.get(keep_ref)
+        mask = [int(x) in k for x in batch["doc_id"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    kept = docs.map_batches(gate, batch_format="pyarrow")
+    uniq = exact_duplicates(kept)
+    return pa.table(
+        {
+            "n_pages": pa.array([docs.count()], pa.int64()),
+            "n_quality": pa.array([len(keep)], pa.int64()),
+            "n_unique": pa.array([uniq.count()], pa.int64()),
+        }
+    )
+
+
 def q_web_wcc(sf_dir):
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"webund|{corpus}", 8)
@@ -672,6 +716,7 @@ QUERIES = {
     "web_pagerank": q_web_pagerank,
     "web_top10": q_web_top10,
     "web_wcc": q_web_wcc,
+    "web_curation": q_web_curation,
     "doc_stats": q_doc_stats,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_quality": q_docs_quality,

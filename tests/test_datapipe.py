@@ -136,3 +136,15 @@ def test_frame_sample():
     out = frame_sample(items, every_n=10).to_pandas()
     assert out["frame_idx"].tolist() == [0, 10, 20]
     assert all(len(f) == 1024 for f in out["frame"])
+
+
+def test_web_curation_pipeline_invariants():
+    from everythinggraph_ray.pipelines.queries import q_web_curation
+
+    out = q_web_curation("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert out["n_pages"] > 0
+    assert 0 < out["n_quality"] <= out["n_pages"]
+    assert 0 < out["n_unique"] <= out["n_quality"]
+    # deterministic
+    out2 = q_web_curation("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert tuple(out) == tuple(out2)
