@@ -51,29 +51,38 @@ def doc_stats(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def quality_values(txt: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized quality score in [0,1] for a string array — a pure
+    function of the text, so gates can compute it INLINE in the same
+    map_batches as the filter (no broadcast keep-set, no second pass)."""
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tok = pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = pc.count_substring_regex(txt, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_stop = (
+        pc.count_substring_regex(pc.utf8_lower(txt), STOPWORD_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    len_score = np.clip(n_chars / 1000.0, 0.0, 1.0)
+    tok = np.maximum(n_tok, 1.0)
+    punct_ratio = n_punct / tok
+    punct_score = np.clip(1.0 - np.abs(punct_ratio - 0.1) * 2.0, 0.0, 1.0)
+    stop_score = np.clip(n_stop / tok * 4.0, 0.0, 1.0)
+    q = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
+    return np.round(q, 8)
+
+
 def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, quality) in [0,1]: length, punctuation-density and
     stopword-density heuristics (the usual web-corpus quality gates).
     Deterministic pure function of the text."""
 
     def score(batch: pa.Table) -> pa.Table:
-        txt = batch[text_col]
-        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64)
-        n_tok = pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
-        n_punct = pc.count_substring_regex(txt, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.float64)
-        n_stop = (
-            pc.count_substring_regex(pc.utf8_lower(txt), STOPWORD_RE)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        len_score = np.clip(n_chars / 1000.0, 0.0, 1.0)
-        tok = np.maximum(n_tok, 1.0)
-        punct_ratio = n_punct / tok
-        punct_score = np.clip(1.0 - np.abs(punct_ratio - 0.1) * 2.0, 0.0, 1.0)
-        stop_score = np.clip(n_stop / tok * 4.0, 0.0, 1.0)
-        q = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
         return pa.table(
-            {"doc_id": batch["doc_id"], "quality": pa.array(np.round(q, 8), pa.float64())}
+            {
+                "doc_id": batch["doc_id"],
+                "quality": pa.array(quality_values(batch[text_col]), pa.float64()),
+            }
         )
 
     return docs.map_batches(score, batch_format="pyarrow")

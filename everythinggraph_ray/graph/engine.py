@@ -450,9 +450,25 @@ class GraphEngine:
         if resume and checkpoint_dir:
             latest = _latest_checkpoint(checkpoint_dir)
             if latest is not None:
-                ray.get([a.load_checkpoint.remote(checkpoint_dir, latest) for a in self.actors])
                 with open(os.path.join(checkpoint_dir, "lineage.json")) as fh:
                     lineage = json.load(fh)
+                # the checkpoint is only valid for the SAME kernel on the
+                # SAME built graph — a stale dir would otherwise silently
+                # cast another kernel's values into this one's dtype
+                if lineage.get("kernel") != kernel.name:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir} is for kernel "
+                        f"{lineage.get('kernel')!r}, not {kernel.name!r}"
+                    )
+                lin_in = lineage.get("input", {})
+                for field in ("n_vertices", "n_edges", "P"):
+                    want = self.meta[field] if field != "P" else self.P
+                    if lin_in.get(field) != want:
+                        raise ValueError(
+                            f"checkpoint input mismatch on {field}: "
+                            f"lineage={lin_in.get(field)} current={want}"
+                        )
+                ray.get([a.load_checkpoint.remote(checkpoint_dir, latest) for a in self.actors])
                 start_iter = latest
                 metrics = lineage.get("metrics", [])[:latest]
 

@@ -162,8 +162,8 @@ def q_rel_wcc(sf_dir):
 
 def q_rel_labelprop(sf_dir):
     """Label propagation = WCC machinery with arbitrary seed labels (here:
-    default own-vid labels → equals wcc; exercised with real seeds in
-    tests). Rows-only check."""
+    default own-vid labels → equals wcc by construction, so it shares
+    wcc's SQL oracle; exercised with real seeds in tests)."""
     from everythinggraph_ray.graph.kernels import LabelPropKernel
 
     df = _run_engine(_rel_build(sf_dir, undirect=True), LabelPropKernel())
@@ -206,8 +206,9 @@ def q_rel_spmv_edgecentric(sf_dir):
 
 
 def q_rel_sssp_weighted(sf_dir):
-    """Weighted SSSP with the reference's synthesized weights (rows-only;
-    exactness vs the NumPy oracle is asserted in tests)."""
+    """Weighted SSSP with the reference's synthesized weights
+    (init_all.c:663-666: w = src%10 + dst%10); SQL oracle = bounded relax
+    enumeration; also exact vs the NumPy oracle in tests."""
     from everythinggraph_ray.graph.kernels import SSSPWeightedKernel
     from everythinggraph_ray.stages.edges import synthesize_weights
 
@@ -264,7 +265,7 @@ def q_web_curation(sf_dir):
     counts are deterministic. Rows-only check (pytest asserts the
     stage-by-stage invariants)."""
     from everythinggraph_ray.datapipe.dedup import exact_duplicates
-    from everythinggraph_ray.datapipe.text import quality_score
+    from everythinggraph_ray.datapipe.text import quality_values
     from everythinggraph_ray.hashing import urls_to_vids
 
     pages = ray.data.read_parquet(_corpus_for(sf_dir))
@@ -279,23 +280,18 @@ def q_web_curation(sf_dir):
         )
 
     docs = ex.map_batches(as_docs, batch_format="pyarrow").materialize()
-    q = quality_score(docs).to_pandas()
-    keep = set(q.loc[q["quality"] >= 0.2, "doc_id"].astype("int64"))
-    import ray as _ray
-
-    keep_ref = _ray.put(keep)
 
     def gate(batch: pa.Table) -> pa.Table:
-        k = _ray.get(keep_ref)
-        mask = [int(x) in k for x in batch["doc_id"].to_pylist()]
-        return batch.filter(pa.array(mask))
+        # quality is a pure function of the text: score and filter in ONE
+        # stage with a numpy mask — no driver keep-set, no second pass
+        return batch.filter(pa.array(quality_values(batch["text"]) >= 0.2))
 
-    kept = docs.map_batches(gate, batch_format="pyarrow")
+    kept = docs.map_batches(gate, batch_format="pyarrow").materialize()
     uniq = exact_duplicates(kept)
     return pa.table(
         {
             "n_pages": pa.array([docs.count()], pa.int64()),
-            "n_quality": pa.array([len(keep)], pa.int64()),
+            "n_quality": pa.array([kept.count()], pa.int64()),
             "n_unique": pa.array([uniq.count()], pa.int64()),
         }
     )
@@ -509,7 +505,7 @@ def q_mktsegment_revenue(sf_dir):
     def partial(batch: pa.Table) -> pa.Table:
         m = _ray.get(seg_of)
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        seg = np.array([m.get(int(c), "NONE") for c in ck], dtype=object)
+        seg = pd.Series(ck).map(m).fillna("NONE").to_numpy(dtype=object)
         price_c = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
             np.int64
         )
@@ -619,6 +615,36 @@ ORACLES: dict[str, str] = {
         "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
         "SELECT v.vid, m.c AS component FROM verts v "
         "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    # labelprop with default (empty) seeds is IDENTICAL to wcc by
+    # construction (LabelPropKernel inits labels to own vid) — so it shares
+    # wcc's recursive-CTE oracle, aliased to its own column name
+    "rel_labelprop": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(undirect=True)
+        + ", r(vid, lab) AS (SELECT vid, vid FROM verts UNION "
+        "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
+        "SELECT v.vid, m.c AS label FROM verts v "
+        "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    # weighted SSSP: weights are the reference's synthesized
+    # src%10 + dst%10 (init_all.c:663-666) — pure SQL. Bounded relax
+    # enumeration: every path with total weight < 1152 is enumerated
+    # ((vid, d) states dedup via UNION; zero-weight cycles repeat a state
+    # and stop). 1152 = 18 (max weight) x 64 (the hop-dist cap proven safe
+    # by rel_sssp_hops), so the optimum is always inside the enumeration.
+    "rel_sssp_weighted": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", ew AS (SELECT src, dst, CAST(src % 10 + dst % 10 AS DOUBLE) AS w "
+        "FROM e WHERE src <> dst)"
+        ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r(vid, d) AS (SELECT rv, CAST(0 AS DOUBLE) FROM root UNION "
+        "SELECT ew.dst, r.d + ew.w FROM r JOIN ew ON ew.src = r.vid "
+        "WHERE r.d + ew.w < 1152) "
+        "SELECT v.vid, round(coalesce(m.d, CAST('infinity' AS DOUBLE)), 6) AS dist "
+        "FROM verts v LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m "
+        "ON m.vid = v.vid"
     ),
     "rel_spmv_edgecentric": (
         "WITH "

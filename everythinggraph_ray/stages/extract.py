@@ -86,9 +86,14 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts
 
     def latest(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        # stable: max ts per key; ties (same key+ts) resolve to last row
-        idx = df.groupby(key)[ts].idxmax()
-        out = df.loc[idx.sort_values()]
+        # deterministic winner per key: max ts; ties (same key+ts) broken by
+        # text bytes when present — row ORDER after a shuffle is not
+        # deterministic, so the tiebreak must be content-based, never
+        # positional (idxmax keeps the first occurrence, tail(1) the last;
+        # either silently depends on arrival order)
+        sort_cols = [key, ts] + (["text"] if "text" in df.columns else [])
+        df = df.sort_values(sort_cols, kind="stable")
+        out = df.groupby(key, as_index=False).tail(1)
         return pa.Table.from_pandas(out, preserve_index=False, schema=group.schema)
 
     return bucketed_reduce(ds, bucket_of, latest)
@@ -103,8 +108,13 @@ def explode_links(extracted: ray.data.Dataset) -> ray.data.Dataset:
         if isinstance(links, pa.ChunkedArray):
             links = links.combine_chunks()
         flat = pc.list_flatten(links)
-        counts = pc.list_value_length(links).to_numpy(zero_copy_only=False)
-        counts = np.nan_to_num(counts.astype(np.int64), nan=0)
+        # null links lists → length 0 (fill BEFORE the int cast: casting NaN
+        # to int64 is undefined and list_flatten skips null lists entirely)
+        counts = (
+            pc.fill_null(pc.list_value_length(links), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         src = pc.take(batch["url"], pa.array(np.repeat(np.arange(len(counts)), counts)))
         return pa.table({"src_url": src, "dst_url": flat})
 
