@@ -345,7 +345,10 @@ def q_docs_fingerprint(sf_dir):
 
 
 def q_docs_minhash_clusters(sf_dir):
-    return minhash_near_duplicates(_docs(sf_dir), threshold=0.8)
+    return _typed_collect(
+        minhash_near_duplicates(_docs(sf_dir), threshold=0.8),
+        {"doc_id": "int64", "cluster_id": "int64"},
+    )
 
 
 def q_docs_simhash(sf_dir):
@@ -356,27 +359,39 @@ def q_docs_simhash(sf_dir):
 
 def q_docs_simhash_dedup(sf_dir):
     """SimHash banding candidates verified with exact n-gram Jaccard —
-    (a, b, jaccard) pairs with jaccard >= 0.5. Rows-only check."""
+    (a, b, jaccard) pairs with jaccard >= 0.5, all stages distributed
+    (bucketed co-group verify). Rows-only check."""
     from everythinggraph_ray.datapipe.dedup import ngram_jaccard_pairs, simhash_candidates
 
     docs = _docs(sf_dir)
     cand = simhash_candidates(docs)
-    if not len(cand):
-        import pandas as _pd
+    out = ngram_jaccard_pairs(docs, cand.select_columns(["a", "b"]))
+    kept = out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.5)), batch_format="pyarrow"
+    )
+    return _typed_collect(kept, {"a": "int64", "b": "int64", "jaccard": "float64"})
 
-        return _pd.DataFrame(
-            {"a": _pd.array([], dtype="int64"), "b": _pd.array([], dtype="int64"), "jaccard": _pd.array([], dtype="float64")}
-        )
-    out = ngram_jaccard_pairs(docs, cand)
-    return out[out["jaccard"] >= 0.5].reset_index(drop=True)
+
+def _typed_collect(ds, dtypes: dict[str, str]) -> pd.DataFrame:
+    """Collect a (small, final-result) Dataset to pandas with a STABLE
+    column set: Ray's to_pandas drops all columns when every block is
+    empty, which would break the driver's schema check."""
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    if not len(df):
+        return pd.DataFrame({c: pd.array([], dtype=t) for c, t in dtypes.items()})
+    return df[list(dtypes)].astype(dtypes)
 
 
 def q_emb_near_dup(sf_dir):
-    """Embedding-cosine near-duplicate pairs (LSH + exact verify)."""
+    """Embedding-cosine near-duplicate pairs (LSH + distributed co-group
+    verify, datapipe/pairs.py)."""
     from everythinggraph_ray.datapipe.knn import embedding_near_duplicates
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_duplicates(emb, threshold=0.9)
+    return _typed_collect(
+        embedding_near_duplicates(emb, threshold=0.9),
+        {"a": "int64", "b": "int64", "cos": "float64"},
+    )
 
 
 def q_rel_wcc_dataset(sf_dir):

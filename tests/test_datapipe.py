@@ -40,7 +40,7 @@ def test_minhash_finds_near_duplicates():
     near = base.replace("lazy", "sleepy")
     other = "completely different words about graphs and rays and arrows " * 6
     ds = _docs_ds([base, near, other, base])
-    out = minhash_near_duplicates(ds, threshold=0.5)
+    out = minhash_near_duplicates(ds, threshold=0.5).to_pandas()
     clusters = out.set_index("doc_id")["cluster_id"].to_dict()
     assert clusters.get(0) == 0 and clusters.get(1) == 0 and clusters.get(3) == 0
     assert 2 not in clusters  # unrelated doc not clustered
@@ -64,7 +64,7 @@ def test_simhash_near_vs_far():
     sh = simhash(ds).to_pandas().sort_values("doc_id")["simhash"].to_numpy(np.uint64)
     ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
     assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
-    cand = simhash_candidates(ds)
+    cand = simhash_candidates(ds).to_pandas()
     pairs = {tuple(r) for r in cand[["a", "b"]].to_numpy()} if len(cand) else set()
     assert (0, 1) in pairs
 
@@ -72,7 +72,7 @@ def test_simhash_near_vs_far():
 def test_ngram_jaccard_pairs():
     ds = _docs_ds(["a b c d e f", "a b c d e g", "x y z w v u"])
     pairs = pd.DataFrame({"a": [0, 0], "b": [1, 2]})
-    out = ngram_jaccard_pairs(ds, pairs)
+    out = ngram_jaccard_pairs(ds, pairs).to_pandas()
     j01 = out[(out["a"] == 0) & (out["b"] == 1)]["jaccard"].iloc[0]
     j02 = out[(out["a"] == 0) & (out["b"] == 2)]["jaccard"].iloc[0]
     assert j01 > 0.3 and j02 == 0.0
@@ -148,3 +148,137 @@ def test_web_curation_pipeline_invariants():
     # deterministic
     out2 = q_web_curation("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert tuple(out) == tuple(out2)
+
+
+def test_signature_matrix_matches_per_doc():
+    """Blocked vectorized signatures == per-doc minhash_signature."""
+    from everythinggraph_ray.datapipe.dedup import (
+        _minhash_params,
+        minhash_signature,
+        signature_matrix,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "alpha beta gamma delta epsilon zeta eta theta " * 20,
+    ]
+    a, b = _minhash_params(64)
+    got = signature_matrix(texts, a, b, k=3, slab=17)  # tiny slab: force splits
+    for i, t in enumerate(texts):
+        want = minhash_signature(_token_shingles(t, 3), a, b)
+        assert np.array_equal(got[i], want), f"doc {i} signature mismatch"
+
+
+def test_minhash_clusters_match_bruteforce():
+    """Distributed LSH+verify+WCC clusters == serial all-pairs Jaccard +
+    union-find reference (the round-1 driver-side semantics)."""
+    from everythinggraph_ray.datapipe.dedup import minhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home " * 5
+    texts = [
+        base,
+        base.replace("lazy", "sleepy"),
+        "completely different words about graphs and rays and arrows " * 6,
+        base,
+        base.replace("quick", "swift").replace("dog", "cat"),
+        "another unrelated document talking about benchmarks and clusters " * 6,
+    ]
+    ds = _docs_ds(texts)
+    got = (
+        minhash_near_duplicates(ds, threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # serial reference: all-pairs exact jaccard >= threshold, union-find
+    sh = [np.sort(_token_shingles(t)) for t in texts]
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if jaccard(sh[i], sh[j]) >= 0.5:
+                linked.update((i, j))
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = sorted((d, find(d)) for d in sorted(linked))
+    assert list(map(tuple, got[["doc_id", "cluster_id"]].to_numpy())) == want
+
+
+def test_group_pairs_star_fallback_surfaced():
+    """An oversized bucket emits a hub star (surfaced via starred=True),
+    not silence — connectivity through the hub is preserved."""
+    import ray.data as rd
+
+    from everythinggraph_ray.datapipe.pairs import group_pairs
+
+    n = 20
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "g": pa.array([7] * n, pa.int64()),
+        }
+    )
+    out = group_pairs(rd.from_arrow(t), ["g"], max_bucket=5).to_pandas()
+    assert out["starred"].all()
+    assert len(out) == n - 1  # star, not clique
+    assert (out["a"] == 0).all() and set(out["b"]) == set(range(1, n))
+
+
+def test_pairwise_verify_matches_direct_jaccard():
+    from everythinggraph_ray.datapipe.dedup import shingle_payloads
+    from everythinggraph_ray.datapipe.pairs import pairwise_verify
+
+    texts = ["a b c d e f", "a b c d e g", "x y z w v u"]
+    ds = _docs_ds(texts)
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([0, 0], pa.int64()), "b": pa.array([1, 2], pa.int64())})
+    )
+    out = (
+        pairwise_verify(
+            shingle_payloads(ds), pairs, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64())
+        )
+        .to_pandas()
+        .set_index(["a", "b"])["jaccard"]
+    )
+    sh = [np.sort(_token_shingles(t)) for t in texts]
+    assert abs(out.loc[(0, 1)] - jaccard(sh[0], sh[1])) < 1e-8
+    assert out.loc[(0, 2)] == 0.0
+
+
+def test_simhash_stage_matches_per_doc_reference():
+    """Vectorized batched SimHash == straightforward per-doc majority vote."""
+    import hashlib as _hl
+
+    from everythinggraph_ray.datapipe.dedup import _SHINGLE_RE, SimHashStage
+
+    texts = ["the quick brown fox", "", "aaa aaa aaa bbb", "unrelated words entirely"]
+    batch = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": pa.array(texts)}
+    )
+    got = SimHashStage()(batch)["simhash"].to_pylist()
+    for i, t in enumerate(texts):
+        toks = _SHINGLE_RE.findall(t.lower())
+        if not toks:
+            assert got[i] == 0
+            continue
+        v = np.zeros(64, dtype=np.int64)
+        for w in toks:
+            h = int.from_bytes(_hl.blake2b(w.encode(), digest_size=8).digest(), "little")
+            for j in range(64):
+                v[j] += 1 if (h >> j) & 1 else -1
+        want = 0
+        for j in range(64):
+            if v[j] > 0:
+                want |= 1 << j
+        assert got[i] == want & 0x7FFF_FFFF_FFFF_FFFF

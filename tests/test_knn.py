@@ -77,7 +77,7 @@ def test_embedding_near_duplicates():
             }
         )
     )
-    out = embedding_near_duplicates(ds, threshold=0.98)
+    out = embedding_near_duplicates(ds, threshold=0.98).to_pandas()
     pairs = set(zip(out["a"], out["b"]))
     for i in range(5):
         assert (i, 50 + i) in pairs, f"missing near-dup pair {(i, 50+i)}"
