@@ -34,12 +34,67 @@ import ray.data
 from everythinggraph_ray.stages.edges import out_degrees
 
 
-def _write_partitioned(ds: ray.data.Dataset, out_dir: str, part_col: str):
+MAX_FILES_PER_PART = 64
+
+
+@ray.remote
+def _compact_part(d: str, files: list[str]) -> str:
+    """Merge one partition's chunk files into a single file (each
+    partition fits one actor's memory by construction — the partition
+    actor loads it whole anyway). Returns the new file name."""
+    import uuid
+
+    t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in files])
+    out = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+    pq.write_table(t, os.path.join(d, out))
+    return out
+
+
+def _publish_manifest(d: str, files: list[str]):
+    """Atomically publish the list of VALID chunk files for a partition
+    dir, then delete everything else: a retried spill task leaves its
+    failed attempt's chunks on disk, and without the manifest a reader
+    would silently double-count those rows (round-1 ADVICE)."""
+    tmp = os.path.join(d, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": sorted(files)}, fh)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+    keep = set(files) | {"manifest.json"}
+    for f in os.listdir(d):
+        if f not in keep and not f.startswith("."):
+            os.remove(os.path.join(d, f))
+
+
+def list_partition_files(part_dir: str) -> list[str]:
+    """Valid data files of one partition dir: manifest-listed if a
+    manifest exists (post-build always), else a glob (pre-manifest
+    layouts)."""
+    import glob as _glob
+
+    man = os.path.join(part_dir, "manifest.json")
+    if os.path.exists(man):
+        with open(man) as fh:
+            return [os.path.join(part_dir, f) for f in json.load(fh)["files"]]
+    return sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+
+
+def _write_partitioned(
+    ds: ray.data.Dataset, out_dir: str, part_col: str, *, max_files: int = MAX_FILES_PER_PART
+):
     """Write-side partitioning: every batch splits itself by partition id
     and appends one parquet file per (batch, partition) — NO all-to-all
     shuffle (a sort-based groupby spill of the same 64M-row table measured
-    ~15x slower). Readers (_read_part_dir) concatenate the per-partition
-    files. Returns {part: rows}."""
+    ~15x slower). Two post-passes make this safe and bounded at scale:
+
+    - idempotence: only chunk files reported by SUCCESSFUL task attempts
+      enter the per-partition ``manifest.json``; orphans from failed,
+      retried attempts are deleted. Readers go through the manifest.
+    - bounded file count: a partition that accumulated more than
+      ``max_files`` chunks (file count ≈ batches × P without this — a
+      metadata bomb at 100 TB) is compacted by a parallel Ray task fleet
+      into one file per partition.
+
+    Returns {part: rows}."""
 
     def spill(batch: pa.Table) -> pa.Table:
         import uuid
@@ -51,20 +106,39 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str, part_col: str):
         starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]]) if len(ps) else np.empty(0, np.int64)
         ends = np.r_[starts[1:], len(ps)] if len(starts) else starts
         tag = uuid.uuid4().hex[:12]
-        parts, rows = [], []
+        parts, rows, files = [], [], []
         for s, e in zip(starts, ends):
             pid = int(ps[s])
             d = os.path.join(out_dir, f"p={pid:05d}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(t.slice(int(s), int(e - s)), os.path.join(d, f"chunk-{tag}-{pid}.parquet"))
+            fname = f"chunk-{tag}-{pid}.parquet"
+            pq.write_table(t.slice(int(s), int(e - s)), os.path.join(d, fname))
             parts.append(pid)
             rows.append(int(e - s))
-        return pa.table({"part": pa.array(parts, pa.int64()), "rows": pa.array(rows, pa.int64())})
+            files.append(fname)
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int64()),
+                "rows": pa.array(rows, pa.int64()),
+                "file": pa.array(files, pa.string()),
+            }
+        )
 
     os.makedirs(out_dir, exist_ok=True)
     man = ds.map_batches(spill, batch_format="pyarrow", batch_size=1024 * 1024).to_pandas()
     if not len(man):
         return {}
+
+    compact_refs: dict[int, object] = {}
+    for pid, grp in man.groupby("part"):
+        d = os.path.join(out_dir, f"p={int(pid):05d}")
+        files = grp["file"].tolist()
+        if len(files) > max_files:
+            compact_refs[int(pid)] = (d, _compact_part.remote(d, files))
+        else:
+            _publish_manifest(d, files)
+    for pid, (d, ref) in compact_refs.items():
+        _publish_manifest(d, [ray.get(ref)])
     return man.groupby("part")["rows"].sum().to_dict()
 
 
@@ -138,13 +212,25 @@ def build_graph(
         hub_threshold = int(max(256, 8 * mean_deg))
         deg_stats = {"mean_outdeg": mean_deg}
     th = int(hub_threshold)
-    hub_tbl = (
-        ray.data.read_parquet(os.path.join(work, "verts"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
+    import glob as _glob
+
+    vert_files = [
+        f
+        for d in sorted(_glob.glob(os.path.join(work, "verts", "p=*")))
+        for f in list_partition_files(d)
+    ]
+    if vert_files:
+        hub_tbl = (
+            ray.data.read_parquet(vert_files)
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
+    else:  # empty graph: no vertices were spilled
+        import pandas as _pd
+
+        hub_tbl = _pd.DataFrame({"vid": [], "outdeg": []})
     if len(hub_tbl):
         hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
         hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64)

@@ -63,7 +63,12 @@ from everythinggraph_ray.graph.kernels import Kernel
 
 
 def _read_part_dir(path: str) -> pa.Table | None:
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    """Read one partition dir through its manifest (build.py publishes one
+    listing only successful-attempt chunk files; orphans from retried
+    spill tasks are excluded)."""
+    from everythinggraph_ray.graph.build import list_partition_files
+
+    files = list_partition_files(path) if os.path.isdir(path) else []
     if not files:
         return None
     return pa.concat_tables([pq.read_table(f) for f in files])

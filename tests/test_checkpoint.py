@@ -107,3 +107,67 @@ def test_actor_failure_recovery_via_resume(small_build, tmp_path):
     finally:
         eng2.shutdown()
     assert np.array_equal(full_df["pagerank"].to_numpy(), res_df["pagerank"].to_numpy())
+
+
+def test_partitioned_write_manifest_excludes_orphans(tmp_path):
+    """A retried spill task leaves orphan chunk files; the manifest (and
+    therefore the engine's reader) must exclude them — no silent
+    duplication (round-1 ADVICE)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from everythinggraph_ray.graph.build import _write_partitioned, list_partition_files
+    from everythinggraph_ray.graph.engine import _read_part_dir
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(100), pa.int64()),
+                "dst": pa.array(np.arange(100) % 7, pa.int64()),
+                "p": pa.array(np.arange(100) % 4, pa.int64()),
+            }
+        )
+    )
+    out = str(tmp_path / "parts")
+    rows = _write_partitioned(ds, out, "p")
+    assert sum(rows.values()) == 100
+    # simulate a failed attempt's orphan chunk landing AFTER the build...
+    d = str(tmp_path / "parts" / "p=00001")
+    pq.write_table(
+        pa.table({"src": pa.array([999], pa.int64()), "dst": pa.array([999], pa.int64())}),
+        d + "/chunk-deadbeef-1.parquet",
+    )
+    # ...manifest-driven readers must not see it
+    assert not any("deadbeef" in f for f in list_partition_files(d))
+    t = _read_part_dir(d)
+    assert t.num_rows == rows[1]
+    assert 999 not in t["src"].to_numpy(zero_copy_only=False)
+
+
+def test_partitioned_write_compaction_bounds_files(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.build import _write_partitioned, list_partition_files
+    from everythinggraph_ray.graph.engine import _read_part_dir
+
+    n = 4000
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(n), pa.int64()),
+                "p": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+    ).repartition(20)  # many batches → many chunk files for partition 0
+    out = str(tmp_path / "parts")
+    rows = _write_partitioned(ds, out, "p", max_files=8)
+    d = str(tmp_path / "parts" / "p=00000")
+    files = list_partition_files(d)
+    assert len(files) <= 8
+    t = _read_part_dir(d)
+    assert t.num_rows == rows[0] == n
+    assert set(t["src"].to_numpy(zero_copy_only=False)) == set(range(n))
