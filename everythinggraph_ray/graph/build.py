@@ -142,17 +142,24 @@ def _write_partitioned(
     return man.groupby("part")["rows"].sum().to_dict()
 
 
-def _add_part_column(edges: ray.data.Dataset, P: int, hub_vids: np.ndarray) -> ray.data.Dataset:
+def _add_part_column(
+    edges: ray.data.Dataset, P: int, hub_vids: np.ndarray, *, by: str = "src"
+) -> ray.data.Dataset:
     hub_sorted = np.sort(hub_vids)
 
     def assign(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
         d = batch["dst"].to_numpy(zero_copy_only=False)
-        part = s % P
-        if len(hub_sorted):
-            idx = np.searchsorted(hub_sorted, s)
-            is_hub = (idx < len(hub_sorted)) & (hub_sorted[np.minimum(idx, len(hub_sorted) - 1)] == s)
-            part = np.where(is_hub, d % P, part)  # hub edges live with their dst
+        if by == "dst":  # pull layout: every edge lives with its dst (CSC)
+            part = d % P
+        else:
+            part = s % P
+            if len(hub_sorted):
+                idx = np.searchsorted(hub_sorted, s)
+                is_hub = (idx < len(hub_sorted)) & (
+                    hub_sorted[np.minimum(idx, len(hub_sorted) - 1)] == s
+                )
+                part = np.where(is_hub, d % P, part)  # hub edges live with their dst
         return batch.append_column("spart", pa.array(part.astype(np.int64), pa.int64()))
 
     return edges.map_batches(assign, batch_format="pyarrow")
@@ -165,6 +172,7 @@ def build_graph(
     num_partitions: int = 8,
     hub_threshold: int | None = None,
     weighted: bool = False,
+    partition_edges_by: str = "src",
 ) -> dict:
     """Partition ``edges`` (int64 src/dst [+ float64 weight]) into
     ``build_dir`` and return the graph metadata dict (also written to
@@ -239,8 +247,13 @@ def build_graph(
         hub_outdeg = np.array([], dtype=np.int64)
 
     # --- edges, partitioned by spart --------------------------------------
+    if partition_edges_by == "dst":
+        hub_vids = np.array([], dtype=np.int64)  # pull gathers at dst: no mirrors
+        hub_outdeg = np.array([], dtype=np.int64)
     em = _write_partitioned(
-        _add_part_column(edges, P, hub_vids), os.path.join(work, "edges"), "spart"
+        _add_part_column(edges, P, hub_vids, by=partition_edges_by),
+        os.path.join(work, "edges"),
+        "spart",
     )
     n_edges = int(sum(em.values()))
 
@@ -249,6 +262,7 @@ def build_graph(
         "n_vertices": n_vertices,
         "n_edges": n_edges,
         "weighted": bool(weighted),
+        "partition_edges_by": partition_edges_by,
         "hub_threshold": int(hub_threshold),
         "hub_vids": [int(x) for x in hub_vids],
         "hub_outdeg": [int(x) for x in hub_outdeg],

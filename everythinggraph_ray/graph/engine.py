@@ -253,7 +253,7 @@ class GraphPartition:
         k = self.kernel
         src_vals = self.vals[self.src_owned_idx]
         src_act = self.active[self.src_owned_idx]
-        msgs = k.src_messages(src_vals, self.src_outdeg)
+        msgs = k.src_messages2(src_vals, self.src_outdeg, self.usrc)
 
         # direction adaptivity (the reference's push<->pull switch,
         # bfs_simple.c:191): min-semiring kernels may harmlessly RE-SEND
@@ -333,7 +333,7 @@ class GraphPartition:
 
         # receiver-side hub gather (the NUMA-mirror analogue)
         if n_hub and len(self.hub_src_idx):
-            hub_msgs = k.src_messages(hub_vals, self.hub_outdeg)
+            hub_msgs = k.src_messages2(hub_vals, self.hub_outdeg, self.hub_vids)
             if (not k.frontier or bool(hub_act.all())) and not k.skip_self_loops and not k.needs_weights:
                 v = hub_msgs[self.hub_src_idx]
                 red = np.add.reduceat if k.combine == "sum" else np.minimum.reduceat

@@ -54,6 +54,11 @@ class Kernel:
     def src_messages(self, vals: np.ndarray, outdeg: np.ndarray) -> np.ndarray:
         return vals
 
+    def src_messages2(self, vals: np.ndarray, outdeg: np.ndarray, vids: np.ndarray) -> np.ndarray:
+        """Message hook that also sees the SENDER vids (parent-tracking
+        kernels pack them into the message); defaults to src_messages."""
+        return self.src_messages(vals, outdeg)
+
     def edge_values(self, per_edge: np.ndarray, weights: np.ndarray | None) -> np.ndarray:
         return per_edge
 
@@ -202,6 +207,64 @@ class SSSPHopsKernel(Kernel):
         improved = has_msg & (agg < old)
         new[improved] = agg[improved]
         return new, improved, 0.0
+
+
+class ParentSSSPHopsKernel(Kernel):
+    """Hop SSSP with PARENT tracking (sssp_pushpull.c:57-68 stores the
+    relaxing src; bfs_numa.c:19 parent-BFS): state packs ``(dist << 32) |
+    parent`` into one int64, so the engine's min-combine yields min dist
+    with min-parent tiebreak in a single semiring. Because +1-hop SSSP is
+    a BFS wavefront (first touch is final and every vertex sends exactly
+    once), the fixpoint parent is exactly ``min{u : dist[u]+1 == dist[v],
+    edge u→v}`` — deterministic and SQL-expressible. Requires vid <
+    2^31 and dist < 2^31 (a 63-bit-vid corpus needs a two-column state —
+    documented limitation). ``resend_safe`` is deliberately OFF: resends
+    could refine the parent after first touch, breaking the closed-form
+    characterization above."""
+
+    name = "sssp_parent"
+    combine = "min"
+    frontier = True
+    skip_self_loops = True
+    dtype = np.int64
+    resend_safe = False
+
+    PARENT_MASK = np.int64((1 << 32) - 1)
+
+    def __init__(self, root: int):
+        assert 0 <= root < (1 << 31)
+        self.root = root
+
+    def init_values(self, vids, outdeg, ctx):
+        v = np.full(len(vids), UNREACHED, dtype=np.int64)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            v[i] = np.int64(self.root)  # dist 0, parent = root
+        return v
+
+    init_active = BFSKernel.init_active
+
+    def src_messages2(self, vals, outdeg, vids):
+        dist = vals >> np.int64(32)
+        # unreached senders are masked out by the engine (frontier kernel,
+        # no resends); still emit a safe sentinel for their rows
+        return np.where(
+            vals == UNREACHED, UNREACHED, ((dist + 1) << np.int64(32)) | vids.astype(np.int64)
+        )
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg < old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+    @staticmethod
+    def decode(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """packed int64 → (dist, parent); unreached → (int64 max, -1)."""
+        unreached = packed == UNREACHED
+        dist = np.where(unreached, UNREACHED, packed >> np.int64(32))
+        parent = np.where(unreached, np.int64(-1), packed & ParentSSSPHopsKernel.PARENT_MASK)
+        return dist.astype(np.int64), parent.astype(np.int64)
 
 
 class SSSPWeightedKernel(Kernel):

@@ -147,6 +147,27 @@ def q_rel_pagerank10(sf_dir):
     return df[["vid", "pagerank"]]
 
 
+def q_rel_pagerank10_pull(sf_dir):
+    """Pull-mode (CSC gather) PageRank cross-variant
+    (pagerank_simple.c:72-84) — same rule, dst-partitioned layout, static
+    value routing (graph/pull.py). Shares rel_pagerank10's SQL oracle."""
+    from everythinggraph_ray.graph.pull import pagerank_pull
+
+    tag = f"relpull|{sf_dir}"
+    bdir = build_dir_for(tag, 8)
+    build_graph(
+        rel_edges(sf_dir),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+        partition_edges_by="dst",
+    )
+    res = pagerank_pull(bdir, n_iters=10)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    df["pagerank"] = np.round(df["pagerank"].to_numpy(), 7)
+    return df[["vid", "pagerank"]]
+
+
 def q_rel_pagerank(sf_dir):
     """To-convergence PageRank (the north-rule mode). No SQL oracle
     (iteration count is data-dependent); matched vs the NumPy oracle in
@@ -170,6 +191,52 @@ def q_rel_labelprop(sf_dir):
     return df.rename(columns={"labelprop": "label"})[["vid", "label"]]
 
 
+def q_rel_wcc_stats(sf_dir):
+    """Component statistics — the reference's WCC destruct output
+    (wcc.c:168-179: number of components, size of the largest). Computed
+    distributed: per-component sizes via Dataset groupby-count, then two
+    scalar aggregates."""
+    from ray.data.aggregate import Count
+
+    from everythinggraph_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine(_rel_build(sf_dir, undirect=True))
+    try:
+        ds = eng.run(WCCKernel())["dataset"]
+        sizes = ds.groupby("wcc").aggregate(Count(alias_name="sz")).materialize()
+    finally:
+        eng.shutdown()
+    return pa.table(
+        {
+            "n_components": pa.array([sizes.count()], pa.int64()),
+            "max_size": pa.array([int(sizes.max("sz"))], pa.int64()),
+        }
+    )
+
+
+def q_rel_sssp_maxdist(sf_dir):
+    """Max finite distance + reached count — the reference's SSSP destruct
+    print (sssp_pushpull.c:227-233)."""
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import UNREACHED
+
+    eng = GraphEngine(_rel_build(sf_dir))
+    try:
+        ds = eng.run(SSSPHopsKernel(_rel_root(sf_dir)))["dataset"]
+        reached = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["sssp_hops"], UNREACHED)),
+            batch_format="pyarrow",
+        ).materialize()
+    finally:
+        eng.shutdown()
+    return pa.table(
+        {
+            "max_dist": pa.array([int(reached.max("sssp_hops"))], pa.int64()),
+            "n_reached": pa.array([reached.count()], pa.int64()),
+        }
+    )
+
+
 def q_rel_bfs(sf_dir):
     df = _run_engine(_rel_build(sf_dir), BFSKernel(_rel_root(sf_dir)))
     return df.rename(columns={"bfs": "dist"})[["vid", "dist"]]
@@ -178,6 +245,19 @@ def q_rel_bfs(sf_dir):
 def q_rel_sssp_hops(sf_dir):
     df = _run_engine(_rel_build(sf_dir), SSSPHopsKernel(_rel_root(sf_dir)))
     return df.rename(columns={"sssp_hops": "dist"})[["vid", "dist"]]
+
+
+def q_rel_sssp_parent(sf_dir):
+    """Parent-tracking hop SSSP (sssp_pushpull.c:57-68): (vid, dist,
+    parent); parent = min in-neighbor on a shortest path (deterministic —
+    see ParentSSSPHopsKernel), root's parent is itself, unreached is
+    (int64max, -1). Validated structurally by the distributed parent
+    validator in tests."""
+    from everythinggraph_ray.graph.kernels import ParentSSSPHopsKernel
+
+    df = _run_engine(_rel_build(sf_dir), ParentSSSPHopsKernel(_rel_root(sf_dir)))
+    dist, parent = ParentSSSPHopsKernel.decode(df["sssp_parent"].to_numpy())
+    return pd.DataFrame({"vid": df["vid"].astype("int64"), "dist": dist, "parent": parent})
 
 
 def q_rel_spmv(sf_dir):
@@ -342,6 +422,35 @@ def q_docs_langid(sf_dir):
 
 def q_docs_fingerprint(sf_dir):
     return fingerprint(_docs(sf_dir))
+
+
+def q_docs_top_quality_per_lang(sf_dir):
+    """Grouped top-k: the 5 highest-quality docs per language (quality
+    desc, doc_id asc tiebreak) — per-batch partial top-k combiner, then a
+    small per-group final (stages/agg.py grouped_top_k)."""
+    from everythinggraph_ray.datapipe.text import quality_values
+    from everythinggraph_ray.stages.agg import grouped_top_k
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": batch["doc_id"],
+                "quality": pa.array(quality_values(batch["text"]), pa.float64()),
+            }
+        )
+
+    return grouped_top_k(
+        docs.map_batches(score, batch_format="pyarrow"),
+        "lang",
+        [("quality", False), ("doc_id", True)],
+        5,
+        rank_col="rk",
+    )
 
 
 def q_docs_minhash_clusters(sf_dir):
@@ -590,6 +699,8 @@ ORACLES: dict[str, str] = {
         "GROUP BY vid) SELECT vid, outdeg FROM d ORDER BY outdeg DESC, vid LIMIT 20"
     ),
     "rel_pagerank10": _pagerank10_sql(),
+    # pull cross-variant: same rule, same fixed-10 schedule, same rounding
+    "rel_pagerank10_pull": _pagerank10_sql(),
     "rel_wcc": (
         "WITH RECURSIVE "
         + _sql_graph_prelude(undirect=True)
@@ -597,6 +708,26 @@ ORACLES: dict[str, str] = {
         "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
         "SELECT v.vid, m.c AS component FROM verts v "
         "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    "rel_wcc_stats": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(undirect=True)
+        + ", r(vid, lab) AS (SELECT vid, vid FROM verts UNION "
+        "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v)"
+        ", comp AS (SELECT vid, min(lab) AS c FROM r GROUP BY vid)"
+        ", sz AS (SELECT c, count(*) AS s FROM comp GROUP BY c) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_components, "
+        "CAST(max(s) AS BIGINT) AS max_size FROM sz"
+    ),
+    "rel_sssp_maxdist": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(no_self=True)
+        + ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r(vid, d) AS (SELECT rv, CAST(0 AS BIGINT) FROM root UNION "
+        "SELECT e2.dst, r.d + 1 FROM r JOIN e2 ON e2.src = r.vid WHERE r.d < 64)"
+        ", m AS (SELECT vid, min(d) AS d FROM r GROUP BY vid) "
+        "SELECT CAST(max(d) AS BIGINT) AS max_dist, "
+        "CAST(count(*) AS BIGINT) AS n_reached FROM m"
     ),
     "rel_bfs": (
         "WITH RECURSIVE "
@@ -615,6 +746,23 @@ ORACLES: dict[str, str] = {
         "SELECT e2.dst, r.d + 1 FROM r JOIN e2 ON e2.src = r.vid WHERE r.d < 64) "
         "SELECT v.vid, coalesce(m.d, 9223372036854775807) AS dist FROM verts v "
         "LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    # parent = min{u : dist[u]+1 == dist[v], edge u→v} (BFS-wavefront
+    # closed form, see ParentSSSPHopsKernel); root's parent is itself
+    "rel_sssp_parent": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(no_self=True)
+        + ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r(vid, d) AS (SELECT rv, CAST(0 AS BIGINT) FROM root UNION "
+        "SELECT e2.dst, r.d + 1 FROM r JOIN e2 ON e2.src = r.vid WHERE r.d < 64)"
+        ", m AS (SELECT vid, min(d) AS d FROM r GROUP BY vid)"
+        ", par AS (SELECT e2.dst AS vid, CAST(min(e2.src) AS BIGINT) AS parent "
+        "FROM e2 JOIN m mu ON mu.vid = e2.src JOIN m mv ON mv.vid = e2.dst "
+        "WHERE mv.d = mu.d + 1 GROUP BY e2.dst) "
+        "SELECT v.vid, coalesce(m.d, 9223372036854775807) AS dist, "
+        "CASE WHEN v.vid = (SELECT rv FROM root) THEN v.vid "
+        "WHEN m.d IS NULL THEN -1 ELSE p.parent END AS parent "
+        "FROM verts v LEFT JOIN m ON m.vid = v.vid LEFT JOIN par p ON p.vid = v.vid"
     ),
     "rel_spmv": (
         "WITH "
@@ -696,6 +844,19 @@ ORACLES: dict[str, str] = {
         r"+ 0.3 * least(ns / greatest(nt0, 1.0) * 4.0, 1.0), 8) AS quality FROM s"
     ),
     "docs_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "docs_top_quality_per_lang": (
+        r"WITH s AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS nc, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt0, "
+        r"CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS np_, "
+        r"CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is)\b')) AS DOUBLE) AS ns "
+        r"FROM documents), "
+        r"q AS (SELECT lang, doc_id, round(0.4 * least(nc / 1000.0, 1.0) "
+        r"+ 0.3 * greatest(least(1.0 - abs(np_ / greatest(nt0, 1.0) - 0.1) * 2.0, 1.0), 0.0) "
+        r"+ 0.3 * least(ns / greatest(nt0, 1.0) * 4.0, 1.0), 8) AS quality FROM s) "
+        r"SELECT lang, doc_id, quality, CAST(row_number() OVER "
+        r"(PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS rk "
+        r"FROM q QUALIFY rk <= 5"
+    ),
     "docs_top_tokens": (
         r"SELECT t AS token, count(*) AS n FROM "
         r"(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents) "
@@ -743,11 +904,15 @@ QUERIES = {
     "rel_distinct_edges": q_rel_distinct_edges,
     "rel_top_outdegree": q_rel_top_outdegree,
     "rel_pagerank10": q_rel_pagerank10,
+    "rel_pagerank10_pull": q_rel_pagerank10_pull,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
+    "rel_wcc_stats": q_rel_wcc_stats,
+    "rel_sssp_maxdist": q_rel_sssp_maxdist,
     "rel_labelprop": q_rel_labelprop,
     "rel_bfs": q_rel_bfs,
     "rel_sssp_hops": q_rel_sssp_hops,
+    "rel_sssp_parent": q_rel_sssp_parent,
     "rel_spmv": q_rel_spmv,
     "rel_spmv_edgecentric": q_rel_spmv_edgecentric,
     "rel_sssp_weighted": q_rel_sssp_weighted,
@@ -762,6 +927,7 @@ QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_quality": q_docs_quality,
     "docs_lang_counts": q_docs_lang_counts,
+    "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,

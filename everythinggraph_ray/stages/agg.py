@@ -55,6 +55,43 @@ def bucketed_reduce(
     )
 
 
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_by: list[tuple[str, bool]],
+    k: int,
+    *,
+    rank_col: str | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per group (corpus curation: top docs per language /
+    domain). ``order_by`` is [(col, ascending)]; include a unique column
+    as the last key for a deterministic result.
+
+    Shape: per-batch partial top-k (the combiner — at most k × groups
+    rows leave each batch, so the shuffle moves k·|groups| rows, never
+    the corpus) → ``groupby(group).map_groups`` final top-k. Optionally
+    emits 1-based ``rank_col`` within each group."""
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(cols, ascending=asc, kind="stable")
+        out = df.groupby(group_col, as_index=False, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g) -> "pa.Table":
+        df = g.sort_values(cols, ascending=asc, kind="stable").head(k).reset_index(drop=True)
+        if rank_col is not None:
+            df[rank_col] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """Cheap 64-bit integer mix (splitmix64 finalizer) for bucket hashing —
     avoids bucket skew when keys are sequential ints."""

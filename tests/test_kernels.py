@@ -178,3 +178,131 @@ def test_cross_variant_wcc_dataset_vs_actor(engine_und, small_edges, small_corpu
     vids, lab = _vals(res, "wcc")
     assert np.array_equal(t["vid"].to_numpy(), vids)
     assert np.array_equal(t["component"].to_numpy(), lab)
+
+
+def test_pull_pagerank_matches_push_engine(tmp_path):
+    """Push (src-partitioned scatter-combine) and pull (dst-partitioned
+    CSC gather with static value routing) formulations agree allclose
+    1e-6 — the reference's push-vs-pull methodology
+    (pagerank_simple.c:30-84)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import PageRankKernel
+    from everythinggraph_ray.graph.pull import pagerank_pull
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    src = rng.integers(0, 800, n)
+    dst = rng.integers(0, 800, n)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+
+    push_dir = str(tmp_path / "push")
+    build_graph(edges, push_dir, num_partitions=4, hub_threshold=10**9)
+    eng = GraphEngine(push_dir)
+    try:
+        push = (
+            eng.run(PageRankKernel(), tol=1e-6)["dataset"]
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+    finally:
+        eng.shutdown()
+
+    pull_dir = str(tmp_path / "pull")
+    build_graph(
+        edges, pull_dir, num_partitions=4, hub_threshold=10**9, partition_edges_by="dst"
+    )
+    pull = (
+        pagerank_pull(pull_dir, tol=1e-6)["dataset"]
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(push["vid"].to_numpy(), pull["vid"].to_numpy())
+    assert np.allclose(push["pagerank"].to_numpy(), pull["pagerank"].to_numpy(), atol=1e-6)
+    # and with a fixed schedule the two are near-bit-identical (same float64
+    # rule, different association only)
+    eng = GraphEngine(push_dir)
+    try:
+        p10 = (
+            eng.run(PageRankKernel(), n_iters=10)["dataset"]
+            .to_pandas()
+            .sort_values("vid")["pagerank"]
+            .to_numpy()
+        )
+    finally:
+        eng.shutdown()
+    q10 = (
+        pagerank_pull(pull_dir, n_iters=10)["dataset"]
+        .to_pandas()
+        .sort_values("vid")["pagerank"]
+        .to_numpy()
+    )
+    assert np.allclose(p10, q10, atol=1e-12)
+
+
+def test_parent_sssp_and_validator(tmp_path):
+    """Parent-tracking SSSP: dists equal plain hop-SSSP, the parent tree
+    passes the distributed structural validator, and a corrupted parent
+    is caught."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import (
+        ParentSSSPHopsKernel,
+        SSSPHopsKernel,
+        UNREACHED,
+    )
+    from everythinggraph_ray.graph.validate import validate_parents
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    src = rng.integers(0, 600, n)
+    dst = rng.integers(0, 600, n)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    bdir = str(tmp_path / "g")
+    build_graph(edges, bdir, num_partitions=4, hub_threshold=10**9)
+    root = int(min(src.min(), dst.min()))
+
+    eng = GraphEngine(bdir)
+    try:
+        plain = (
+            eng.run(SSSPHopsKernel(root))["dataset"].to_pandas().sort_values("vid")
+        )
+    finally:
+        eng.shutdown()
+    eng = GraphEngine(bdir)
+    try:
+        packed = (
+            eng.run(ParentSSSPHopsKernel(root))["dataset"].to_pandas().sort_values("vid")
+        )
+    finally:
+        eng.shutdown()
+
+    dist, parent = ParentSSSPHopsKernel.decode(packed["sssp_parent"].to_numpy())
+    assert np.array_equal(dist, plain["sssp_hops"].to_numpy())
+
+    res = pd.DataFrame({"vid": packed["vid"].to_numpy(), "dist": dist, "parent": parent})
+    ok = validate_parents(ray.data.from_pandas(res), edges, root)
+    assert ok["dist_violations"] == 0 and ok["edge_violations"] == 0
+    assert ok["n_claims"] == int(((dist != UNREACHED) & (res["vid"] != root)).sum())
+
+    # corrupt one reached vertex's parent → both checks must trip
+    bad = res.copy()
+    i = bad.index[(bad["dist"] == 2)][0]
+    bad.loc[i, "parent"] = int(bad.loc[i, "vid"])  # self-parent: wrong dist + no edge
+    notok = validate_parents(ray.data.from_pandas(bad), edges, root)
+    assert notok["dist_violations"] >= 1 or notok["edge_violations"] >= 1

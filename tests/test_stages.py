@@ -78,3 +78,47 @@ def test_empty_and_degenerate_graphs(tmp_path):
         assert r2["dataset"].to_pandas()["bfs"].tolist() == [1]
     finally:
         eng2.shutdown()
+
+
+def test_grouped_top_k():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.stages.agg import grouped_top_k
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    g = rng.integers(0, 7, n)
+    val = rng.random(n)
+    ids = np.arange(n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array(g, pa.int64()),
+                "val": pa.array(val, pa.float64()),
+                "id": pa.array(ids, pa.int64()),
+            }
+        )
+    ).repartition(9)  # several batches → exercises the partial combiner
+    got = (
+        grouped_top_k(ds, "grp", [("val", False), ("id", True)], 3, rank_col="rk")
+        .to_pandas()
+        .sort_values(["grp", "rk"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"grp": g, "val": val, "id": ids})
+        .sort_values(["val", "id"], ascending=[False, True], kind="stable")
+        .groupby("grp", as_index=False, sort=False)
+        .head(3)
+        .sort_values(["grp", "val"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 21
+    for grp in range(7):
+        a = got[got["grp"] == grp]
+        b = want[want["grp"] == grp]
+        assert a["id"].tolist() == b["id"].tolist()
+        assert a["rk"].tolist() == [1, 2, 3]
