@@ -218,7 +218,7 @@ def embedding_near_duplicates(
     ``group_pairs`` (oversized buckets star around their min id instead of
     silently dropping), the verify is the bucketed co-group of
     datapipe/pairs.py — pairs and vectors never land on the driver."""
-    from everythinggraph_ray.datapipe.pairs import distinct_pairs, group_pairs, pairwise_verify
+    from everythinggraph_ray.datapipe.pairs import group_pairs, pairwise_verify
 
     first = embeddings.take(1)[0]
     dim = len(first[emb_col])
@@ -245,13 +245,11 @@ def embedding_near_duplicates(
             }
         )
 
-    cand = distinct_pairs(
-        group_pairs(
-            embeddings.map_batches(bucketize, batch_format="pyarrow"),
-            ["bucket"],
-            max_bucket=max_bucket,
-        )
-    )
+    cand = group_pairs(
+        embeddings.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"],
+        max_bucket=max_bucket,
+    )  # duplicates across probe buckets dedupe inside the verify co-group
 
     def payloads(batch: pa.Table) -> pa.Table:
         col = batch[emb_col]

@@ -19,6 +19,7 @@ never do. Replaces the round-1 driver-side verify flagged in VERDICT.md
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -121,7 +122,10 @@ def pairwise_verify(
     def attach(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
         pay = df[df["role"] == _ROLE_PAYLOAD][["key", "pay"]]
-        ends = df[df["role"] != _ROLE_PAYLOAD][["key", "a", "b", "role"]]
+        # duplicate candidate pairs (proposed by several bands/chunks) all
+        # land in this bucket for a given endpoint — dedupe here, so
+        # callers don't need a separate DISTINCT shuffle before verify
+        ends = df[df["role"] != _ROLE_PAYLOAD][["key", "a", "b", "role"]].drop_duplicates()
         m = ends.merge(pay, on="key", how="inner")
         return pa.table(
             {
@@ -141,23 +145,36 @@ def pairwise_verify(
         return (mix64(a) ^ mix64(~b)).astype(np.int64) & 0x7FFFFFFF
 
     def score(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_s: list[float] = []
-        # per-pair scoring is inherent (exact Jaccard / cosine of ONE pair);
-        # the loop is over this bucket's pairs only — never the driver
-        for (a, b), grp in df.groupby(["a", "b"], sort=False):
-            sa = grp.loc[grp["role"] == _ROLE_SIDE_A, "pay"]
-            sb = grp.loc[grp["role"] == _ROLE_SIDE_B, "pay"]
-            if len(sa) and len(sb):
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_s.append(float(score_fn(np.asarray(sa.iloc[0]), np.asarray(sb.iloc[0]))))
+        # each pair contributes exactly one SIDE_A and one SIDE_B row (the
+        # attach merge is against a one-row-per-doc payload table): sort by
+        # (a, b, role) and slice adjacent complete runs — NO pandas
+        # per-group iteration (1 ms/group × 10^5 pairs was the bottleneck)
+        df = g.to_pandas().sort_values(["a", "b", "role"], kind="stable")
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        role = df["role"].to_numpy(np.int8)
+        pay = df["pay"].to_numpy()
+        n = len(a)
+        if n == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.float64()),
+                }
+            )
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        ok = (lens == 2) & (role[starts] == _ROLE_SIDE_A)
+        i = starts[ok]
+        # per-pair scoring is inherent (exact Jaccard / cosine of ONE
+        # pair); the loop covers this bucket's pairs only — never the driver
+        out_s = [float(score_fn(np.asarray(pay[j]), np.asarray(pay[j + 1]))) for j in i]
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
+                "a": pa.array(a[i], pa.int64()),
+                "b": pa.array(b[i], pa.int64()),
                 out_col: pa.array(np.round(out_s, 8), pa.float64()),
             }
         )
@@ -184,8 +201,15 @@ def group_pairs(
     *,
     max_bucket: int = 512,
     id_col: str = "doc_id",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """(id, group...) rows → candidate (a, b) pairs per group (a < b).
+
+    LSH band tables have ~|corpus| distinct groups, so a per-group
+    ``map_groups`` pays Ray's per-group overhead ~10^5 times (the round-1
+    80x lesson); instead groups are HASH-BUCKETED (all rows of a group in
+    one bucket) and each bucket resolves all its groups in one pandas
+    pass.
 
     Degenerate buckets (hash collisions / boilerplate): a group larger
     than ``max_bucket`` emits a STAR around its minimum id instead of the
@@ -195,25 +219,47 @@ def group_pairs(
     surfaced in the output as ``starred=True`` rows rather than silently
     dropped (ADVICE round 1)."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame(
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in group_cols:
+            h = mix64(h ^ batch[c].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return h.astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(group_cols + [id_col])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_star: list[np.ndarray] = []
+        for _, grp in df.groupby(group_cols, sort=False):
+            ids = np.sort(grp[id_col].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                out_a.append(np.full(len(ids) - 1, ids[0]))
+                out_b.append(ids[1:])
+                out_star.append(np.ones(len(ids) - 1, dtype=bool))
+            else:
+                i, j = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_star.append(np.zeros(len(i), dtype=bool))
+        if not out_a:
+            return pa.table(
                 {
-                    "a": pd.array([], dtype="int64"),
-                    "b": pd.array([], dtype="int64"),
-                    "starred": pd.array([], dtype="bool"),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "starred": pa.array([], pa.bool_()),
                 }
             )
-        if len(ids) > max_bucket:
-            hub = ids[0]
-            return pd.DataFrame(
-                {"a": np.full(len(ids) - 1, hub), "b": ids[1:], "starred": True}
-            )
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j], "starred": False})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "starred": pa.array(np.concatenate(out_star), pa.bool_()),
+            }
+        )
 
-    return grouped.groupby(group_cols).map_groups(pairs, batch_format="pandas")
+    return bucketed_reduce(grouped, bucket_of, red, num_buckets=num_buckets)
 
 
 def cluster_pairs(pairs: ray.data.Dataset, *, num_partitions: int = 4) -> ray.data.Dataset:
@@ -221,28 +267,93 @@ def cluster_pairs(pairs: ray.data.Dataset, *, num_partitions: int = 4) -> ray.da
     WCCKernel engine (graph/engine.py) — the scale path VERDICT.md asked
     for: min-label propagation gives every member the MINIMUM doc_id of
     its cluster, identical to union-find with min-root merging. Returns
-    (doc_id, cluster_id)."""
+    (doc_id, cluster_id).
+
+    Builds a LEAN engine layout directly (two partitioned spills + a
+    hand-written meta.json): the full ``build_graph`` computes out-degrees
+    and hub splits that a min-semiring WCC never reads — skipping them
+    halves the fixed orchestration cost of clustering a small pair set."""
+    import json
     import shutil
     import tempfile
 
-    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.build import _write_partitioned
     from everythinggraph_ray.graph.engine import GraphEngine
     from everythinggraph_ray.graph.kernels import WCCKernel
-    from everythinggraph_ray.stages.edges import undirect_edges
+    from everythinggraph_ray.stages.agg import bucketed_reduce
 
-    def as_edges(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch["a"], "dst": batch["b"]})
-
-    edges = pairs.map_batches(as_edges, batch_format="pyarrow")
+    P = int(num_partitions)
+    # consumed twice below (edge spill + vertex universe): materialize so
+    # the upstream verify pipeline doesn't execute twice — the verified
+    # pair table is small relative to the corpus by construction
+    pairs = pairs.materialize()
     bdir = tempfile.mkdtemp(prefix="neardup_wcc_")
     try:
-        meta = build_graph(undirect_edges(edges), bdir, num_partitions=num_partitions)
-        if meta["n_edges"] == 0:
+        def as_sym_edges(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            src = np.concatenate([a, b])  # symmetric: WCC needs both directions
+            dst = np.concatenate([b, a])
+            return pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                    "spart": pa.array(src % P, pa.int64()),
+                }
+            )
+
+        em = _write_partitioned(
+            pairs.map_batches(as_sym_edges, batch_format="pyarrow"),
+            os.path.join(bdir, "edges"),
+            "spart",
+        )
+        n_edges = int(sum(em.values()))
+        if n_edges == 0:
             return ray.data.from_arrow(
                 pa.table(
                     {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
                 )
             )
+
+        def endpoints(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"vid": pa.array(np.unique(np.concatenate([a, b])), pa.int64())})
+
+        def vbucket(batch: pa.Table) -> np.ndarray:
+            return mix64(batch["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+        def vred(g: pa.Table) -> pa.Table:
+            v = np.unique(g["vid"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "vid": pa.array(v, pa.int64()),
+                    "outdeg": pa.array(np.ones(len(v), np.int64), pa.int64()),  # unused by WCC
+                    "vpart": pa.array(v % P, pa.int64()),
+                }
+            )
+
+        verts = bucketed_reduce(
+            pairs.map_batches(endpoints, batch_format="pyarrow"), vbucket, vred
+        )
+        vm = _write_partitioned(verts, os.path.join(bdir, "verts"), "vpart")
+        meta = {
+            "P": P,
+            "n_vertices": int(sum(vm.values())),
+            "n_edges": n_edges,
+            "weighted": False,
+            "partition_edges_by": "src",
+            "hub_threshold": 1 << 62,
+            "hub_vids": [],
+            "hub_outdeg": [],
+            "edge_parts": {int(k): int(v) for k, v in em.items()},
+            "vert_parts": {int(k): int(v) for k, v in vm.items()},
+        }
+        with open(os.path.join(bdir, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(bdir, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
         eng = GraphEngine(bdir)
         try:
             res = eng.run(WCCKernel())

@@ -125,7 +125,10 @@ def _write_partitioned(
         )
 
     os.makedirs(out_dir, exist_ok=True)
-    man = ds.map_batches(spill, batch_format="pyarrow", batch_size=1024 * 1024).to_pandas()
+    # 4M-row spill batches: ~100 MB heap per task (narrow int64 columns),
+    # 4x fewer chunk files than 1M — a 128M-row build stays under
+    # max_files per partition without needing the compaction pass
+    man = ds.map_batches(spill, batch_format="pyarrow", batch_size=4 * 1024 * 1024).to_pandas()
     if not len(man):
         return {}
 

@@ -531,6 +531,10 @@ class GraphEngine:
                 break
 
         out_refs = [a.collect.remote(kernel.name) for a in self.actors]
+        # wait for collection BEFORE returning: the caller may shutdown()
+        # the actors next, and a still-queued collect task would die with
+        # them (the blocks themselves are driver-owned and survive)
+        ray.wait(out_refs, num_returns=len(out_refs))
         ds = ray.data.from_arrow_refs(out_refs)
         return {
             "dataset": ds,
@@ -581,6 +585,7 @@ class GraphEngine:
             for i in range(limit)
         ]
         out_refs = [a.collect.remote(kernel.name) for a in self.actors]
+        ray.wait(out_refs, num_returns=len(out_refs))  # see run(): pre-shutdown safety
         return {
             "dataset": ray.data.from_arrow_refs(out_refs),
             "iterations": limit,
