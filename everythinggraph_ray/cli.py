@@ -31,6 +31,7 @@ def _get_kernel(args):
         "labelprop": lambda: K.LabelPropKernel(),
         "bfs": lambda: K.BFSKernel(args.root),
         "sssp": lambda: K.SSSPHopsKernel(args.root),
+        "sssp-parent": lambda: K.ParentSSSPHopsKernel(args.root),
         "sssp-weighted": lambda: K.SSSPWeightedKernel(args.root),
         "spmv": lambda: K.SpMVKernel(),
     }
@@ -41,7 +42,18 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="everythinggraph_ray")
     p.add_argument(
         "kernel",
-        choices=["pagerank", "wcc", "labelprop", "bfs", "sssp", "sssp-weighted", "spmv", "triangles"],
+        choices=[
+            "pagerank",
+            "pagerank-pull",
+            "wcc",
+            "labelprop",
+            "bfs",
+            "sssp",
+            "sssp-parent",
+            "sssp-weighted",
+            "spmv",
+            "triangles",
+        ],
     )
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages parquet dir (url,warc_ts,html,text,lang)")
@@ -102,6 +114,30 @@ def main(argv: list[str] | None = None) -> int:
     import os
 
     bdir = args.build_dir or os.path.join(args.out, "build")
+
+    if args.kernel == "pagerank-pull":
+        from everythinggraph_ray.graph.pull import pagerank_pull
+
+        build_graph(
+            edges, bdir, num_partitions=args.partitions, partition_edges_by="dst"
+        )
+        res = pagerank_pull(
+            bdir, damping=args.damping, tol=args.tol, n_iters=args.n_iters
+        )
+        save_results(res, args.out)
+        print(
+            json.dumps(
+                {
+                    "kernel": "pagerank-pull",
+                    "iterations": res["iterations"],
+                    "n_vertices": res["n_vertices"],
+                    "n_edges": res["n_edges"],
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
     build_graph(edges, bdir, num_partitions=args.partitions, weighted=weighted)
     eng = GraphEngine(bdir)
     try:

@@ -579,6 +579,83 @@ def q_events_sessions(sf_dir):
     return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
+def q_events_sliding(sf_dir):
+    """2-hour sliding windows, 1-hour hop, per user: each event at hour h
+    belongs to the windows starting at h-1 and h — emitted twice in the
+    partial combiner, then one bucketed exact sum (same shape as
+    events_hourly; the window fan-out happens batch-side, never a
+    shuffle-side self-join)."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        val_u = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": np.tile(uid, 2),
+                "win_start": np.concatenate([hour - 1, hour]),
+                "v": np.tile(val_u, 2),
+            }
+        )
+        g = df.groupby(["user_id", "win_start"], as_index=False).agg(
+            n_events=("v", "size"), value_sum_u=("v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        h = batch["win_start"].to_numpy(zero_copy_only=False)
+        return (mix64(u) ^ mix64(~h)).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["user_id", "win_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), value_sum_u=("value_sum_u", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=256 * 1024), bucket_of, red
+    )
+
+
+def q_rel_degree_hist(sf_dir):
+    """Out-degree histogram (the reference prints degree stats during
+    load): degree table → groupby(outdeg) count. Distinct degrees are few,
+    so the plain Dataset groupby is the right tool here."""
+    from ray.data.aggregate import Count
+
+    return (
+        out_degrees(rel_edges(sf_dir))
+        .groupby("outdeg")
+        .aggregate(Count(alias_name="n_vertices"))
+    )
+
+
+def q_docs_token_count_bpe(sf_dir):
+    """BPE-ish token counting: letter runs / digit runs / single
+    non-alnum-non-space marks (the standard pre-tokenizer split, RE2-safe
+    so DuckDB's regexp_extract_all counts identically)."""
+    BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], BPE_RE), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_q1_returnflag(sf_dir):
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -882,6 +959,21 @@ ORACLES: dict[str, str] = {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM x GROUP BY user_id"
     ),
+    "events_sliding": (
+        "SELECT user_id, epoch_us(ts) // 3600000000 - x.i AS win_start, "
+        "count(*) AS n_events, "
+        "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_u "
+        "FROM events, (VALUES (0), (1)) x(i) GROUP BY user_id, win_start"
+    ),
+    "rel_degree_hist": (
+        f"WITH e AS ({SQL_REL_EDGES}), d AS (SELECT vid, CAST(sum(c) AS BIGINT) AS outdeg FROM "
+        "(SELECT src AS vid, 1 AS c FROM e UNION ALL SELECT DISTINCT dst AS vid, 0 AS c FROM e) t "
+        "GROUP BY vid) SELECT outdeg, count(*) AS n_vertices FROM d GROUP BY outdeg"
+    ),
+    "docs_token_count_bpe": (
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
+    ),
     "q1_returnflag": (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
@@ -939,6 +1031,9 @@ QUERIES = {
     "knn_top10": q_knn_top10,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_sliding": q_events_sliding,
+    "rel_degree_hist": q_rel_degree_hist,
+    "docs_token_count_bpe": q_docs_token_count_bpe,
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
 }
