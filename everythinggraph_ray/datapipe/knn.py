@@ -90,6 +90,144 @@ def knn_bruteforce(
     return top[["query_id", "neighbor_id", "rank"]].astype("int64")
 
 
+def _grouped_search(
+    bucketed: ray.data.Dataset,
+    probe: dict[int, list[tuple[int, np.ndarray]]],
+    *,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    bucket_col: str = "bucket",
+) -> pd.DataFrame:
+    """One grouped pass: each bucket group brute-forces only the queries
+    probing it (inverted probe map broadcast via ray.put), tiny global
+    combine ranks the candidates. Shared by knn_lsh and knn_ivf."""
+    probe_ref = ray.put(
+        {
+            b: (np.array([q for q, _ in v], np.int64), np.stack([m for _, m in v]))
+            for b, v in probe.items()
+        }
+    )
+
+    def search(g: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(probe_ref)
+        got = pm.get(int(g[bucket_col].iloc[0]))
+        if got is None:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int64"),
+                    "neighbor_id": pd.array([], dtype="int64"),
+                    "sim": pd.array([], dtype="float64"),
+                }
+            )
+        qids, qm = got
+        ids = g[id_col].to_numpy(np.int64)
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        sims = m @ qm.T  # (bucket_n, Q_b)
+        kk = min(k + 1, len(ids))  # +1: the query itself lives in one bucket
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            s = sims[:, j]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(len(top), qids[j], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(s[top])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    cand = (
+        bucketed.groupby(bucket_col)
+        .map_groups(search, batch_format="pandas")
+        .to_pandas()  # ≤ |queries| × probed buckets × (k+1) rows — small
+    )
+    if not len(cand):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = cand.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    top = cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 8,
+    sample_cap: int = 4096,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate top-k — the centroid-partitioned scale path:
+
+    1. train: deterministic spherical k-means on a BOUNDED sample
+       (``vec_id``-hash subsample, never the corpus) on the driver —
+       the centroid table is tiny and becomes the broadcast side;
+    2. assign: one map_batches pass tags every vector with its nearest
+       centroid (the inverted-file list);
+    3. search: each query probes its ``n_probe`` nearest centroid lists;
+       one grouped pass brute-forces each list against only the queries
+       probing it (shared _grouped_search machinery)."""
+    # --- bounded deterministic sample for training -----------------------
+    from everythinggraph_ray.stages.agg import mix64
+
+    total = embeddings.count()
+    mod = max(1, total // sample_cap)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(mix64(ids) % np.uint64(mod) == 0))
+
+    sm = embeddings.map_batches(sample, batch_format="pyarrow").to_pandas()
+    X = _normalize(np.stack(sm[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-30)
+    cref = ray.put(cents)
+
+    # --- assignment pass --------------------------------------------------
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        cent = np.argmax(m @ cm.T, axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(cent, pa.int64()))
+
+    bucketed = embeddings.map_batches(assign_batch, batch_format="pyarrow").materialize()
+
+    # --- probe map for the queries ---------------------------------------
+    qset = sorted(int(q) for q in query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qdf = bucketed.map_batches(grab, batch_format="pyarrow").to_pandas()
+    probe: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for _, qrow in qdf.iterrows():
+        qv = np.asarray(qrow[emb_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        near = np.argsort(-(cents @ qv))[: min(n_probe, len(cents))]
+        for c in near:
+            probe.setdefault(int(c), []).append((int(qrow[id_col]), qv))
+
+    return _grouped_search(bucketed, probe, k=k, id_col=id_col, emb_col=emb_col)
+
+
 def knn_lsh(
     embeddings: ray.data.Dataset,
     query_ids: list[int],

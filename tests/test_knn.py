@@ -83,3 +83,32 @@ def test_embedding_near_duplicates():
         assert (i, 50 + i) in pairs, f"missing near-dup pair {(i, 50+i)}"
     # unrelated random vectors in 16-d rarely reach cos 0.98
     assert len(pairs) < 15
+
+
+def test_ivf_recall():
+    """IVF on clustered data: decent recall vs brute force, and probing
+    ALL centroids recovers the exact answer."""
+    from everythinggraph_ray.datapipe.knn import knn_ivf
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((6, 16)) * 4
+    m = np.vstack([c + rng.standard_normal((80, 16)) for c in centers]).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float32(), 16)),
+            }
+        )
+    )
+    brute = knn_bruteforce(ds, [3, 200], k=10)
+    approx = knn_ivf(ds, [3, 200], k=10, n_centroids=8, n_probe=3, sample_cap=480)
+    for q in (3, 200):
+        b = set(brute[brute.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        assert len(a & b) / len(b) >= 0.5, f"query {q} recall too low"
+    # probing every centroid == exact brute force
+    exact = knn_ivf(ds, [3], k=10, n_centroids=8, n_probe=8, sample_cap=480)
+    got = exact.sort_values("rank")["neighbor_id"].to_numpy()
+    want = brute[brute.query_id == 3].sort_values("rank")["neighbor_id"].to_numpy()
+    assert np.array_equal(got, want)
