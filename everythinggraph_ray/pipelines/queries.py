@@ -503,6 +503,74 @@ def q_emb_near_dup(sf_dir):
     )
 
 
+def q_multimodal_features(sf_dir):
+    """Multimodal decode plumbing over a real binary column: the web
+    corpus's html payloads through the actor-pool decode stage
+    (deterministic stub codec — no image libs in this container; the
+    schema / batch-sizing / binary-drop plumbing is the real pattern).
+    Rows-only check; determinism asserted in tests."""
+    from everythinggraph_ray.datapipe.multimodal import decode_features
+    from everythinggraph_ray.hashing import urls_to_vids
+
+    pages = ray.data.read_parquet(_corpus_for(sf_dir), columns=["url", "html"])
+
+    def as_items(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": pa.array(urls_to_vids(batch["url"]), pa.int64()),
+                "payload": batch["html"],
+            }
+        )
+
+    feats = decode_features(
+        pages.map_batches(as_items, batch_format="pyarrow"), batch_size=128
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        f = batch["features"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        m = f.flatten().to_numpy(zero_copy_only=False).reshape(len(f), -1)
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "n_bytes": batch["n_bytes"],
+                "feat_mean": pa.array(np.round(m.mean(axis=1), 6), pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_multimodal_frames(sf_dir):
+    """Frame-sampling plumbing (video-style explode) over the corpus html
+    payloads: (item_id, frame_idx, frame_bytes_len). Rows-only check."""
+    from everythinggraph_ray.datapipe.multimodal import frame_sample
+    from everythinggraph_ray.hashing import urls_to_vids
+
+    pages = ray.data.read_parquet(_corpus_for(sf_dir), columns=["url", "html"])
+
+    def as_items(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": pa.array(urls_to_vids(batch["url"]), pa.int64()),
+                "payload": batch["html"],
+            }
+        )
+
+    frames = frame_sample(pages.map_batches(as_items, batch_format="pyarrow"), every_n=4)
+    return frames.map_batches(
+        lambda t: pa.table(
+            {
+                "item_id": t["item_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_len": pc.cast(pc.binary_length(t["frame"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_rel_wcc_dataset(sf_dir):
     """Pure-Dataset WCC cross-variant (dataset_kernels.wcc_dataset) — the
     push-vs-pull style second formulation; same SQL oracle as rel_wcc."""
@@ -1051,6 +1119,8 @@ QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_simhash_dedup": q_docs_simhash_dedup,
     "emb_near_dup": q_emb_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "rel_wcc_dataset": q_rel_wcc_dataset,
     "knn_top10": q_knn_top10,
     "knn_ivf_top10": q_knn_ivf_top10,

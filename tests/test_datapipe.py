@@ -282,3 +282,15 @@ def test_simhash_stage_matches_per_doc_reference():
             if v[j] > 0:
                 want |= 1 << j
         assert got[i] == want & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def test_multimodal_queries_rows_and_determinism():
+    from everythinggraph_ray.pipelines.queries import q_multimodal_features, q_multimodal_frames
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["item_id", "n_bytes", "feat_mean"]
+    f1 = q_multimodal_features(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    f2 = q_multimodal_features(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    assert len(f1) > 0 and f1.equals(f2)
+    fr = q_multimodal_frames(sf).to_pandas()
+    assert len(fr) > 0 and (fr["frame_len"] > 0).all() and (fr["frame_idx"] >= 0).all()
