@@ -37,3 +37,29 @@ def test_web_corpus_triangles(small_edges):
     want = O.triangles_oracle(sv, dv)
     got = triangle_count(_edges_ds(sv, dv))
     assert got == want
+
+
+def test_triangles_63bit_vids_and_partitioned_attach():
+    """The general path: 63-bit vids (two-column close match) with the
+    partitioned degree attach (broadcast_threshold=0) must count exactly
+    the same triangles as the packed small-vid fast path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.triangles import triangle_count
+
+    rng = np.random.default_rng(7)
+    n = 30000
+    src = rng.integers(0, 400, n)
+    dst = rng.integers(0, 400, n)
+
+    def ds_of(s, d):
+        return ray.data.from_arrow(
+            pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        )
+
+    small = triangle_count(ds_of(src, dst))
+    shift = np.int64(1) << np.int64(40)  # vids >= 2^31 → two-column path
+    big = triangle_count(ds_of(src + shift, dst + shift), broadcast_threshold=0)
+    assert small == big > 0
