@@ -16,9 +16,10 @@ Vectorized two-round algorithm over Ray Data:
 3. Wedges: per src-hash bucket, emit all orientation-ordered pairs
    (v,w) ⊂ N+(u) — numpy triu indices per vertex, no per-edge Python.
 4. Close: wedge rows and oriented-edge rows meet in a hash bucket of
-   their (v,w) vid pair; matches counted with one vectorized pandas
-   merge per bucket (vids are arbitrary int64, so the key stays two
-   columns — no lossy packing).
+   their closing pair; wedge multiplicities are pre-aggregated by the
+   wedge stage (combiner), and the match is numpy-exact — packed int64
+   keys when vids < 2^31, two-column lexsort densification for
+   arbitrary 63-bit vids.
 
 Partitioning assumption: wedge/edge co-location by hash of the closing
 pair (Ray Data groupby shuffle). Every stage's state is O(bucket), never
@@ -28,7 +29,6 @@ O(V) on any single node or the driver.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

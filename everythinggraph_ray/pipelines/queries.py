@@ -377,6 +377,76 @@ def q_web_curation(sf_dir):
     )
 
 
+def q_web_top_per_domain(sf_dir):
+    """Composed: PageRank over the web graph, then the top-3 pages per
+    DOMAIN by rank (grouped top-k over a rank⋈url co-group — the corpus
+    curation 'best pages per site' shape). Rows-only check; grouped_top_k
+    exactness is pytest-covered."""
+    from urllib.parse import urlsplit
+
+    from everythinggraph_ray.hashing import urls_to_vids
+    from everythinggraph_ray.stages.agg import bucketed_reduce, grouped_top_k, mix64
+
+    corpus = _corpus_for(sf_dir)
+    bdir = build_dir_for(f"web|{corpus}", 8)
+    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=8)
+    eng = GraphEngine(bdir)
+    try:
+        ranks = eng.run(PageRankKernel(), tol=1e-6)["dataset"].materialize()
+    finally:
+        eng.shutdown()
+
+    # url table: vid ↔ (url, domain); join ranks by vid via bucketed co-group
+    def url_rows(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        domains = [urlsplit(u).netloc.lower() for u in urls]
+        return pa.table(
+            {
+                "vid": pa.array(urls_to_vids(batch["url"]), pa.int64()),
+                "domain": pa.array(domains, pa.string()),
+                "pagerank": pa.array(np.full(len(urls), -1.0), pa.float64()),
+                "role": pa.array(np.zeros(len(urls), np.int8), pa.int8()),
+            }
+        )
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "vid": batch["vid"],
+                "domain": pa.array([""] * n, pa.string()),
+                "pagerank": batch["pagerank"],
+                "role": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    pages = ray.data.read_parquet(corpus, columns=["url"])
+    unioned = pages.map_batches(url_rows, batch_format="pyarrow").union(
+        ranks.map_batches(rank_rows, batch_format="pyarrow")
+    )
+
+    def by_vid(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def join(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        u = df[df["role"] == 0][["vid", "domain"]].drop_duplicates("vid")
+        r = df[df["role"] == 1][["vid", "pagerank"]]
+        m = u.merge(r, on="vid", how="inner")
+        return pa.table(
+            {
+                "vid": pa.array(m["vid"].to_numpy(np.int64), pa.int64()),
+                "domain": pa.array(m["domain"].astype(str), pa.string()),
+                "pagerank": pa.array(np.round(m["pagerank"].to_numpy(), 8), pa.float64()),
+            }
+        )
+
+    joined = bucketed_reduce(unioned, by_vid, join)
+    return grouped_top_k(
+        joined, "domain", [("pagerank", False), ("vid", True)], 3, rank_col="rk"
+    )
+
+
 def q_web_wcc(sf_dir):
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"webund|{corpus}", 8)
@@ -1106,6 +1176,7 @@ QUERIES = {
     "web_pagerank": q_web_pagerank,
     "web_top10": q_web_top10,
     "web_wcc": q_web_wcc,
+    "web_top_per_domain": q_web_top_per_domain,
     "web_curation": q_web_curation,
     "doc_stats": q_doc_stats,
     "docs_exact_dedup": q_docs_exact_dedup,
