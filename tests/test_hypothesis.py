@@ -67,3 +67,87 @@ def test_oracle_invariants(edge_list):
     root = int(vids[0])
     _, d = O.bfs_oracle(src, dst, root)
     assert d[0] == 1  # root at level 1 (vids[0] == root)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=60),
+    st.integers(min_value=1, max_value=4),
+)
+def test_grouped_top_k_property(groups, k):
+    """grouped_top_k == pandas reference on arbitrary group/value data."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.stages.agg import grouped_top_k
+
+    n = len(groups)
+    rng = np.random.default_rng(n * 31 + k)
+    vals = np.round(rng.random(n), 3)  # rounded → deliberate ties
+    ids = np.arange(n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(groups, pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+                "id": pa.array(ids, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        grouped_top_k(ds, "g", [("v", False), ("id", True)], k)
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"g": groups, "v": vals, "id": ids})
+        .sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .groupby("g", as_index=False, sort=False)
+        .head(k)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert got[["g", "v", "id"]].equals(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.sampled_from(["a b c d", "a b c e", "x y z w", "p q r s"]), min_size=2, max_size=12))
+def test_pairwise_verify_property(texts):
+    """Distributed pair verify == direct jaccard for every candidate pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.datapipe.dedup import _token_shingles, jaccard, shingle_payloads
+    from everythinggraph_ray.datapipe.pairs import pairwise_verify
+
+    ids = list(range(len(texts)))
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    )
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    out = (
+        pairwise_verify(
+            shingle_payloads(docs), pairs_ds, jaccard, out_col="jaccard",
+            pay_type=pa.list_(pa.int64()),
+        )
+        .to_pandas()
+        .set_index(["a", "b"])["jaccard"]
+    )
+    assert len(out) == len(pairs)
+    for a, b in pairs:
+        want = jaccard(
+            np.sort(_token_shingles(texts[a])), np.sort(_token_shingles(texts[b]))
+        )
+        assert abs(out.loc[(a, b)] - want) < 1e-7
