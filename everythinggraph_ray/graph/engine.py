@@ -429,10 +429,28 @@ class GraphEngine:
             self.meta = json.load(fh)
         self.build_dir = build_dir
         self.P = int(self.meta["P"])
+        self._actor_cpus = actor_cpus
+        self._cpu_limit = cpu_limit
+        self._spawn_actors()
+
+    def _spawn_actors(self):
         self.actors = [
-            GraphPartition.options(num_cpus=actor_cpus).remote(p, build_dir, self.meta, cpu_limit)
+            GraphPartition.options(num_cpus=self._actor_cpus).remote(
+                p, self.build_dir, self.meta, self._cpu_limit
+            )
             for p in range(self.P)
         ]
+
+    def _rebuild_actors(self):
+        """Kill whatever survives and respawn the fleet (the partitioned
+        build on disk is the source of truth for topology; values come
+        from the latest checkpoint or a fresh init)."""
+        for a in self.actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self._spawn_actors()
 
     def run(
         self,
@@ -444,9 +462,44 @@ class GraphEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
         resume: bool = False,
+        max_recoveries: int = 2,
     ) -> dict:
-        """Run ``kernel`` to convergence (or ``n_iters``). Returns
-        {dataset, iterations, metrics, n_vertices, n_edges}."""
+        """Run ``kernel`` to convergence (or ``n_iters``), surviving up to
+        ``max_recoveries`` partition-actor deaths: on ``RayActorError`` the
+        fleet is respawned from the on-disk build and the run continues
+        from the latest complete checkpoint (or restarts from superstep 0
+        when no checkpoint_dir is set — still correct, just slower). The
+        north rule's resume machinery doubles as mid-run fault tolerance.
+        Returns {dataset, iterations, metrics, n_vertices, n_edges}."""
+        attempt = 0
+        while True:
+            try:
+                return self._run_once(
+                    kernel,
+                    tol=tol,
+                    max_iters=max_iters,
+                    n_iters=n_iters,
+                    checkpoint_dir=checkpoint_dir,
+                    checkpoint_every=checkpoint_every,
+                    resume=resume or attempt > 0,
+                )
+            except ray.exceptions.RayActorError:
+                if attempt >= max_recoveries:
+                    raise
+                attempt += 1
+                self._rebuild_actors()
+
+    def _run_once(
+        self,
+        kernel: Kernel,
+        *,
+        tol: float = 1e-6,
+        max_iters: int = 10_000,
+        n_iters: int | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ) -> dict:
         ctx = {"n_vertices": self.meta["n_vertices"], "n_edges": self.meta["n_edges"]}
         ray.get([a.init_kernel.remote(kernel, ctx) for a in self.actors])
 

@@ -59,9 +59,11 @@ def test_resume_mid_pagerank_is_bitwise_identical(small_build, tmp_path):
 
 
 def test_actor_failure_recovery_via_resume(small_build, tmp_path):
-    """Failure model: partition actors hold volatile state; if one dies the
-    run fails fast and a NEW engine resumes from the latest complete
-    snapshot, yielding results identical to an uninterrupted run."""
+    """Failure model: partition actors hold volatile state; with
+    auto-recovery DISABLED (max_recoveries=0) a dead actor fails fast, and
+    a NEW engine resumes from the latest complete snapshot, yielding
+    results identical to an uninterrupted run. (Auto-recovery itself is
+    covered by test_engine_recovers_from_actor_death.)"""
     import ray
 
     ckpt = str(tmp_path / "ckpt2")
@@ -85,6 +87,7 @@ def test_actor_failure_recovery_via_resume(small_build, tmp_path):
                 checkpoint_dir=ckpt,
                 checkpoint_every=3,
                 resume=True,
+                max_recoveries=0,
             )
             raised = False
         except ray.exceptions.RayActorError:
@@ -171,3 +174,72 @@ def test_partitioned_write_compaction_bounds_files(tmp_path):
     t = _read_part_dir(d)
     assert t.num_rows == rows[0] == n
     assert set(t["src"].to_numpy(zero_copy_only=False)) == set(range(n))
+
+
+def test_engine_recovers_from_actor_death(tmp_path):
+    """Kill a partition actor; run() must respawn the fleet, resume from
+    the latest checkpoint, and produce results identical to an untouched
+    run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import PageRankKernel
+
+    rng = np.random.default_rng(3)
+    n = 50000
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(rng.integers(0, 900, n), pa.int64()),
+                "dst": pa.array(rng.integers(0, 900, n), pa.int64()),
+            }
+        )
+    )
+    bdir = str(tmp_path / "g")
+    build_graph(edges, bdir, num_partitions=4, hub_threshold=10**9)
+
+    # reference: clean run, fixed 8 iterations
+    eng = GraphEngine(bdir)
+    try:
+        want = (
+            eng.run(PageRankKernel(), n_iters=8, checkpoint_dir=str(tmp_path / "c0"),
+                    checkpoint_every=3)["dataset"]
+            .to_pandas()
+            .sort_values("vid")["pagerank"]
+            .to_numpy()
+        )
+    finally:
+        eng.shutdown()
+
+    # seeded checkpoint at superstep 3, then a DEAD actor before run()
+    ck = str(tmp_path / "c1")
+    eng = GraphEngine(bdir)
+    try:
+        eng.run(PageRankKernel(), n_iters=3, checkpoint_dir=ck, checkpoint_every=3)
+        ray.kill(eng.actors[1])  # partition 1 dies "mid-job"
+        got = (
+            eng.run(PageRankKernel(), n_iters=8, checkpoint_dir=ck, checkpoint_every=3)[
+                "dataset"
+            ]
+            .to_pandas()
+            .sort_values("vid")["pagerank"]
+            .to_numpy()
+        )
+    finally:
+        eng.shutdown()
+    assert np.array_equal(got, want)
+
+    # with recovery disabled the same death is fatal
+    eng = GraphEngine(bdir)
+    try:
+        ray.kill(eng.actors[2])
+        import pytest as _pytest
+
+        with _pytest.raises(ray.exceptions.RayActorError):
+            eng.run(PageRankKernel(), n_iters=2, max_recoveries=0)
+    finally:
+        eng.shutdown()
