@@ -337,9 +337,79 @@ def run_scaling() -> None:
     )
 
 
+def run_modes() -> None:
+    """The reference's whole subject is comparing execution modes on the
+    same input (random.c -m: push/pull/layout). Our analogue: PageRank via
+    (a) the actor PUSH engine, (b) the PULL engine (dst-partitioned CSC
+    gather), (c) the pure-Dataset formulation — same graph, fixed 10
+    iterations, allclose-verified against each other. One JSON line."""
+    _init_ray()
+    import numpy as np
+    import ray.data
+
+    from everythinggraph_ray.benchgraph import ensure_bench_edges
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.dataset_kernels import pagerank_dataset
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import PageRankKernel
+    from everythinggraph_ray.graph.pull import pagerank_pull
+    from everythinggraph_ray.pipelines.flagship import build_dir_for
+
+    v = int(os.environ.get("GRAFT_MODES_V", "200000"))
+    e = int(os.environ.get("GRAFT_MODES_E", "8000000"))
+    iters = int(os.environ.get("GRAFT_MODES_ITERS", "10"))
+    edir = ensure_bench_edges(v, e)
+    edges = ray.data.read_parquet(edir)
+
+    out: dict = {"metric": "pagerank_mode_comparison", "unit": "sec", "iters": iters}
+
+    push_dir = build_dir_for(f"modes-push|{edir}", P_PARTS)
+    t0 = time.perf_counter()
+    build_graph(edges, push_dir, num_partitions=P_PARTS)
+    eng = GraphEngine(push_dir)
+    try:
+        t1 = time.perf_counter()
+        push = eng.run(PageRankKernel(), n_iters=iters)["dataset"].to_pandas().sort_values("vid")
+        out["push_sec"] = round(time.perf_counter() - t1, 3)
+    finally:
+        eng.shutdown()
+    out["push_build_sec"] = round(time.perf_counter() - t0 - out["push_sec"], 3)
+
+    pull_dir = build_dir_for(f"modes-pull|{edir}", P_PARTS)
+    t0 = time.perf_counter()
+    build_graph(edges, pull_dir, num_partitions=P_PARTS, partition_edges_by="dst")
+    t1 = time.perf_counter()
+    pull = (
+        pagerank_pull(pull_dir, n_iters=iters)["dataset"].to_pandas().sort_values("vid")
+    )
+    out["pull_sec"] = round(time.perf_counter() - t1, 3)
+    out["pull_build_sec"] = round(t1 - t0, 3)
+
+    t0 = time.perf_counter()
+    dst = pagerank_dataset(edges, n_iters=iters).to_pandas().sort_values("vid")
+    out["dataset_sec"] = round(time.perf_counter() - t0, 3)
+
+    out["push_pull_allclose_1e9"] = bool(
+        np.allclose(push["pagerank"].to_numpy(), pull["pagerank"].to_numpy(), atol=1e-9)
+    )
+    out["push_dataset_allclose_1e9"] = bool(
+        np.allclose(push["pagerank"].to_numpy(), dst["pagerank"].to_numpy(), atol=1e-9)
+    )
+    out["n_vertices"] = v
+    out["n_edges"] = e
+    out["value"] = out["push_sec"]
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--modes" in sys.argv:
+        run_modes()
         return
     _init_ray()
     import ray
