@@ -237,6 +237,17 @@ def q_rel_sssp_maxdist(sf_dir):
     )
 
 
+def q_rel_labelprop_seeded(sf_dir):
+    """Label propagation with REAL seeds (vids 0..9 carry negative labels
+    -vid, which win every min-combine): exercises the seed-injection path
+    end-to-end with a SQL oracle (seed rule is pure SQL)."""
+    from everythinggraph_ray.graph.kernels import LabelPropKernel
+
+    seeds = {v: -v for v in range(10)}
+    df = _run_engine(_rel_build(sf_dir, undirect=True), LabelPropKernel(seeds))
+    return df.rename(columns={"labelprop": "label"})[["vid", "label"]]
+
+
 def q_rel_bfs(sf_dir):
     df = _run_engine(_rel_build(sf_dir), BFSKernel(_rel_root(sf_dir)))
     return df.rename(columns={"bfs": "dist"})[["vid", "dist"]]
@@ -1019,6 +1030,17 @@ ORACLES: dict[str, str] = {
         "SELECT v.vid, m.c AS label FROM verts v "
         "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
     ),
+    # seeded labelprop: init labels -vid for vid<10 (the seeds), own vid
+    # otherwise; min-propagation over the undirected graph
+    "rel_labelprop_seeded": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(undirect=True)
+        + ", r(vid, lab) AS (SELECT vid, CASE WHEN vid < 10 THEN -vid ELSE vid END "
+        "FROM verts UNION SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid "
+        "WHERE r.lab < CASE WHEN und.v < 10 THEN -und.v ELSE und.v END) "
+        "SELECT v.vid, m.c AS label FROM verts v "
+        "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
     # weighted SSSP: weights are the reference's synthesized
     # src%10 + dst%10 (init_all.c:663-666) — pure SQL. Bounded relax
     # enumeration: every path with total weight < 1152 is enumerated
@@ -1164,6 +1186,7 @@ QUERIES = {
     "rel_wcc_stats": q_rel_wcc_stats,
     "rel_sssp_maxdist": q_rel_sssp_maxdist,
     "rel_labelprop": q_rel_labelprop,
+    "rel_labelprop_seeded": q_rel_labelprop_seeded,
     "rel_bfs": q_rel_bfs,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_parent": q_rel_sssp_parent,
