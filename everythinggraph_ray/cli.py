@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.kernel == "pagerank-pull":
         from everythinggraph_ray.graph.pull import pagerank_pull
 
+        if args.checkpoint_dir or args.checkpoint_every or args.resume:
+            p.error(
+                "pagerank-pull is the checkpoint-free cross-variant; "
+                "use 'pagerank' for checkpointed/resumable runs"
+            )
         build_graph(
             edges, bdir, num_partitions=args.partitions, partition_edges_by="dst"
         )

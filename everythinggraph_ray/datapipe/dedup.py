@@ -316,14 +316,25 @@ class SimHashStage:
                 dtype=np.uint64,
                 count=int(lens[nz].sum()),
             )
-            offs = np.r_[0, np.cumsum(lens[nz])][:-1]
-            bits = ((all_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int32
-            )
-            v = np.add.reduceat(2 * bits - 1, offs, axis=0)  # (n_nz, 64)
+            offs = np.r_[0, np.cumsum(lens[nz])]
             powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            sh = ((v > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            out[nz] = (sh & _MASK63).astype(np.int64)
+            # slab over DOC groups: the (tokens, 64) bit matrix is ~260 B
+            # per token transient — unbounded it OOMs on long-doc batches
+            # (10M tokens ≈ 2.6 GB); each slab stays ≤ ~50 MB
+            SLAB = 200_000
+            start = 0
+            while start < len(nz):
+                end = start + 1  # at least one doc per slab, however long
+                while end < len(nz) and offs[end + 1] - offs[start] <= SLAB:
+                    end += 1
+                h = all_h[offs[start] : offs[end]]
+                bits = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                ).astype(np.int32)
+                v = np.add.reduceat(2 * bits - 1, offs[start:end] - offs[start], axis=0)
+                sh = ((v > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                out[nz[start:end]] = (sh & _MASK63).astype(np.int64)
+                start = end
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
 
 

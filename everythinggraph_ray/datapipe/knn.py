@@ -35,6 +35,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+
+def _local_topk_idx(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-kk candidates by (sim desc, id asc) — the SAME
+    total order the global combine (and the DuckDB oracle) uses.
+    argpartition alone breaks ties arbitrarily at the cut boundary, which
+    is wrong the moment two vectors tie exactly (duplicate embeddings)."""
+    if kk >= len(ids):
+        return np.arange(len(ids))
+    # O(n) value-threshold preselect that keeps ALL boundary ties, then an
+    # exact lexsort on the (small) candidate set only
+    thr = -np.partition(-sims, kk - 1)[kk - 1]
+    cand = np.flatnonzero(sims >= thr)
+    order = np.lexsort((ids[cand], -sims[cand]))
+    return cand[order[:kk]]
+
+
 def knn_bruteforce(
     embeddings: ray.data.Dataset,
     query_ids: list[int],
@@ -68,7 +84,7 @@ def knn_bruteforce(
         kk = min(k + 1, len(ids))  # +1: self may be in this batch
         for j in range(len(qi)):
             s = sims[:, j]
-            top = np.argpartition(-s, kk - 1)[:kk]
+            top = _local_topk_idx(s, ids, kk)
             out_q.append(np.full(len(top), qi[j], dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(s[top].astype(np.float64))
@@ -128,7 +144,7 @@ def _grouped_search(
         out_q, out_n, out_s = [], [], []
         for j in range(len(qids)):
             s = sims[:, j]
-            top = np.argpartition(-s, kk - 1)[:kk]
+            top = _local_topk_idx(s, ids, kk)
             out_q.append(np.full(len(top), qids[j], dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(s[top])
@@ -281,55 +297,8 @@ def knn_lsh(
         qv = qv / max(np.linalg.norm(qv), 1e-30)
         for bkt in buckets:
             probe.setdefault(bkt, []).append((int(qrow[id_col]), qv))
-    probe_ref = ray.put(
-        {b: (np.array([q for q, _ in v], np.int64), np.stack([m for _, m in v])) for b, v in probe.items()}
-    )
 
-    def search(g: pd.DataFrame) -> pd.DataFrame:
-        pm = ray.get(probe_ref)
-        got = pm.get(int(g["bucket"].iloc[0]))
-        if got is None:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.array([], dtype="int64"),
-                    "neighbor_id": pd.array([], dtype="int64"),
-                    "sim": pd.array([], dtype="float64"),
-                }
-            )
-        qids, qm = got
-        ids = g[id_col].to_numpy(np.int64)
-        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
-        sims = m @ qm.T  # (bucket_n, Q_b)
-        kk = min(k + 1, len(ids))  # +1: the query itself lives in one bucket
-        out_q, out_n, out_s = [], [], []
-        for j in range(len(qids)):
-            s = sims[:, j]
-            top = np.argpartition(-s, kk - 1)[:kk]
-            out_q.append(np.full(len(top), qids[j], dtype=np.int64))
-            out_n.append(ids[top])
-            out_s.append(s[top])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
-            }
-        )
-
-    cand = (
-        bucketed.groupby("bucket")
-        .map_groups(search, batch_format="pandas")
-        .to_pandas()  # ≤ |queries| × probed buckets × (k+1) rows — small
-    )
-    if not len(cand):
-        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
-    cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    cand = cand.sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+    return _grouped_search(bucketed, probe, k=k, id_col=id_col, emb_col=emb_col)
 
 
 def _cosine(u: np.ndarray, v: np.ndarray) -> float:

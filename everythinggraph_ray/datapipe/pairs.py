@@ -36,27 +36,6 @@ _ROLE_SIDE_A = 1
 _ROLE_SIDE_B = 2
 
 
-def distinct_pairs(pairs: ray.data.Dataset, *, num_buckets: int = 64) -> ray.data.Dataset:
-    """Distributed DISTINCT over (a, b) pair rows (bands/chunks propose the
-    same pair many times). All copies of a pair hash to one bucket."""
-
-    def bucket_of(batch: pa.Table) -> np.ndarray:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        return (mix64(a) ^ mix64(~b)).astype(np.int64) & 0x7FFFFFFF
-
-    def red(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop_duplicates(["a", "b"])
-        return pa.table(
-            {
-                "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
-                "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
-            }
-        )
-
-    return bucketed_reduce(pairs, bucket_of, red, num_buckets=num_buckets)
-
-
 def pairwise_verify(
     payloads: ray.data.Dataset,
     pairs: ray.data.Dataset,

@@ -584,10 +584,12 @@ class GraphEngine:
                 break
 
         out_refs = [a.collect.remote(kernel.name) for a in self.actors]
-        # wait for collection BEFORE returning: the caller may shutdown()
-        # the actors next, and a still-queued collect task would die with
-        # them (the blocks themselves are driver-owned and survive)
-        ray.wait(out_refs, num_returns=len(out_refs))
+        # resolve collection BEFORE returning: (a) the caller may
+        # shutdown() the actors next, and a still-queued collect task would
+        # die with them; (b) ray.get (unlike ray.wait) RAISES on an
+        # actor-death error, which keeps the failure inside run()'s
+        # max_recoveries retry loop. Zero-copy: the tables stay in plasma.
+        ray.get(out_refs)
         ds = ray.data.from_arrow_refs(out_refs)
         return {
             "dataset": ds,
@@ -638,7 +640,7 @@ class GraphEngine:
             for i in range(limit)
         ]
         out_refs = [a.collect.remote(kernel.name) for a in self.actors]
-        ray.wait(out_refs, num_returns=len(out_refs))  # see run(): pre-shutdown safety
+        ray.get(out_refs)  # resolve + surface errors before teardown (see run())
         return {
             "dataset": ray.data.from_arrow_refs(out_refs),
             "iterations": limit,

@@ -199,10 +199,10 @@ def pagerank_pull(
                     "edges": meta["n_edges"],
                 }
             )
-            if n_iters is None and delta < tol:
+            if n_iters is None and tol is not None and delta < tol:
                 break
         out_refs = [a.collect.remote() for a in actors]
-        ray.wait(out_refs, num_returns=len(out_refs))  # before actor teardown
+        ray.get(out_refs)  # resolve + surface errors before actor teardown
         ds = ray.data.from_arrow_refs(out_refs)
         return {
             "dataset": ds,

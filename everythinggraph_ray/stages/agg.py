@@ -69,8 +69,13 @@ def grouped_top_k(
 
     Shape: per-batch partial top-k (the combiner — at most k × groups
     rows leave each batch, so the shuffle moves k·|groups| rows, never
-    the corpus) → ``groupby(group).map_groups`` final top-k. Optionally
+    the corpus) → groups HASH-BUCKETED, one vectorized pandas pass per
+    bucket (a per-group ``map_groups`` final would pay Ray's per-group
+    overhead once per group — the ~80x lesson at 10^5+ groups, and group
+    cardinality here — domains, languages — is unbounded). Optionally
     emits 1-based ``rank_col`` within each group."""
+    from hashlib import blake2b
+
     cols = [c for c, _ in order_by]
     asc = [a for _, a in order_by]
 
@@ -79,16 +84,28 @@ def grouped_top_k(
         out = df.groupby(group_col, as_index=False, sort=False).head(k)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def final(g) -> "pa.Table":
-        df = g.sort_values(cols, ascending=asc, kind="stable").head(k).reset_index(drop=True)
-        if rank_col is not None:
-            df[rank_col] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        col = batch[group_col]
+        if pa.types.is_integer(col.type):
+            return mix64(col.to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(str(x).encode(), digest_size=4).digest(), "little")
+                for x in col.to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(final, batch_format="pandas")
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(cols, ascending=asc, kind="stable")
+        out = df.groupby(group_col, as_index=False, sort=False).head(k).reset_index(drop=True)
+        if rank_col is not None:
+            out[rank_col] = out.groupby(group_col, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), bucket_of, final
     )
 
 

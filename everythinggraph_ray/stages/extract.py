@@ -86,13 +86,20 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts
 
     def latest(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        # deterministic winner per key: max ts; ties (same key+ts) broken by
-        # text bytes when present — row ORDER after a shuffle is not
-        # deterministic, so the tiebreak must be content-based, never
-        # positional (idxmax keeps the first occurrence, tail(1) the last;
-        # either silently depends on arrival order)
-        sort_cols = [key, ts] + (["text"] if "text" in df.columns else [])
-        df = df.sort_values(sort_cols, kind="stable")
+        # deterministic winner per key: max ts; ties (same key+ts) broken
+        # by EVERY remaining orderable column — row ORDER after a shuffle
+        # is not deterministic, so the tiebreak must be content-based,
+        # never positional (idxmax keeps the first occurrence, tail(1) the
+        # last; either silently depends on arrival order). Unorderable
+        # columns (lists, mixed objects) are skipped.
+        def orderable(col: str) -> bool:
+            s = df[col]
+            if s.dtype != object:
+                return True
+            return s.map(lambda x: isinstance(x, (str, bytes, int, float)) or x is None).all()
+
+        tiebreak = [c for c in df.columns if c not in (key, ts) and orderable(c)]
+        df = df.sort_values([key, ts] + tiebreak, kind="stable")
         out = df.groupby(key, as_index=False).tail(1)
         return pa.Table.from_pandas(out, preserve_index=False, schema=group.schema)
 
