@@ -190,7 +190,36 @@ def build_graph(
     marker = os.path.join(build_dir, "_SUCCESS")
     if os.path.exists(marker):
         with open(os.path.join(build_dir, "meta.json")) as fh:
-            return json.load(fh)
+            cached = json.load(fh)
+        # the cache is only valid for the SAME layout parameters — silently
+        # returning a P=8 unweighted src-build where a P=16 weighted
+        # dst-build was requested produces wrong (or crashing) runs later
+        mismatches = []
+        if int(cached.get("P", -1)) != P:
+            mismatches.append(f"P={cached.get('P')} (requested {P})")
+        if bool(cached.get("weighted", False)) != bool(weighted):
+            mismatches.append(
+                f"weighted={cached.get('weighted')} (requested {weighted})"
+            )
+        if cached.get("partition_edges_by", "src") != partition_edges_by:
+            mismatches.append(
+                f"partition_edges_by={cached.get('partition_edges_by', 'src')} "
+                f"(requested {partition_edges_by})"
+            )
+        if hub_threshold is not None and int(cached.get("hub_threshold", -1)) != int(
+            hub_threshold
+        ):
+            mismatches.append(
+                f"hub_threshold={cached.get('hub_threshold')} "
+                f"(requested {hub_threshold})"
+            )
+        if mismatches:
+            raise ValueError(
+                f"cached build at {build_dir} has mismatched layout: "
+                + "; ".join(mismatches)
+                + " — use a different build_dir or delete the cache"
+            )
+        return cached
     # build into a scratch dir, atomically rename at the end — a rerun of a
     # half-finished build never sees stale chunk files
     import shutil
@@ -200,7 +229,10 @@ def build_graph(
     os.makedirs(work, exist_ok=True)
 
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges = edges.select_columns(cols)
+    # the input pipeline may be expensive (html extract → dedup → hash):
+    # materialize once instead of re-executing it for degrees, the hub
+    # count and the partitioned spill (3x the extraction cost otherwise)
+    edges = edges.select_columns(cols).materialize()
 
     # --- vertex universe + out-degrees (one combiner groupby) -------------
     verts = out_degrees(edges)  # (vid, outdeg)
@@ -215,44 +247,48 @@ def build_graph(
     n_vertices = int(sum(vm.values()))
 
     # --- hubs (small by construction: <= n_edges / threshold) -------------
+    # a dst-partitioned (pull) build has no mirrors: skip the hub scan AND
+    # the auto-threshold edge count entirely instead of discarding them
     deg_stats = None
-    if hub_threshold is None:
-        # need mean degree: n_edges via a cheap count on the edge ds
-        n_edges_est = edges.count()
-        mean_deg = max(1.0, n_edges_est / max(1, n_vertices))
-        hub_threshold = int(max(256, 8 * mean_deg))
-        deg_stats = {"mean_outdeg": mean_deg}
-    th = int(hub_threshold)
-    import glob as _glob
-
-    vert_files = [
-        f
-        for d in sorted(_glob.glob(os.path.join(work, "verts", "p=*")))
-        for f in list_partition_files(d)
-    ]
-    if vert_files:
-        hub_tbl = (
-            ray.data.read_parquet(vert_files)
-            .map_batches(
-                lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
-            )
-            .to_pandas()
-        )
-    else:  # empty graph: no vertices were spilled
-        import pandas as _pd
-
-        hub_tbl = _pd.DataFrame({"vid": [], "outdeg": []})
-    if len(hub_tbl):
-        hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
-        hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64)
-    else:
+    if partition_edges_by == "dst":
+        hub_threshold = 1 << 62 if hub_threshold is None else hub_threshold
         hub_vids = np.array([], dtype=np.int64)
         hub_outdeg = np.array([], dtype=np.int64)
+    else:
+        if hub_threshold is None:
+            # need mean degree: n_edges via a cheap count on the edge ds
+            n_edges_est = edges.count()
+            mean_deg = max(1.0, n_edges_est / max(1, n_vertices))
+            hub_threshold = int(max(256, 8 * mean_deg))
+            deg_stats = {"mean_outdeg": mean_deg}
+        th = int(hub_threshold)
+        import glob as _glob
+
+        vert_files = [
+            f
+            for d in sorted(_glob.glob(os.path.join(work, "verts", "p=*")))
+            for f in list_partition_files(d)
+        ]
+        if vert_files:
+            hub_tbl = (
+                ray.data.read_parquet(vert_files)
+                .map_batches(
+                    lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
+                )
+                .to_pandas()
+            )
+        else:  # empty graph: no vertices were spilled
+            import pandas as _pd
+
+            hub_tbl = _pd.DataFrame({"vid": [], "outdeg": []})
+        if len(hub_tbl):
+            hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
+            hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64)
+        else:
+            hub_vids = np.array([], dtype=np.int64)
+            hub_outdeg = np.array([], dtype=np.int64)
 
     # --- edges, partitioned by spart --------------------------------------
-    if partition_edges_by == "dst":
-        hub_vids = np.array([], dtype=np.int64)  # pull gathers at dst: no mirrors
-        hub_outdeg = np.array([], dtype=np.int64)
     em = _write_partitioned(
         _add_part_column(edges, P, hub_vids, by=partition_edges_by),
         os.path.join(work, "edges"),

@@ -45,7 +45,7 @@ def pagerank_dataset(
     vids = deg["vid"].to_numpy(np.int64)
     outdeg = np.maximum(deg["outdeg"].to_numpy(np.int64), 1)
     n = len(vids)
-    const = (1.0 - damping) / n
+    const = (1.0 - damping) / max(1, n)  # empty graph: no division crash
     prev = np.full(n, 0.15)
 
     limit = n_iters if n_iters is not None else max_iters
@@ -57,6 +57,10 @@ def pagerank_dataset(
             mv, mm = ray.get(msg_ref)
             s = batch["src"].to_numpy(zero_copy_only=False)
             d = batch["dst"].to_numpy(zero_copy_only=False)
+            if not len(d):  # empty block: reduceat on [0] would raise
+                return pa.table(
+                    {"dst": pa.array([], pa.int64()), "partial": pa.array([], pa.float64())}
+                )
             contrib = mm[np.searchsorted(mv, s)]
             o = np.argsort(d, kind="stable")
             ds_, cs = d[o], contrib[o]
@@ -106,6 +110,10 @@ def wcc_dataset(edges: ray.data.Dataset, *, max_iters: int = 200) -> pa.Table:
             mv, ml = ray.get(ref)
             s = batch["src"].to_numpy(zero_copy_only=False)
             d = batch["dst"].to_numpy(zero_copy_only=False)
+            if not len(d):  # empty block: reduceat on [0] would raise
+                return pa.table(
+                    {"vid": pa.array([], pa.int64()), "lab": pa.array([], pa.int64())}
+                )
             ls = ml[np.searchsorted(mv, s)]
             ld = ml[np.searchsorted(mv, d)]
             # symmetric: each endpoint proposes its label to the other

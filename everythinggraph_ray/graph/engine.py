@@ -203,7 +203,7 @@ class GraphPartition:
         self.hub_dst_all_pos = np.searchsorted(self.owned_vids, h_dst) if len(h_dst) else np.empty(0, np.int64)
 
         # hubs owned by this partition (their values ride in scatter output)
-        if len(hub_vids):
+        if len(hub_vids) and len(self.owned_vids):
             own_h = np.searchsorted(self.owned_vids, hub_vids)
             mask = (own_h < len(self.owned_vids)) & (
                 self.owned_vids[np.minimum(own_h, len(self.owned_vids) - 1)] == hub_vids
@@ -518,6 +518,16 @@ class GraphEngine:
                         f"checkpoint at {checkpoint_dir} is for kernel "
                         f"{lineage.get('kernel')!r}, not {kernel.name!r}"
                     )
+                # same kernel NAME is not enough: a BFS from another root /
+                # PR with another damping would silently resume wrong values
+                want_params = _kernel_fingerprint(kernel)
+                have_params = lineage.get("kernel_params")
+                if have_params is not None and have_params != want_params:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir} was written with "
+                        f"kernel params {have_params}, current run has "
+                        f"{want_params}"
+                    )
                 lin_in = lineage.get("input", {})
                 for field in ("n_vertices", "n_edges", "P"):
                     want = self.meta[field] if field != "P" else self.P
@@ -543,9 +553,11 @@ class GraphEngine:
             return self._run_pipelined(kernel, limit)
 
         it = start_iter
-        # round 0: scatter only (messages of superstep start_iter+1)
+        # round 0: scatter only (messages of superstep start_iter+1) —
+        # skipped entirely when the resumed checkpoint already meets the
+        # limit (a full discarded edge pass otherwise)
         t_round = time.perf_counter()
-        refs = [a.step.remote(None) for a in self.actors]
+        refs = [a.step.remote(None) for a in self.actors] if it < limit else []
         while it < limit:
             # decide whether superstep it+1 is the last allowed — if so,
             # apply without scattering the (wasted) next round
@@ -658,6 +670,7 @@ class GraphEngine:
         lineage = {
             "superstep": superstep,
             "kernel": kernel.name,
+            "kernel_params": _kernel_fingerprint(kernel),
             "input": {
                 "build_dir": self.build_dir,
                 "n_vertices": self.meta["n_vertices"],
@@ -683,6 +696,16 @@ class GraphEngine:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+def _kernel_fingerprint(kernel: Kernel) -> str:
+    """Deterministic string of the kernel's constructor state (root,
+    damping, seeds, ...) for lineage validation."""
+    try:
+        items = sorted(vars(kernel).items())
+    except TypeError:
+        items = []
+    return json.dumps([[k, repr(v)] for k, v in items])
 
 
 def _latest_checkpoint(ckpt_dir: str) -> int | None:

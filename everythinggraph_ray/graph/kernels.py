@@ -124,7 +124,7 @@ class LabelPropKernel(WCCKernel):
 
     def init_values(self, vids, outdeg, ctx):
         lab = vids.astype(np.int64).copy()
-        if self.seeds:
+        if self.seeds and len(vids):  # len guard: a partition may own no vertices
             svids = np.fromiter(self.seeds.keys(), dtype=np.int64, count=len(self.seeds))
             slabs = np.fromiter(self.seeds.values(), dtype=np.int64, count=len(self.seeds))
             idx = np.searchsorted(vids, svids)

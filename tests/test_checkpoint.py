@@ -243,3 +243,87 @@ def test_engine_recovers_from_actor_death(tmp_path):
             eng.run(PageRankKernel(), n_iters=2, max_recoveries=0)
     finally:
         eng.shutdown()
+
+
+def test_build_cache_param_mismatch(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(100) % 10, pa.int64()),
+                "dst": pa.array(np.arange(100) % 7, pa.int64()),
+            }
+        )
+    )
+    d = str(tmp_path / "b")
+    build_graph(edges, d, num_partitions=4, hub_threshold=10**9)
+    # same params → cached meta returned
+    meta = build_graph(edges, d, num_partitions=4, hub_threshold=10**9)
+    assert meta["P"] == 4
+    with pytest.raises(ValueError, match="mismatched layout"):
+        build_graph(edges, d, num_partitions=8, hub_threshold=10**9)
+    with pytest.raises(ValueError, match="mismatched layout"):
+        build_graph(edges, d, num_partitions=4, hub_threshold=10**9, weighted=True)
+    with pytest.raises(ValueError, match="mismatched layout"):
+        build_graph(edges, d, num_partitions=4, hub_threshold=10**9, partition_edges_by="dst")
+
+
+def test_empty_partition_with_hubs_and_seeds(tmp_path):
+    """A partition owning ZERO vertices (all vids even, P=2) with hubs
+    present must construct and run — both the engine's owned-hub lookup
+    and LabelPropKernel's seed injection had empty-array index bugs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import LabelPropKernel, WCCKernel
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 50, 4000) * 2  # all even → partition 1 owns nothing
+    dst = rng.integers(0, 50, 4000) * 2
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    d = str(tmp_path / "g")
+    build_graph(edges, d, num_partitions=2, hub_threshold=10)  # low threshold → hubs exist
+    eng = GraphEngine(d)
+    try:
+        out = eng.run(WCCKernel())["dataset"].to_pandas()
+        assert len(out) > 0
+    finally:
+        eng.shutdown()
+    eng = GraphEngine(d)
+    try:
+        out = eng.run(LabelPropKernel({0: -1}))["dataset"].to_pandas()
+        assert (out["labelprop"] == -1).any()  # seed propagated
+    finally:
+        eng.shutdown()
+
+
+def test_resume_rejects_different_kernel_params(small_build, tmp_path):
+    import pytest
+
+    ck = str(tmp_path / "ckp")
+    eng = GraphEngine(small_build)
+    try:
+        eng.run(
+            PageRankKernel(damping=0.85), n_iters=3, checkpoint_dir=ck, checkpoint_every=3
+        )
+        with pytest.raises(ValueError, match="kernel params"):
+            eng.run(
+                PageRankKernel(damping=0.5),
+                n_iters=6,
+                checkpoint_dir=ck,
+                checkpoint_every=3,
+                resume=True,
+            )
+    finally:
+        eng.shutdown()
