@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import mix64
+from everythinggraph_ray.stages.agg import mix64, mix64_pair
 
 _SHINGLE_RE = re.compile(r"[a-z0-9]+")
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -55,6 +55,23 @@ def _token_shingles(text: str, k: int = 3) -> np.ndarray:
         for s in joined
     }
     return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+
+def iter_doc_slabs(offs: np.ndarray, slab: int):
+    """Yield (start_doc, end_doc) windows whose total item count (per the
+    cumulative ``offs``) stays ≤ ``slab`` — at least one doc per window,
+    however large. The one shared definition of the blocked-kernel
+    windowing loop (signature_matrix and SimHashStage both slab their
+    transient matrices with it)."""
+    start = 0
+    n = len(offs) - 1
+    while start < n:
+        end = start + 1
+        while end < n and offs[end + 1] - offs[start] <= slab:
+            end += 1
+        yield start, end
+        start = end
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -93,16 +110,11 @@ def signature_matrix(
         return sig
     allsh = np.concatenate([sh[i] for i in nz])
     offs = np.r_[0, np.cumsum(lens[nz])]
-    start = 0
-    while start < len(nz):
-        end = start + 1  # at least one doc per slab, however large
-        while end < len(nz) and offs[end + 1] - offs[start] <= slab:
-            end += 1
+    for start, end in iter_doc_slabs(offs, slab):
         x = allsh[offs[start] : offs[end]]
         h = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
         red = np.minimum.reduceat(h, offs[start:end] - offs[start], axis=1)
         sig[nz[start:end]] = red.T
-        start = end
     return sig
 
 
@@ -254,7 +266,11 @@ def minhash_near_duplicates(
     with exact shingle Jaccard, and the surviving pairs are clustered by
     the WCCKernel superstep engine (min-label propagation ≡ union-find
     with min-root merging). No pairs, texts or union-find state on the
-    driver — the round-1 VERDICT scale fix."""
+    driver — the round-1 VERDICT scale fix.
+
+    NOTE: ``docs`` is consumed twice (banding pass + shingle-payload
+    pass). For a parquet-backed table that is two cheap reads; when docs
+    is an expensive composed pipeline, materialize() it first."""
     from everythinggraph_ray.datapipe.pairs import (
         cluster_pairs,
         group_pairs,
@@ -321,12 +337,7 @@ class SimHashStage:
             # slab over DOC groups: the (tokens, 64) bit matrix is ~260 B
             # per token transient — unbounded it OOMs on long-doc batches
             # (10M tokens ≈ 2.6 GB); each slab stays ≤ ~50 MB
-            SLAB = 200_000
-            start = 0
-            while start < len(nz):
-                end = start + 1  # at least one doc per slab, however long
-                while end < len(nz) and offs[end + 1] - offs[start] <= SLAB:
-                    end += 1
+            for start, end in iter_doc_slabs(offs, 200_000):
                 h = all_h[offs[start] : offs[end]]
                 bits = (
                     (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
@@ -334,7 +345,6 @@ class SimHashStage:
                 v = np.add.reduceat(2 * bits - 1, offs[start:end] - offs[start], axis=0)
                 sh = ((v > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
                 out[nz[start:end]] = (sh & _MASK63).astype(np.int64)
-                start = end
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
 
 
@@ -384,7 +394,7 @@ def simhash_candidates(
     def bucket_of(batch: pa.Table) -> np.ndarray:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        return (mix64(a) ^ mix64(~b)).astype(np.int64) & 0x7FFFFFFF
+        return mix64_pair(a, b)
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["a", "b"], as_index=False)["starred"].max()

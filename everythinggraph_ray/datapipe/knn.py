@@ -61,7 +61,9 @@ def knn_bruteforce(
 ) -> pd.DataFrame:
     """Exact cosine top-k neighbors for the given query ids (queries are
     rows of the same table; self excluded). Returns (query_id,
-    neighbor_id, rank) with rank 1..k ordered by (sim desc, neighbor_id)."""
+    neighbor_id, rank) with rank 1..k ordered by (sim desc, neighbor_id).
+    Query ids absent from the table are ignored (no rows emitted for
+    them); an entirely-absent query list yields an empty typed frame."""
     qset = sorted(int(q) for q in query_ids)
 
     def grab(batch: pa.Table) -> pa.Table:
@@ -70,6 +72,8 @@ def knn_bruteforce(
         return batch.filter(pa.array(mask))
 
     qdf = embeddings.map_batches(grab, batch_format="pyarrow").to_pandas()
+    if not len(qdf):  # none of the requested ids exist in the table
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
     qdf = qdf.sort_values(id_col)
     qids = qdf[id_col].to_numpy(np.int64)
     qmat = _normalize(np.stack(qdf[emb_col].to_numpy()).astype(np.float64))
@@ -204,6 +208,8 @@ def knn_ivf(
         return batch.filter(pa.array(mix64(ids) % np.uint64(mod) == 0))
 
     sm = embeddings.map_batches(sample, batch_format="pyarrow").to_pandas()
+    if not len(sm):  # empty corpus
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
     X = _normalize(np.stack(sm[emb_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -233,6 +239,8 @@ def knn_ivf(
         return batch.filter(pa.array(np.isin(ids, qset)))
 
     qdf = bucketed.map_batches(grab, batch_format="pyarrow").to_pandas()
+    if not len(qdf):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
     probe: dict[int, list[tuple[int, np.ndarray]]] = {}
     for _, qrow in qdf.iterrows():
         qv = np.asarray(qrow[emb_col], dtype=np.float64)
@@ -287,12 +295,22 @@ def knn_lsh(
     # queries are the SMALL side by contract (a user-supplied id list):
     # collect them once, invert into bucket → query-matrix, broadcast
     qdf = bucketed.map_batches(grab, batch_format="pyarrow").to_pandas()
+    if not len(qdf):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
+    from itertools import combinations
+
     probe: dict[int, list[tuple[int, np.ndarray]]] = {}
     for _, qrow in qdf.iterrows():
-        buckets = {int(qrow["bucket"])}
-        if multiprobe:  # 1-bit multiprobe: also search each neighboring bucket
-            for b in range(n_planes):
-                buckets.add(int(qrow["bucket"]) ^ (1 << b))
+        code = int(qrow["bucket"])
+        buckets = {code}
+        # multiprobe=m: also search every bucket within hamming distance m
+        # of the query's own code (m=1 → the n_planes single-bit flips)
+        for r in range(1, min(int(multiprobe), n_planes) + 1):
+            for bits in combinations(range(n_planes), r):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                buckets.add(code ^ flip)
         qv = np.asarray(qrow[emb_col], dtype=np.float64)
         qv = qv / max(np.linalg.norm(qv), 1e-30)
         for bkt in buckets:

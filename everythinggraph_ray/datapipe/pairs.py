@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair
 
 # role codes in the unioned co-group table
 _ROLE_PAYLOAD = 0
@@ -121,7 +121,7 @@ def pairwise_verify(
     def pair_bucket(batch: pa.Table) -> np.ndarray:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        return (mix64(a) ^ mix64(~b)).astype(np.int64) & 0x7FFFFFFF
+        return mix64_pair(a, b)
 
     def score(g: pa.Table) -> pa.Table:
         # each pair contributes exactly one SIDE_A and one SIDE_B row (the

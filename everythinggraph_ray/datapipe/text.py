@@ -100,9 +100,8 @@ class LangIdStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         txt = pc.utf8_lower(batch["text"])
-        n_tok = np.maximum(
-            pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False), 1
-        ).astype(np.float64)
+        tok_counts = pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False)
+        n_tok = np.maximum(tok_counts, 1).astype(np.float64)
         scores = np.stack(
             [
                 pc.count_substring_regex(txt, _LANG_PROFILES[lg])
@@ -114,10 +113,7 @@ class LangIdStage:
         )
         best = np.argmax(scores, axis=0)
         best_score = scores[best, np.arange(scores.shape[1])]
-        too_short = (
-            pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False)
-            < self.min_tokens
-        )
+        too_short = tok_counts < self.min_tokens  # reuse: no second regex scan
         pred = np.array(self.langs, dtype=object)[best]
         pred[(best_score <= 0.0) | too_short] = "und"
         return pa.table(

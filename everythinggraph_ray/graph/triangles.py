@@ -33,7 +33,7 @@ import pyarrow as pa
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, sum_by_key
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair, sum_by_key
 from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops
 
 
@@ -301,7 +301,7 @@ def triangle_count(
         def close_bucket(batch: pa.Table) -> np.ndarray:
             a = batch["a"].to_numpy(zero_copy_only=False)
             b = batch["b"].to_numpy(zero_copy_only=False)
-            return (mix64(a) ^ mix64(~b)).astype(np.int64) & 0x7FFFFFFF
+            return mix64_pair(a, b)
 
         def count_matches(g: pa.Table) -> pa.Table:
             # exact two-column match without lossy packing: densify the

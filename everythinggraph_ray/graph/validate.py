@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair
 
 
 def _sum_col(ds: ray.data.Dataset, col: str) -> int:
@@ -109,7 +109,7 @@ def validate_parents(
     def by_uv(batch: pa.Table) -> np.ndarray:
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
-        return (mix64(u) ^ mix64(~v)).astype(np.int64) & 0x7FFFFFFF
+        return mix64_pair(u, v)
 
     def check_edge(g: pa.Table) -> pa.Table:
         df = g.to_pandas()

@@ -23,8 +23,31 @@ from everythinggraph_ray.stages.extract import pages_to_edges
 BUILD_VERSION = "v1"  # bump when the on-disk build layout changes
 
 
+def _path_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a data file/dir: (name, size, mtime_ns)
+    of every file, hashed. Keys the build cache to the INPUT DATA, not just
+    its path — regenerating a fixture in place must invalidate the cached
+    graph, or rows-only queries would silently run on the previous
+    dataset's build."""
+    h = hashlib.blake2b(digest_size=8)
+    if os.path.isdir(path):
+        for root_, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root_, f))
+                h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
 def build_dir_for(tag: str, P: int, root: str = "/tmp/egray_builds") -> str:
-    h = hashlib.blake2b(f"{tag}|{P}|{BUILD_VERSION}".encode(), digest_size=8).hexdigest()
+    # any tag segment that names an existing path contributes its data
+    # fingerprint, so edits/regeneration at the same path get a fresh dir
+    fps = "|".join(
+        _path_fingerprint(seg) for seg in tag.split("|") if seg and os.path.exists(seg)
+    )
+    h = hashlib.blake2b(f"{tag}|{fps}|{P}|{BUILD_VERSION}".encode(), digest_size=8).hexdigest()
     return os.path.join(root, f"{tag.split('/')[-1][:40]}_{h}")
 
 

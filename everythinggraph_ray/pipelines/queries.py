@@ -115,9 +115,17 @@ def _run_engine(bdir: str, kernel, **kw) -> pd.DataFrame:
 
 
 def _rel_root(sf_dir: str) -> int:
-    # min vid of the universe — cheap: scan src/dst minima
-    e = rel_edges(sf_dir)
-    return int(min(e.min("src"), e.min("dst")))
+    """Min vid of the universe in ONE pass (per-batch minima combiner —
+    two separate ds.min calls would execute the read pipeline twice)."""
+
+    def mins(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({"m": pa.array([], pa.int64())})
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([min(int(s.min()), int(d.min()))], pa.int64())})
+
+    return int(rel_edges(sf_dir).map_batches(mins, batch_format="pyarrow").min("m"))
 
 
 # ----------------------------------------------------------------------
@@ -685,7 +693,7 @@ def q_events_hourly(sf_dir):
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
-    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64_pair
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -701,7 +709,7 @@ def q_events_hourly(sf_dir):
     def bucket_of(batch: pa.Table) -> np.ndarray:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
         h = batch["hour_bucket"].to_numpy(zero_copy_only=False)
-        return (mix64(u) ^ mix64(~h)).astype(np.int64) & 0x7FFFFFFF
+        return mix64_pair(u, h)
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["user_id", "hour_bucket"], as_index=False).agg(
@@ -752,7 +760,7 @@ def q_events_sliding(sf_dir):
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
-    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64_pair
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -774,7 +782,7 @@ def q_events_sliding(sf_dir):
     def bucket_of(batch: pa.Table) -> np.ndarray:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
         h = batch["win_start"].to_numpy(zero_copy_only=False)
-        return (mix64(u) ^ mix64(~h)).astype(np.int64) & 0x7FFFFFFF
+        return mix64_pair(u, h)
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["user_id", "win_start"], as_index=False).agg(

@@ -81,13 +81,20 @@ def grouped_top_k(
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(cols, ascending=asc, kind="stable")
-        out = df.groupby(group_col, as_index=False, sort=False).head(k)
+        # dropna=False: a null group key (missing lang/domain) is a real
+        # group, not a row to silently discard
+        out = df.groupby(group_col, as_index=False, sort=False, dropna=False).head(k)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
         col = batch[group_col]
         if pa.types.is_integer(col.type):
-            return mix64(col.to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+            # nulls → a fixed bucket key (co-location only; values keep
+            # their null-ness through the reducers)
+            vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            return mix64(vals).astype(np.int64) & 0x7FFFFFFF
         return np.fromiter(
             (
                 int.from_bytes(blake2b(str(x).encode(), digest_size=4).digest(), "little")
@@ -99,14 +106,25 @@ def grouped_top_k(
 
     def final(g: pa.Table) -> pa.Table:
         df = g.to_pandas().sort_values(cols, ascending=asc, kind="stable")
-        out = df.groupby(group_col, as_index=False, sort=False).head(k).reset_index(drop=True)
+        out = (
+            df.groupby(group_col, as_index=False, sort=False, dropna=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
         if rank_col is not None:
-            out[rank_col] = out.groupby(group_col, sort=False).cumcount() + 1
+            out[rank_col] = out.groupby(group_col, sort=False, dropna=False).cumcount() + 1
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return bucketed_reduce(
         ds.map_batches(partial, batch_format="pyarrow"), bucket_of, final
     )
+
+
+def mix64_pair(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Bucket hash of an int64 key PAIR (edges, candidate pairs,
+    composite group keys) — the one shared definition (was hand-copied at
+    four sites)."""
+    return (mix64(x) ^ mix64(~y)).astype(np.int64) & 0x7FFFFFFF
 
 
 def mix64(x: np.ndarray) -> np.ndarray:

@@ -76,7 +76,7 @@ def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Exact (src,dst) dedup: within-batch unique first (the combiner,
     removes the bulk), then a bucketed global pass — one vectorized
     np.unique per hash bucket, never a per-key group call."""
-    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64_pair
 
     def local(batch: pa.Table) -> pa.Table:
         arr = np.stack(
@@ -96,7 +96,7 @@ def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     def bucket_of(batch: pa.Table) -> np.ndarray:
         s = batch["src"].to_numpy(zero_copy_only=False)
         d = batch["dst"].to_numpy(zero_copy_only=False)
-        return (mix64(s) ^ mix64(~d)).astype(np.int64) & 0x7FFFFFFF
+        return mix64_pair(s, d)
 
     def red(g: pa.Table) -> pa.Table:
         arr = np.stack(

@@ -87,20 +87,36 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts
     def latest(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
         # deterministic winner per key: max ts; ties (same key+ts) broken
-        # by EVERY remaining orderable column — row ORDER after a shuffle
-        # is not deterministic, so the tiebreak must be content-based,
-        # never positional (idxmax keeps the first occurrence, tail(1) the
-        # last; either silently depends on arrival order). Unorderable
-        # columns (lists, mixed objects) are skipped.
-        def orderable(col: str) -> bool:
-            s = df[col]
-            if s.dtype != object:
-                return True
-            return s.map(lambda x: isinstance(x, (str, bytes, int, float)) or x is None).all()
-
-        tiebreak = [c for c in df.columns if c not in (key, ts) and orderable(c)]
+        # by EVERY remaining column — row ORDER after a shuffle is not
+        # deterministic, so the tiebreak must be content-based, never
+        # positional (idxmax keeps the first occurrence, tail(1) the last;
+        # either silently depends on arrival order). Unorderable columns
+        # (lists, mixed objects) participate via a deterministic content
+        # hash so two rows differing ONLY in, e.g., their links list still
+        # resolve identically across runs.
+        tiebreak: list[str] = []
+        hashed_cols: list[str] = []
+        for c in df.columns:
+            if c in (key, ts):
+                continue
+            s = df[c]
+            if s.dtype != object or s.map(
+                lambda x: isinstance(x, (str, bytes, int, float)) or x is None
+            ).all():
+                tiebreak.append(c)
+            else:
+                hc = f"__tb_{c}"
+                df[hc] = s.map(
+                    lambda x: int.from_bytes(
+                        blake2b(repr(x).encode(), digest_size=8).digest(), "little"
+                    )
+                )
+                tiebreak.append(hc)
+                hashed_cols.append(hc)
         df = df.sort_values([key, ts] + tiebreak, kind="stable")
         out = df.groupby(key, as_index=False).tail(1)
+        if hashed_cols:
+            out = out.drop(columns=hashed_cols)
         return pa.Table.from_pandas(out, preserve_index=False, schema=group.schema)
 
     return bucketed_reduce(ds, bucket_of, latest)
