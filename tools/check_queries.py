@@ -10,7 +10,12 @@ columns). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
+
+# the tool lives in tools/: put the repo root (where __ray_entry__ lives)
+# on the path so it runs from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import traceback
 
