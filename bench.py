@@ -64,10 +64,14 @@ def _pin_session_tree(ncpu: int) -> None:
             continue
         try:
             with open(f"/proc/{d}/stat") as fh:
-                parts = fh.read().split()
-            ppid = int(parts[3])
+                data = fh.read()
+            # the comm field is parenthesized and may contain spaces or ')'
+            # — parse AFTER the LAST ')' (naive split() shifts fields for
+            # e.g. 'tmux: server' and crashes/mispins)
+            tail = data.rsplit(")", 1)[1].split()
+            ppid = int(tail[1])  # state, ppid, ...
             children.setdefault(ppid, []).append(int(d))
-        except OSError:
+        except (OSError, ValueError, IndexError):
             continue
     stack, seen = [me], set()
     while stack:

@@ -34,7 +34,13 @@ def ensure_bench_edges(
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
+    # scratch dir + atomic rename: concurrent callers (scaling subprocesses)
+    # must never see a half-written table
+    import shutil
+    import uuid
+
+    work = f"{d}.building-{uuid.uuid4().hex[:8]}"
+    os.makedirs(work, exist_ok=True)
     src, dst = synth_edges(n_vertices, n_edges, seed)
     n_files = 16
     per = (n_edges + n_files - 1) // n_files
@@ -44,8 +50,12 @@ def ensure_bench_edges(
         if len(s):
             pq.write_table(
                 pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(t, pa.int64())}),
-                os.path.join(d, f"part-{f:04d}.parquet"),
+                os.path.join(work, f"part-{f:04d}.parquet"),
             )
-    with open(marker, "w") as fh:
+    with open(os.path.join(work, "_SUCCESS"), "w") as fh:
         fh.write("ok")
+    try:
+        os.rename(work, d)
+    except OSError:  # concurrent caller won: use theirs
+        shutil.rmtree(work, ignore_errors=True)
     return d

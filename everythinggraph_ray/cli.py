@@ -113,7 +113,31 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
-    bdir = args.build_dir or os.path.join(args.out, "build")
+    if args.build_dir:
+        bdir = args.build_dir  # explicit dir: the user owns cache semantics
+    else:
+        # default build dir is keyed on the SOURCE (path + content
+        # fingerprint) and every transform that changes the edge table —
+        # otherwise `wcc` (auto-undirected) followed by `pagerank` on the
+        # same --out would silently reuse the undirected build
+        from hashlib import blake2b
+
+        from everythinggraph_ray.pipelines.flagship import _path_fingerprint
+
+        src_path = args.pages or args.edges or args.edges_bin
+        sig = "|".join(
+            [
+                str(src_path),
+                _path_fingerprint(str(src_path)),
+                f"und={int(bool(args.undirect or auto_undirect))}",
+                f"w={int(bool(weighted))}",
+                f"P={args.partitions}",
+                f"by={'dst' if args.kernel == 'pagerank-pull' else 'src'}",
+            ]
+        )
+        bdir = os.path.join(
+            args.out, f"build-{blake2b(sig.encode(), digest_size=6).hexdigest()}"
+        )
 
     if args.kernel == "pagerank-pull":
         from everythinggraph_ray.graph.pull import pagerank_pull

@@ -122,8 +122,15 @@ def generate_pages(n_pages: int, seed: int = 42) -> pa.Table:
                 hrefs.append(urls[i])  # self-link
             if hrefs and rng.random() < 0.10:
                 hrefs.append(hrefs[0])  # duplicate link
-        if rng.random() < 0.07:
-            hrefs.append(f"https://external{int(rng.integers(0, 50))}.example.org/x")
+        # off-corpus links: the external-domain pool is PARTITIONED per
+        # component (comp c links only to external{c*50..c*50+49}) and
+        # dangling pages get none — a shared pool merged the designed
+        # weakly-connected components through common external vertices and
+        # gave "dangling" pages out-links (round-2 review finding)
+        if not dangling and rng.random() < 0.07:
+            hrefs.append(
+                f"https://external{int(c) * 50 + int(rng.integers(0, 50))}.example.org/x"
+            )
         if rng.random() < 0.10:
             hrefs.append("#section-1")  # fragment-only, dropped by extractor
         for j, h in enumerate(hrefs):
@@ -168,18 +175,29 @@ def ensure_corpus(n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus")
     Cached under /tmp keyed by size+seed; multi-file layout so Ray Data
     reads it with parallelism.
     """
-    d = os.path.join(root, f"pages_n{n_pages}_s{seed}")
+    # v2: partitioned external-domain pools + truly dangling pages
+    d = os.path.join(root, f"pages_n{n_pages}_s{seed}_v2")
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
+    # scratch dir + atomic rename (the build_graph pattern): two concurrent
+    # callers must never see each other's half-written part files
+    import shutil
+    import uuid
+
+    work = f"{d}.building-{uuid.uuid4().hex[:8]}"
+    os.makedirs(work, exist_ok=True)
     t = generate_pages(n_pages, seed)
     n_files = max(1, min(32, n_pages // 2000))
     rows_per = (t.num_rows + n_files - 1) // n_files
     for f in range(n_files):
         chunk = t.slice(f * rows_per, rows_per)
         if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(d, f"part-{f:04d}.parquet"))
-    with open(marker, "w") as fh:
+            pq.write_table(chunk, os.path.join(work, f"part-{f:04d}.parquet"))
+    with open(os.path.join(work, "_SUCCESS"), "w") as fh:
         fh.write("ok")
+    try:
+        os.rename(work, d)
+    except OSError:  # a concurrent caller won the race: use theirs
+        shutil.rmtree(work, ignore_errors=True)
     return d

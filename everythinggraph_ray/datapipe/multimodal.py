@@ -35,16 +35,24 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (base[:FEATURE_DIM] / 255.0).astype(np.float32)
 
 
+# resolve the codec ONCE at import: a per-payload `from PIL import Image`
+# attempt pays a failed sys.path scan per row in PIL-less environments
+try:
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:
+    _PIL_Image = None
+
+
 def default_decode(payload: bytes) -> np.ndarray:
-    try:  # real path, if the environment has it
-        import io
+    if _PIL_Image is not None:
+        try:
+            import io
 
-        from PIL import Image  # type: ignore
-
-        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
-        return (np.asarray(img, dtype=np.float32).reshape(-1) / 255.0)[:FEATURE_DIM]
-    except Exception:
-        return _fake_decode(payload)
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return (np.asarray(img, dtype=np.float32).reshape(-1) / 255.0)[:FEATURE_DIM]
+        except Exception:
+            pass
+    return _fake_decode(payload)
 
 
 class DecodeFeatureStage:
@@ -83,12 +91,21 @@ def decode_features(
     concurrency: int | None = None,
     decode=None,
 ) -> ray.data.Dataset:
-    kwargs = {"concurrency": concurrency} if concurrency else {}
+    if concurrency:
+        # pass the CLASS: Ray Data then runs a real actor pool, constructing
+        # the decoder once per actor — an instance would be pickled into
+        # every task, repeating any heavy codec init per task
+        return items.map_batches(
+            DecodeFeatureStage,
+            fn_constructor_args=(id_col, payload_col, decode),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return items.map_batches(
         DecodeFeatureStage(id_col, payload_col, decode),
         batch_format="pyarrow",
         batch_size=batch_size,
-        **kwargs,
     )
 
 
@@ -106,16 +123,18 @@ def frame_sample(
     FRAME = 1024
 
     def sample(batch: pa.Table) -> pa.Table:
+        id_vals = batch[id_col].to_pylist()  # once, not O(chunks) per row
         ids, fidx, frames = [], [], []
         for i, p in enumerate(batch[payload_col].to_pylist()):
             p = p or b""
             for j in range(0, max(1, (len(p) + FRAME - 1) // FRAME), every_n):
-                ids.append(batch[id_col][i].as_py())
+                ids.append(id_vals[i])
                 fidx.append(j)
                 frames.append(p[j * FRAME : (j + 1) * FRAME])
         return pa.table(
             {
-                id_col: pa.array(ids, pa.int64()),
+                # preserve the input id type (string/int ids both work)
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
                 "frame_idx": pa.array(fidx, pa.int64()),
                 "frame": pa.array(frames, pa.binary()),
             }

@@ -41,6 +41,11 @@ def urls_to_vids(urls) -> np.ndarray:
         arr = np.asarray(urls.to_pandas(), dtype=object)
     else:
         arr = np.asarray(urls, dtype=object)
+    if any(x is None for x in arr):  # before np.unique: None breaks its sort
+        raise ValueError(
+            "urls_to_vids: null url in input — drop or fill null urls before "
+            "vertex-id hashing (the vid contract is defined on strings only)"
+        )
     uniq, inverse = np.unique(arr, return_inverse=True)
     hashed = np.fromiter((url_to_vid(u) for u in uniq), dtype=np.int64, count=len(uniq))
     return hashed[inverse]

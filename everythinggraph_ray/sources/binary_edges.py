@@ -35,6 +35,12 @@ def read_binary_edges(paths: str | list[str], *, weighted: bool = False) -> ray.
     def split(batch: pa.Table) -> pa.Table:
         out_s, out_d, out_w = [], [], []
         for blob in batch["bytes"].to_pylist():
+            if len(blob) % rec:
+                raise ValueError(
+                    f"malformed edge file: {len(blob)} bytes is not a multiple "
+                    f"of the {rec}-byte record (truncated file, or the wrong "
+                    f"weighted= flag for this file's stride)"
+                )
             n = len(blob) // rec
             if weighted:
                 a = np.frombuffer(blob[: n * rec], dtype=np.dtype([("s", "<u4"), ("d", "<u4"), ("w", "<f4")]))
@@ -66,7 +72,14 @@ def write_binary_edges(edges: ray.data.Dataset, path: str, *, weighted: bool = F
         for batch in edges.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             s = batch["src"].to_numpy(zero_copy_only=False)
             d = batch["dst"].to_numpy(zero_copy_only=False)
-            assert s.max(initial=0) < 2**32 and d.max(initial=0) < 2**32, "ids exceed u32"
+            if len(s) and not (
+                0 <= int(s.min()) and int(s.max()) < 2**32
+                and 0 <= int(d.min()) and int(d.max()) < 2**32
+            ):
+                raise ValueError(
+                    "edge ids outside [0, 2^32): the reference u32 format "
+                    "cannot represent them (negative or oversized vid)"
+                )
             if weighted:
                 w = batch["weight"].to_numpy(zero_copy_only=False)
                 rec = np.empty(len(s), dtype=np.dtype([("s", "<u4"), ("d", "<u4"), ("w", "<f4")]))

@@ -50,11 +50,17 @@ def extract_pages(
 ) -> ray.data.Dataset:
     """pages → extracted dataset, html dropped. Small batches: html rows are
     wide (binary payload), so batch_size stays modest to bound heap use."""
-    kwargs = {}
     if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+        # the CLASS form gives a real actor pool (parser state constructed
+        # once per actor, not pickled per task)
+        return pages.map_batches(
+            ExtractPages,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return pages.map_batches(
-        ExtractPages(), batch_format="pyarrow", batch_size=batch_size, **kwargs
+        ExtractPages(), batch_format="pyarrow", batch_size=batch_size
     )
 
 
