@@ -280,14 +280,10 @@ def minhash_near_duplicates(
     stage = MinHashStage(num_perm, bands, shingle_k)
     bands_ds = docs.map_batches(stage, batch_format="pyarrow")
     # candidate pairs (may repeat across bands — the verify co-group
-    # dedupes); small vs corpus, materialized for the empty-check + reuse
-    cand = group_pairs(
-        bands_ds, ["band_id", "band_hash"], max_bucket=max_bucket
-    ).materialize()
-    if cand.count() == 0:
-        return ray.data.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-        )
+    # dedupes); consumed once by the verify union, so no materialize
+    # barrier here; the empty case flows through (anchored schemas +
+    # cluster_pairs' n_edges==0 branch handle it)
+    cand = group_pairs(bands_ds, ["band_id", "band_hash"], max_bucket=max_bucket)
     scored = pairwise_verify(
         shingle_payloads(docs, shingle_k),
         cand,
