@@ -129,19 +129,32 @@ def _write_partitioned(
     # 4x fewer chunk files than 1M — a 128M-row build stays under
     # max_files per partition without needing the compaction pass
     man = ds.map_batches(spill, batch_format="pyarrow", batch_size=4 * 1024 * 1024).to_pandas()
-    if not len(man):
-        return {}
 
     compact_refs: dict[int, object] = {}
-    for pid, grp in man.groupby("part"):
+    published: set[int] = set()
+    for pid, grp in man.groupby("part") if len(man) else []:
         d = os.path.join(out_dir, f"p={int(pid):05d}")
         files = grp["file"].tolist()
+        published.add(int(pid))
         if len(files) > max_files:
             compact_refs[int(pid)] = (d, _compact_part.remote(d, files))
         else:
             _publish_manifest(d, files)
     for pid, (d, ref) in compact_refs.items():
         _publish_manifest(d, [ray.get(ref)])
+    # publish an EMPTY manifest for any p=* dir on disk that no successful
+    # attempt reported rows for: such a dir can only contain orphan chunks
+    # from failed, retried spill attempts, and the glob fallback in
+    # list_partition_files would otherwise silently read those ghost rows
+    # back in (round-2 ADVICE). The empty manifest also deletes them.
+    import glob as _glob
+
+    for d in sorted(_glob.glob(os.path.join(out_dir, "p=*"))):
+        pid = int(os.path.basename(d).split("=", 1)[1])
+        if pid not in published:
+            _publish_manifest(d, [])
+    if not len(man):
+        return {}
     return man.groupby("part")["rows"].sum().to_dict()
 
 

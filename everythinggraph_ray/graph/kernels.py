@@ -236,6 +236,17 @@ class ParentSSSPHopsKernel(Kernel):
         self.root = root
 
     def init_values(self, vids, outdeg, ctx):
+        # enforce the packed-state precondition at runtime (round-2 ADVICE):
+        # a vid >= 2^31 would overflow into the dist field and silently
+        # corrupt dist AND parent (the CLI exposes this kernel for --pages
+        # input whose vids are 63-bit url hashes — those must fail loudly)
+        if len(vids) and int(vids.max()) >= (1 << 31):
+            raise ValueError(
+                "ParentSSSPHopsKernel packs (dist<<32)|vid into int64 and "
+                f"requires every vid < 2^31; got max vid {int(vids.max())} "
+                "— renumber vertices densely or use SSSPHopsKernel + a "
+                "separate parent pass"
+            )
         v = np.full(len(vids), UNREACHED, dtype=np.int64)
         i = np.searchsorted(vids, self.root)
         if i < len(vids) and vids[i] == self.root:

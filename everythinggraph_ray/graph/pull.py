@@ -11,11 +11,12 @@ that src values live remotely; the solution here is static value routing:
                 owner (a one-time need-list exchange, precomputed index
                 positions on both sides);
     superstep:  each owner packs ``value/outdeg`` for exactly the vids
-                each requester needs — ONE object per owner per round,
-                requester-contiguous (the pull analogue of push's packed
-                scatter); each gatherer fetches its slices zero-copy,
-                scatters them onto its edge positions and reduces by dst
-                with one ``add.reduceat``.
+                each requester needs — one SEPARATE object per requester
+                per round (``num_returns=P``), so each gatherer fetches
+                ONLY its own slice (per-round traffic on a real cluster is
+                exactly Σ|need lists|, never P× that); it scatters the
+                slices onto its edge positions and reduces by dst with one
+                ``add.reduceat``.
 
 Traffic per round is Σ |distinct srcs needed per partition| values — the
 classic pull advantage on skewed graphs (a hub's value crosses each
@@ -119,20 +120,25 @@ class PullPartition:
         self.vals = np.full(len(self.owned_vids), init, dtype=np.float64)
         return len(self.owned_vids)
 
-    def publish(self) -> tuple[np.ndarray, np.ndarray]:
-        """Pack value/outdeg for every requester — one object per round
-        (requester q's slice is send_offsets[q]:send_offsets[q+1])."""
+    def publish(self):
+        """Pack value/outdeg for every requester — one object PER
+        REQUESTER per round (called with ``num_returns=P``), so a gatherer
+        on another node fetches only its own slice, never the whole pack."""
         msgs = self.vals / np.maximum(self.owned_outdeg, 1)
-        return msgs[self.send_cat], self.send_offsets
+        packed = msgs[self.send_cat]
+        out = tuple(
+            packed[self.send_offsets[q] : self.send_offsets[q + 1]] for q in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
 
     def gather(self, pub_refs, damping: float, n_vertices: int) -> tuple[float, int]:
-        """Fetch my slices from every owner's pack, scatter onto edge
-        positions, reduce by dst, apply the PageRank rule."""
+        """Fetch MY slice from every owner (pub_refs[q] is owner q's slice
+        for this partition), scatter onto edge positions, reduce by dst,
+        apply the PageRank rule."""
         pubs = ray.get(list(pub_refs))
-        for q, (vals, offs) in enumerate(pubs):
-            lo, hi = int(offs[self.pid]), int(offs[self.pid + 1])
+        for q, vals in enumerate(pubs):
             sl = self.recv_perm[self.recv_offsets[q] : self.recv_offsets[q + 1]]
-            self.src_vals[sl] = vals[lo:hi]
+            self.src_vals[sl] = vals
         agg = np.zeros(len(self.owned_vids), dtype=np.float64)
         if len(self.red_starts):
             per_edge = self.src_vals[self.src_idx]
@@ -185,9 +191,19 @@ def pagerank_pull(
         it = 0
         while it < limit:
             t0 = time.perf_counter()
-            pub = ray.put([a.publish.remote() for a in actors])
+            # one object per (owner, requester) pair: gatherer p receives
+            # only pub[q][p] — its own slice from each owner q
+            pub = [
+                a.publish.options(num_returns=P).remote() if P > 1 else [a.publish.remote()]
+                for a in actors
+            ]
             stats = ray.get(
-                [a.gather.remote(pub, damping, meta["n_vertices"]) for a in actors]
+                [
+                    actors[p].gather.remote(
+                        [pub[q][p] for q in range(P)], damping, meta["n_vertices"]
+                    )
+                    for p in range(P)
+                ]
             )
             delta = max(s[0] for s in stats)
             it += 1

@@ -1051,10 +1051,12 @@ ORACLES: dict[str, str] = {
     ),
     # weighted SSSP: weights are the reference's synthesized
     # src%10 + dst%10 (init_all.c:663-666) — pure SQL. Bounded relax
-    # enumeration: every path with total weight < 1152 is enumerated
+    # enumeration: every path with total weight <= 1152 is enumerated
     # ((vid, d) states dedup via UNION; zero-weight cycles repeat a state
     # and stop). 1152 = 18 (max weight) x 64 (the hop-dist cap proven safe
-    # by rel_sssp_hops), so the optimum is always inside the enumeration.
+    # by rel_sssp_hops) bounds the optimum INCLUSIVELY, so the predicate
+    # must be <=, not < (a shortest path of weight exactly 1152 would
+    # otherwise be excluded — round-2 ADVICE boundary fix).
     "rel_sssp_weighted": (
         "WITH RECURSIVE "
         + _sql_graph_prelude()
@@ -1063,7 +1065,7 @@ ORACLES: dict[str, str] = {
         ", root AS (SELECT min(vid) AS rv FROM verts)"
         ", r(vid, d) AS (SELECT rv, CAST(0 AS DOUBLE) FROM root UNION "
         "SELECT ew.dst, r.d + ew.w FROM r JOIN ew ON ew.src = r.vid "
-        "WHERE r.d + ew.w < 1152) "
+        "WHERE r.d + ew.w <= 1152) "
         "SELECT v.vid, round(coalesce(m.d, CAST('infinity' AS DOUBLE)), 6) AS dist "
         "FROM verts v LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m "
         "ON m.vid = v.vid"

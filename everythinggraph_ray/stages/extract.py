@@ -106,9 +106,14 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts
             if c in (key, ts):
                 continue
             s = df[c]
-            if s.dtype != object or s.map(
-                lambda x: isinstance(x, (str, bytes, int, float)) or x is None
-            ).all():
+            # direct sort only for a SINGLE uniform scalar type: a column
+            # mixing e.g. str and int passes an isinstance-any check but
+            # pandas sort_values raises TypeError on the cross-type
+            # comparison (round-2 ADVICE) — mixed columns take the hash path
+            kinds = {type(x) for x in s if x is not None} if s.dtype == object else set()
+            if s.dtype != object or (
+                len(kinds) <= 1 and kinds <= {str, bytes, int, float}
+            ):
                 tiebreak.append(c)
             else:
                 hc = f"__tb_{c}"
