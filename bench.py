@@ -225,9 +225,10 @@ def full_suite() -> dict:
     Q.q_docs_minhash_clusters(SF_DIR)
     out["docs_minhash"] = time.perf_counter() - t0
     t0 = time.perf_counter()
+    from everythinggraph_ray.datapipe.knn import smallest_ids
+
     emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].nsmallest(8)
-    knn_bruteforce(emb, [int(x) for x in ids], k=10)
+    knn_bruteforce(emb, smallest_ids(emb, "vec_id", 8), k=10)
     out["knn_top10"] = time.perf_counter() - t0
 
     out = {k: round(v, 3) for k, v in out.items()}

@@ -669,9 +669,11 @@ def q_rel_wcc_dataset(sf_dir):
 
 
 def q_knn_top10(sf_dir):
+    from everythinggraph_ray.datapipe.knn import smallest_ids
+
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].nsmallest(KNN_QUERIES)
-    return knn_bruteforce(emb, [int(x) for x in ids], k=KNN_K)
+    ids = smallest_ids(emb, "vec_id", KNN_QUERIES)  # bounded min-k, no O(V) pull
+    return knn_bruteforce(emb, ids, k=KNN_K)
 
 
 def q_knn_ivf_top10(sf_dir):
@@ -679,13 +681,11 @@ def q_knn_ivf_top10(sf_dir):
     result is EXACT and shares knn_top10's SQL oracle (the assignment +
     grouped-search machinery is what's under test; the recall-vs-probe
     tradeoff is covered in pytest)."""
-    from everythinggraph_ray.datapipe.knn import knn_ivf
+    from everythinggraph_ray.datapipe.knn import knn_ivf, smallest_ids
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = emb.select_columns(["vec_id"]).to_pandas()["vec_id"].nsmallest(KNN_QUERIES)
-    return knn_ivf(
-        emb, [int(x) for x in ids], k=KNN_K, n_centroids=8, n_probe=8
-    )
+    ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
+    return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
 def q_events_hourly(sf_dir):
