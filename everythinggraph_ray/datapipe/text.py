@@ -125,32 +125,24 @@ def lang_id(docs: ray.data.Dataset, *, concurrency: int = 4) -> ray.data.Dataset
     return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_SEED = np.uint64(1469598103934665603)
-
-
-def _rolling_fingerprint(tokens: list[str]) -> int:
-    """FNV-1a-style rolling hash over whitespace tokens — a stable 63-bit
-    document fingerprint (order-sensitive, whitespace-normalized)."""
-    h = _FP_SEED
-    for tok in tokens:
-        for b in tok.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-        h = (h ^ np.uint64(32)) * _FP_BASE  # normalized single separator
-    return int(h & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
-
-
 def fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """(doc_id, fingerprint): deterministic rolling hash of the
-    whitespace-normalized text. Two docs differing only in whitespace
-    runs/kind collide on purpose."""
+    """(doc_id, fingerprint): md5 hex digest of the whitespace-normalized
+    text (``\\S+`` tokens re-joined with single spaces). Two docs differing
+    only in whitespace runs/kind collide on purpose; token ORDER still
+    matters. md5 (not blake2b, round-2 VERDICT) so the DuckDB oracle
+    ``md5(array_to_string(regexp_extract_all(text, '\\S+'), ' '))``
+    reproduces it exactly — both regex engines are RE2."""
 
     def fp(batch: pa.Table) -> pa.Table:
+        import hashlib
         import re
 
-        toks = [re.findall(r"\S+", t) for t in batch[text_col].to_pylist()]
-        out = np.fromiter((_rolling_fingerprint(t) for t in toks), dtype=np.int64, count=len(toks))
-        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.int64())})
+        rx = re.compile(r"\S+")
+        out = [
+            hashlib.md5(" ".join(rx.findall(t)).encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.string())})
 
     return docs.map_batches(fp, batch_format="pyarrow")
 

@@ -60,6 +60,8 @@ REL_V = 1000
 KNN_QUERIES = 8
 KNN_K = 10
 
+from everythinggraph_ray.datapipe.text import _LANG_PROFILES as _LANGID_PROFILES
+
 # pages-corpus size per test scale (deterministic, cached in /tmp)
 _CORPUS_ROWS = {"sf0.001": 800, "sf0.01": 3000, "sf0.1": 20000}
 
@@ -360,40 +362,50 @@ def q_web_top10(sf_dir):
 def q_web_curation(sf_dir):
     """Composed training-data curation pipeline over the web corpus:
     extract text (latest capture per url) → quality gate → exact dedup →
-    per-language counts of surviving documents. One streaming pipeline;
-    counts are deterministic. Rows-only check (pytest asserts the
-    stage-by-stage invariants)."""
-    from everythinggraph_ray.datapipe.dedup import exact_duplicates
+    corpus counts. ONE streaming pass (round-2 VERDICT fix — no
+    materialize()): each row reduces to (text-md5, quality-pass) in the
+    gate stage itself, the full text never shuffles, and all three counts
+    ride the same bucketed reduce as per-bucket partial sums (pages /
+    quality-survivors / distinct surviving texts — the md5 grouping is
+    identical to datapipe.dedup.exact_duplicates). Rows-only check
+    (pytest asserts the stage-by-stage invariants + determinism)."""
+    import hashlib
+
     from everythinggraph_ray.datapipe.text import quality_values
-    from everythinggraph_ray.hashing import urls_to_vids
+    from everythinggraph_ray.stages.agg import bucketed_reduce
 
     pages = ray.data.read_parquet(_corpus_for(sf_dir))
     ex = pages_to_text(pages)  # (url, text), keep-latest
 
-    def as_docs(batch: pa.Table) -> pa.Table:
+    def row_stats(batch: pa.Table) -> pa.Table:
+        # quality is a pure function of the text: score inline (no driver
+        # keep-set); carry only (hash, pass) downstream
+        ok = quality_values(batch["text"]) >= 0.2
+        h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.string()), "ok": pa.array(ok, pa.bool_())})
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (int(x[:8], 16) for x in batch["h"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
         return pa.table(
             {
-                "doc_id": pa.array(urls_to_vids(batch["url"]), pa.int64()),
-                "text": batch["text"],
+                "n_pages": pa.array([len(df)], pa.int64()),
+                "n_quality": pa.array([int(df["ok"].sum())], pa.int64()),
+                "n_unique": pa.array([int(df.loc[df["ok"], "h"].nunique())], pa.int64()),
             }
         )
 
-    docs = ex.map_batches(as_docs, batch_format="pyarrow").materialize()
-
-    def gate(batch: pa.Table) -> pa.Table:
-        # quality is a pure function of the text: score and filter in ONE
-        # stage with a numpy mask — no driver keep-set, no second pass
-        return batch.filter(pa.array(quality_values(batch["text"]) >= 0.2))
-
-    kept = docs.map_batches(gate, batch_format="pyarrow").materialize()
-    uniq = exact_duplicates(kept)
-    return pa.table(
-        {
-            "n_pages": pa.array([docs.count()], pa.int64()),
-            "n_quality": pa.array([kept.count()], pa.int64()),
-            "n_unique": pa.array([uniq.count()], pa.int64()),
-        }
-    )
+    parts = bucketed_reduce(
+        ex.map_batches(row_stats, batch_format="pyarrow"), bucket_of, red
+    ).to_pandas()
+    tot = {c: int(parts[c].sum()) if len(parts) else 0 for c in ("n_pages", "n_quality", "n_unique")}
+    return pa.table({c: pa.array([tot[c]], pa.int64()) for c in ("n_pages", "n_quality", "n_unique")})
 
 
 def q_web_top_per_domain(sf_dir):
@@ -580,15 +592,92 @@ def _typed_collect(ds, dtypes: dict[str, str]) -> pd.DataFrame:
     return df[list(dtypes)].astype(dtypes)
 
 
+NEARDUP_ID_OFFSET = 1_000_000_000
+
+
 def q_emb_near_dup(sf_dir):
     """Embedding-cosine near-duplicate pairs (LSH + distributed co-group
-    verify, datapipe/pairs.py)."""
-    from everythinggraph_ray.datapipe.knn import embedding_near_duplicates
+    verify, datapipe/pairs.py). The synthetic embeddings table carries no
+    planted near-dups (max pairwise cos ≈ 0.51 at sf0.01), which would
+    exercise only the empty path — so the query derives an AUGMENTED
+    corpus first: for the ``KNN_QUERIES`` smallest vec_ids it unions a
+    deterministically jittered copy (id + 10^9, vector + 1% seeded
+    noise, cos ≈ 0.99995), guaranteeing the non-empty verify/dedup path
+    runs end-to-end (round-2 VERDICT #10). Rows-only check; exact pair
+    recovery (every planted (i, i+10^9)) is asserted in pytest."""
+    from everythinggraph_ray.datapipe.knn import embedding_near_duplicates, smallest_ids
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(v, ids)))
+
+    seed_rows = emb.map_batches(grab, batch_format="pyarrow").to_pandas()
+    vecs = np.stack(seed_rows["embedding"].to_numpy()).astype(np.float64)
+    vids = seed_rows["vec_id"].to_numpy(np.int64)
+    noise = np.stack(
+        [np.random.default_rng(int(v)).standard_normal(vecs.shape[1]) for v in vids]
+    )
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-30)
+    jittered = vecs + 0.01 * np.linalg.norm(vecs, axis=1, keepdims=True) * noise
+    copies = pa.table(
+        {
+            "vec_id": pa.array(vids + NEARDUP_ID_OFFSET, pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32) for r in jittered], pa.list_(pa.float32())
+            ),
+            "label": pa.array(seed_rows["label"].to_numpy(np.int32), pa.int32()),
+        }
+    )
+    aug = emb.union(ray.data.from_arrow(copies))
     return _typed_collect(
-        embedding_near_duplicates(emb, threshold=0.9),
+        embedding_near_duplicates(aug, threshold=0.9),
         {"a": "int64", "b": "int64", "cos": "float64"},
+    )
+
+
+def q_docs_candidate_starred(sf_dir):
+    """Candidate-generation loss metric (round-2 VERDICT #9): for the
+    minhash band table and the simhash chunk table, the number of
+    candidate pairs and how many were proposed by STARRED buckets (groups
+    larger than max_bucket emit a hub star instead of the O(n²) clique —
+    connectivity preserved, pairwise recall lost). Surfaces the silent-cap
+    fraction as a first-class metric. Per-batch partial sums; no oracle
+    (hash-derived buckets); the exact counts on an oversized-bucket
+    fixture are asserted in pytest."""
+    from everythinggraph_ray.datapipe.dedup import MinHashStage, simhash_candidates
+    from everythinggraph_ray.datapipe.pairs import group_pairs
+
+    docs = _docs(sf_dir)
+    stage = MinHashStage()
+    minhash_cand = group_pairs(
+        docs.map_batches(stage, batch_format="pyarrow"), ["band_id", "band_hash"]
+    )
+    simhash_cand = simhash_candidates(docs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["starred"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_pairs": pa.array([len(s)], pa.int64()),
+                "n_starred": pa.array([int(s.sum())], pa.int64()),
+            }
+        )
+
+    rows = []
+    for source, cand in (("minhash_bands", minhash_cand), ("simhash_chunks", simhash_cand)):
+        df = cand.map_batches(partial, batch_format="pyarrow").to_pandas()
+        rows.append(
+            (source, int(df["n_pairs"].sum()) if len(df) else 0, int(df["n_starred"].sum()) if len(df) else 0)
+        )
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_starred": pa.array([r[2] for r in rows], pa.int64()),
+        }
     )
 
 
@@ -1118,6 +1207,33 @@ ORACLES: dict[str, str] = {
         r"(PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS rk "
         r"FROM q QUALIFY rk <= 5"
     ),
+    # fingerprint = md5 of the whitespace-normalized text: both sides RE2
+    # + md5, so the hex strings hash-compare exactly
+    "docs_fingerprint": (
+        r"SELECT doc_id, md5(array_to_string(regexp_extract_all(text, '\S+'), ' ')) "
+        r"AS fingerprint FROM documents"
+    ),
+    # language-ID: per-language stopword-profile hit counts (RE2 both
+    # sides), argmax with alphabetical tiebreak (numpy argmax picks the
+    # first of the sorted lang list), 'und' when no profile hits or the
+    # doc has < 3 tokens — the exact LangIdStage rule
+    "docs_langid": (
+        "WITH s AS (SELECT doc_id, lower(text) AS lt, "
+        r"CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS nt FROM documents), "
+        "c AS (SELECT doc_id, nt, "
+        + ", ".join(
+            f"CAST(len(regexp_extract_all(lt, '{_LANGID_PROFILES[lg]}')) AS BIGINT) AS {lg}"
+            for lg in sorted(_LANGID_PROFILES)
+        )
+        + " FROM s), "
+        "u AS (SELECT doc_id, nt, lang, cnt FROM c UNPIVOT (cnt FOR lang IN ("
+        + ", ".join(sorted(_LANGID_PROFILES))
+        + "))), "
+        "r AS (SELECT doc_id, nt, lang, cnt, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk FROM u) "
+        "SELECT doc_id, CASE WHEN nt < 3 OR cnt = 0 THEN 'und' ELSE lang END AS lang_pred "
+        "FROM r WHERE rk = 1"
+    ),
     "docs_top_tokens": (
         r"SELECT t AS token, count(*) AS n FROM "
         r"(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents) "
@@ -1223,6 +1339,7 @@ QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_simhash_dedup": q_docs_simhash_dedup,
     "emb_near_dup": q_emb_near_dup,
+    "docs_candidate_starred": q_docs_candidate_starred,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "rel_wcc_dataset": q_rel_wcc_dataset,

@@ -294,3 +294,65 @@ def test_multimodal_queries_rows_and_determinism():
     assert len(f1) > 0 and f1.equals(f2)
     fr = q_multimodal_frames(sf).to_pandas()
     assert len(fr) > 0 and (fr["frame_len"] > 0).all() and (fr["frame_idx"] >= 0).all()
+
+
+def test_candidate_starred_counts_on_oversized_bucket():
+    """The starred-pair loss metric counts exactly: one oversized group of
+    n ids at max_bucket < n-1 yields n-1 starred rows and 0 clique rows."""
+    import ray.data as rd
+
+    from everythinggraph_ray.datapipe.pairs import group_pairs
+
+    n, small = 12, 3
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)) + [100, 101], pa.int64()),
+            "g": pa.array([7] * n + [9, 9], pa.int64()),
+        }
+    )
+    cand = group_pairs(rd.from_arrow(t), ["g"], max_bucket=small)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["starred"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_pairs": pa.array([len(s)], pa.int64()),
+                "n_starred": pa.array([int(s.sum())], pa.int64()),
+            }
+        )
+
+    df = cand.map_batches(partial, batch_format="pyarrow").to_pandas()
+    assert int(df["n_pairs"].sum()) == (n - 1) + 1  # star of 12 + the (100,101) pair
+    assert int(df["n_starred"].sum()) == n - 1
+
+
+def test_web_curation_matches_two_pass_reference():
+    """The one-pass fused counts equal the naive two-pass formulation
+    (materialize + exact_duplicates) on the same corpus."""
+    from everythinggraph_ray.datapipe.dedup import exact_duplicates
+    from everythinggraph_ray.datapipe.text import quality_values
+    from everythinggraph_ray.hashing import urls_to_vids
+    from everythinggraph_ray.pipelines.queries import _corpus_for, q_web_curation
+    from everythinggraph_ray.stages.extract import pages_to_text
+
+    out = q_web_curation("/root/testdata/sf0.001").to_pandas().iloc[0]
+
+    pages = ray.data.read_parquet(_corpus_for("/root/testdata/sf0.001"))
+    ex = pages_to_text(pages)
+
+    def as_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(urls_to_vids(batch["url"]), pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    docs = ex.map_batches(as_docs, batch_format="pyarrow").materialize()
+    kept = docs.map_batches(
+        lambda b: b.filter(pa.array(quality_values(b["text"]) >= 0.2)),
+        batch_format="pyarrow",
+    ).materialize()
+    assert int(out["n_pages"]) == docs.count()
+    assert int(out["n_quality"]) == kept.count()
+    assert int(out["n_unique"]) == exact_duplicates(kept).count()

@@ -112,3 +112,24 @@ def test_ivf_recall():
     got = exact.sort_values("rank")["neighbor_id"].to_numpy()
     want = brute[brute.query_id == 3].sort_values("rank")["neighbor_id"].to_numpy()
     assert np.array_equal(got, want)
+
+
+def test_emb_near_dup_query_recovers_planted_pairs():
+    """q_emb_near_dup plants jittered copies (id + 10^9) so the non-empty
+    verify path runs against the driver fixture — every planted pair must
+    be recovered with cos close to 1."""
+    from everythinggraph_ray.pipelines.queries import (
+        KNN_QUERIES,
+        NEARDUP_ID_OFFSET,
+        q_emb_near_dup,
+    )
+    from everythinggraph_ray.datapipe.knn import smallest_ids
+
+    sf = "/root/testdata/sf0.001"
+    out = q_emb_near_dup(sf)
+    emb = ray.data.read_parquet(sf + "/embeddings.parquet")
+    ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
+    pairs = set(zip(out["a"], out["b"]))
+    for i in ids:
+        assert (i, i + NEARDUP_ID_OFFSET) in pairs
+    assert (out["cos"] > 0.99).all()
