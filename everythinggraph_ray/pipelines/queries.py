@@ -163,19 +163,63 @@ def q_rel_pagerank10_pull(sf_dir):
     value routing (graph/pull.py). Shares rel_pagerank10's SQL oracle."""
     from everythinggraph_ray.graph.pull import pagerank_pull
 
-    tag = f"relpull|{sf_dir}"
-    bdir = build_dir_for(tag, 8)
-    build_graph(
-        rel_edges(sf_dir),
-        bdir,
-        num_partitions=8,
-        hub_threshold=10**9,
-        partition_edges_by="dst",
-    )
-    res = pagerank_pull(bdir, n_iters=10)
+    res = pagerank_pull(_rel_pull_build(sf_dir), n_iters=10)
     df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
     df["pagerank"] = np.round(df["pagerank"].to_numpy(), 7)
     return df[["vid", "pagerank"]]
+
+
+def _rel_pull_build(sf_dir: str, *, weighted: bool = False) -> str:
+    tag = f"relpull{'w' if weighted else ''}|{sf_dir}"
+    bdir = build_dir_for(tag, 8)
+    e = rel_edges(sf_dir)
+    if weighted:
+        from everythinggraph_ray.stages.edges import synthesize_weights
+
+        e = synthesize_weights(e)
+    build_graph(
+        e, bdir, num_partitions=8, hub_threshold=10**9,
+        partition_edges_by="dst", weighted=weighted,
+    )
+    return bdir
+
+
+def q_rel_bfs_pull(sf_dir):
+    """Pull-mode BFS cross-variant (bfs_simple.c:104-229 pull branch):
+    frontier kernel over the dst-partitioned CSC build, adaptive
+    sparse/dense relax on the Beamer frontier-size/20 switch driven from
+    driver-side counts. Shares rel_bfs's SQL oracle."""
+    from everythinggraph_ray.graph.pull import frontier_pull
+
+    res = frontier_pull(_rel_pull_build(sf_dir), _rel_root(sf_dir), kind="bfs")
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    return df.rename(columns={"bfs": "dist"})[["vid", "dist"]]
+
+
+def q_rel_sssp_hops_pull(sf_dir):
+    """Pull-mode hop SSSP cross-variant (sssp_pushpull.c:69-98 pull branch
+    with the reference's +1 push relax semantics, adaptive direction
+    switch). Shares rel_sssp_hops's SQL oracle."""
+    from everythinggraph_ray.graph.pull import frontier_pull
+
+    res = frontier_pull(_rel_pull_build(sf_dir), _rel_root(sf_dir), kind="sssp_hops")
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    return df.rename(columns={"sssp_hops": "dist"})[["vid", "dist"]]
+
+
+def q_rel_sssp_weighted_pull(sf_dir):
+    """Pull-mode WEIGHTED SSSP — the reference pull asymmetry
+    (sssp_pushpull.c:81 adds edge.weight where push adds +1), over a
+    weighted dst-partitioned build. Shares rel_sssp_weighted's oracle."""
+    from everythinggraph_ray.graph.pull import frontier_pull
+
+    res = frontier_pull(
+        _rel_pull_build(sf_dir, weighted=True), _rel_root(sf_dir), kind="sssp_weighted"
+    )
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    out = df.rename(columns={"sssp_weighted": "dist"})[["vid", "dist"]]
+    out["dist"] = np.round(out["dist"].to_numpy(), 6)
+    return out
 
 
 def q_rel_pagerank(sf_dir):
@@ -1038,6 +1082,9 @@ ORACLES: dict[str, str] = {
     "rel_pagerank10": _pagerank10_sql(),
     # pull cross-variant: same rule, same fixed-10 schedule, same rounding
     "rel_pagerank10_pull": _pagerank10_sql(),
+    # pull frontier cross-variants share the push oracles verbatim (same
+    # fixpoint by construction; cross-checked mode-by-mode in pytest) —
+    # filled in below after the push entries are defined
     "rel_wcc": (
         "WITH RECURSIVE "
         + _sql_graph_prelude(undirect=True)
@@ -1300,6 +1347,10 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+ORACLES["rel_bfs_pull"] = ORACLES["rel_bfs"]
+ORACLES["rel_sssp_hops_pull"] = ORACLES["rel_sssp_hops"]
+ORACLES["rel_sssp_weighted_pull"] = ORACLES["rel_sssp_weighted"]
+
 QUERIES = {
     "rel_edges": q_rel_edges,
     "rel_degree": q_rel_degree,
@@ -1314,7 +1365,10 @@ QUERIES = {
     "rel_labelprop": q_rel_labelprop,
     "rel_labelprop_seeded": q_rel_labelprop_seeded,
     "rel_bfs": q_rel_bfs,
+    "rel_bfs_pull": q_rel_bfs_pull,
     "rel_sssp_hops": q_rel_sssp_hops,
+    "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
+    "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,
     "rel_sssp_parent": q_rel_sssp_parent,
     "rel_spmv": q_rel_spmv,
     "rel_spmv_edgecentric": q_rel_spmv_edgecentric,

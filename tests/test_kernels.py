@@ -306,3 +306,69 @@ def test_parent_sssp_and_validator(tmp_path):
     bad.loc[i, "parent"] = int(bad.loc[i, "vid"])  # self-parent: wrong dist + no edge
     notok = validate_parents(ray.data.from_pandas(bad), edges, root)
     assert notok["dist_violations"] >= 1 or notok["edge_violations"] >= 1
+
+
+def test_frontier_pull_matches_push_all_modes(tmp_path):
+    """Pull BFS / SSSP-hops / SSSP-weighted over the dst-partitioned build
+    equal the push engine in FORCED sparse, forced dense and adaptive
+    modes — the reference's push<->pull cross-variant methodology
+    (bfs_simple.c:104-229, sssp_pushpull.c:69-98)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import (
+        BFSKernel,
+        SSSPHopsKernel,
+        SSSPWeightedKernel,
+    )
+    from everythinggraph_ray.graph.pull import frontier_pull
+    from everythinggraph_ray.stages.edges import synthesize_weights
+
+    rng = np.random.default_rng(11)
+    src = np.r_[rng.integers(0, 300, 6000), [400]]
+    dst = np.r_[rng.integers(0, 300, 6000), [401]]  # unreached tail
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    root = 0
+    push_dir = str(tmp_path / "push")
+    pull_dir = str(tmp_path / "pull")
+    pushw_dir = str(tmp_path / "pushw")
+    pullw_dir = str(tmp_path / "pullw")
+    build_graph(edges, push_dir, num_partitions=3, hub_threshold=10**9)
+    build_graph(edges, pull_dir, num_partitions=3, hub_threshold=10**9, partition_edges_by="dst")
+    build_graph(synthesize_weights(edges), pushw_dir, num_partitions=3, hub_threshold=10**9, weighted=True)
+    build_graph(
+        synthesize_weights(edges), pullw_dir, num_partitions=3, hub_threshold=10**9,
+        partition_edges_by="dst", weighted=True,
+    )
+
+    eng = GraphEngine(push_dir)
+    try:
+        bfs = eng.run(BFSKernel(root))["dataset"].to_pandas().sort_values("vid")
+        hops = eng.run(SSSPHopsKernel(root))["dataset"].to_pandas().sort_values("vid")
+    finally:
+        eng.shutdown()
+    engw = GraphEngine(pushw_dir)
+    try:
+        wtd = engw.run(SSSPWeightedKernel(root))["dataset"].to_pandas().sort_values("vid")
+    finally:
+        engw.shutdown()
+
+    for mode in (None, "sparse", "dense"):
+        g = frontier_pull(pull_dir, root, kind="bfs", force_mode=mode)["dataset"].to_pandas().sort_values("vid")
+        assert np.array_equal(g["bfs"].to_numpy(), bfs["bfs"].to_numpy())
+        g = frontier_pull(pull_dir, root, kind="sssp_hops", force_mode=mode)["dataset"].to_pandas().sort_values("vid")
+        assert np.array_equal(g["sssp_hops"].to_numpy(), hops["sssp_hops"].to_numpy())
+        g = frontier_pull(pullw_dir, root, kind="sssp_weighted", force_mode=mode)["dataset"].to_pandas().sort_values("vid")
+        a, b = g["sssp_weighted"].to_numpy(), wtd["sssp_weighted"].to_numpy()
+        fin = np.isfinite(a)
+        assert np.array_equal(fin, np.isfinite(b)) and np.allclose(a[fin], b[fin])
+
+    # the adaptive run must actually exercise BOTH directions on this graph
+    res = frontier_pull(pull_dir, root, kind="sssp_hops")
+    assert "sparse" in res["modes"] and "dense" in res["modes"]
