@@ -17,11 +17,17 @@ engine.py; the distributed analogue of the reference's per-socket NUMA
 mirrors, pr_numa.c:136-196). Edge coverage stays disjoint (each edge is
 assigned to exactly one partition), which keeps sum-combining exact;
 min-combining is idempotent and unaffected.
+
+All durable writes go through a ``pyarrow.fs.FileSystem`` handle
+(``filesystem=`` on build_graph / _write_partitioned /
+list_partition_files — state/fs.py), so a multi-node deployment can
+target shared storage (s3://, hdfs://) instead of node-local POSIX
+paths. Validity is gated by ``_SUCCESS`` + per-partition manifests, not
+renames, which is what makes the layout object-store-safe.
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -32,54 +38,71 @@ import pyarrow.parquet as pq
 import ray.data
 
 from everythinggraph_ray.stages.edges import out_degrees
-
+from everythinggraph_ray.state.fs import (
+    fs_delete_dir,
+    fs_delete_file,
+    fs_exists,
+    fs_listdir,
+    fs_mkdirs,
+    read_json,
+    resolve_fs,
+    write_json,
+    write_text,
+)
 
 MAX_FILES_PER_PART = 64
 
 
 @ray.remote
-def _compact_part(d: str, files: list[str]) -> str:
+def _compact_part(d: str, files: list[str], fs) -> str:
     """Merge one partition's chunk files into a single file (each
     partition fits one actor's memory by construction — the partition
     actor loads it whole anyway). Returns the new file name."""
     import uuid
 
-    t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in files])
+    fs = resolve_fs(fs)
+    t = pa.concat_tables([pq.read_table(os.path.join(d, f), filesystem=fs) for f in files])
     out = f"compact-{uuid.uuid4().hex[:12]}.parquet"
-    pq.write_table(t, os.path.join(d, out))
+    pq.write_table(t, os.path.join(d, out), filesystem=fs)
     return out
 
 
-def _publish_manifest(d: str, files: list[str]):
-    """Atomically publish the list of VALID chunk files for a partition
-    dir, then delete everything else: a retried spill task leaves its
-    failed attempt's chunks on disk, and without the manifest a reader
-    would silently double-count those rows (round-1 ADVICE)."""
-    tmp = os.path.join(d, ".manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"files": sorted(files)}, fh)
-    os.replace(tmp, os.path.join(d, "manifest.json"))
+def _publish_manifest(d: str, files: list[str], fs):
+    """Publish the list of VALID chunk files for a partition dir, then
+    delete everything else: a retried spill task leaves its failed
+    attempt's chunks on disk, and without the manifest a reader would
+    silently double-count those rows (round-1 ADVICE). One JSON put —
+    atomic on object stores; readers go through the manifest only."""
+    write_json(fs, os.path.join(d, "manifest.json"), {"files": sorted(files)})
     keep = set(files) | {"manifest.json"}
-    for f in os.listdir(d):
+    for f in fs_listdir(fs, d):
         if f not in keep and not f.startswith("."):
-            os.remove(os.path.join(d, f))
+            fs_delete_file(fs, os.path.join(d, f))
 
 
-def list_partition_files(part_dir: str) -> list[str]:
+def list_partition_files(part_dir: str, filesystem=None) -> list[str]:
     """Valid data files of one partition dir: manifest-listed if a
-    manifest exists (post-build always), else a glob (pre-manifest
-    layouts)."""
-    import glob as _glob
-
+    manifest exists (post-build always), else a listing (pre-manifest
+    layouts). A manifested dir never falls back to the listing, so orphan
+    chunks from failed attempts stay invisible."""
+    fs = resolve_fs(filesystem)
     man = os.path.join(part_dir, "manifest.json")
-    if os.path.exists(man):
-        with open(man) as fh:
-            return [os.path.join(part_dir, f) for f in json.load(fh)["files"]]
-    return sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+    if fs_exists(fs, man):
+        return [os.path.join(part_dir, f) for f in read_json(fs, man)["files"]]
+    return [
+        os.path.join(part_dir, f)
+        for f in fs_listdir(fs, part_dir)
+        if f.endswith(".parquet")
+    ]
 
 
 def _write_partitioned(
-    ds: ray.data.Dataset, out_dir: str, part_col: str, *, max_files: int = MAX_FILES_PER_PART
+    ds: ray.data.Dataset,
+    out_dir: str,
+    part_col: str,
+    *,
+    max_files: int = MAX_FILES_PER_PART,
+    filesystem=None,
 ):
     """Write-side partitioning: every batch splits itself by partition id
     and appends one parquet file per (batch, partition) — NO all-to-all
@@ -95,6 +118,7 @@ def _write_partitioned(
       into one file per partition.
 
     Returns {part: rows}."""
+    fs = resolve_fs(filesystem)
 
     def spill(batch: pa.Table) -> pa.Table:
         import uuid
@@ -110,9 +134,9 @@ def _write_partitioned(
         for s, e in zip(starts, ends):
             pid = int(ps[s])
             d = os.path.join(out_dir, f"p={pid:05d}")
-            os.makedirs(d, exist_ok=True)
+            fs_mkdirs(fs, d)
             fname = f"chunk-{tag}-{pid}.parquet"
-            pq.write_table(t.slice(int(s), int(e - s)), os.path.join(d, fname))
+            pq.write_table(t.slice(int(s), int(e - s)), os.path.join(d, fname), filesystem=fs)
             parts.append(pid)
             rows.append(int(e - s))
             files.append(fname)
@@ -124,7 +148,7 @@ def _write_partitioned(
             }
         )
 
-    os.makedirs(out_dir, exist_ok=True)
+    fs_mkdirs(fs, out_dir)
     # 4M-row spill batches: ~100 MB heap per task (narrow int64 columns),
     # 4x fewer chunk files than 1M — a 128M-row build stays under
     # max_files per partition without needing the compaction pass
@@ -137,22 +161,21 @@ def _write_partitioned(
         files = grp["file"].tolist()
         published.add(int(pid))
         if len(files) > max_files:
-            compact_refs[int(pid)] = (d, _compact_part.remote(d, files))
+            compact_refs[int(pid)] = (d, _compact_part.remote(d, files, filesystem))
         else:
-            _publish_manifest(d, files)
+            _publish_manifest(d, files, fs)
     for pid, (d, ref) in compact_refs.items():
-        _publish_manifest(d, [ray.get(ref)])
+        _publish_manifest(d, [ray.get(ref)], fs)
     # publish an EMPTY manifest for any p=* dir on disk that no successful
     # attempt reported rows for: such a dir can only contain orphan chunks
-    # from failed, retried spill attempts, and the glob fallback in
+    # from failed, retried spill attempts, and the listing fallback in
     # list_partition_files would otherwise silently read those ghost rows
     # back in (round-2 ADVICE). The empty manifest also deletes them.
-    import glob as _glob
-
-    for d in sorted(_glob.glob(os.path.join(out_dir, "p=*"))):
-        pid = int(os.path.basename(d).split("=", 1)[1])
-        if pid not in published:
-            _publish_manifest(d, [])
+    for name in fs_listdir(fs, out_dir):
+        if name.startswith("p="):
+            pid = int(name.split("=", 1)[1])
+            if pid not in published:
+                _publish_manifest(os.path.join(out_dir, name), [], fs)
     if not len(man):
         return {}
     return man.groupby("part")["rows"].sum().to_dict()
@@ -189,6 +212,7 @@ def build_graph(
     hub_threshold: int | None = None,
     weighted: bool = False,
     partition_edges_by: str = "src",
+    filesystem=None,
 ) -> dict:
     """Partition ``edges`` (int64 src/dst [+ float64 weight]) into
     ``build_dir`` and return the graph metadata dict (also written to
@@ -198,12 +222,18 @@ def build_graph(
     auto: max(256, 8 × mean out-degree). Hub vids are collected to the
     driver — they are by construction few (degree > threshold bounds their
     count by n_edges / threshold).
+
+    filesystem: optional ``pyarrow.fs.FileSystem`` for the build layout
+    (s3://, hdfs://, SubTreeFileSystem over a shared mount); default
+    node-local paths. Validity is gated by ``_SUCCESS`` written LAST (no
+    rename — object-store-safe); a stale marker-less dir is deleted and
+    rebuilt.
     """
+    fs = resolve_fs(filesystem)
     P = int(num_partitions)
     marker = os.path.join(build_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        with open(os.path.join(build_dir, "meta.json")) as fh:
-            cached = json.load(fh)
+    if fs_exists(fs, marker):
+        cached = read_json(fs, os.path.join(build_dir, "meta.json"))
         # the cache is only valid for the SAME layout parameters — silently
         # returning a P=8 unweighted src-build where a P=16 weighted
         # dst-build was requested produces wrong (or crashing) runs later
@@ -233,13 +263,11 @@ def build_graph(
                 + " — use a different build_dir or delete the cache"
             )
         return cached
-    # build into a scratch dir, atomically rename at the end — a rerun of a
-    # half-finished build never sees stale chunk files
-    import shutil
-
-    work = build_dir + ".building"
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work, exist_ok=True)
+    # a dir without _SUCCESS is a stale half-finished build: delete it so
+    # no stale chunk files survive into this attempt (the object-store
+    # replacement for the old scratch-dir + rename dance)
+    fs_delete_dir(fs, build_dir)
+    fs_mkdirs(fs, build_dir)
 
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     # the input pipeline may be expensive (html extract → dedup → hash):
@@ -255,7 +283,10 @@ def build_graph(
         return batch.append_column("vpart", pa.array((v % P).astype(np.int64), pa.int64()))
 
     vm = _write_partitioned(
-        verts.map_batches(add_vpart, batch_format="pyarrow"), os.path.join(work, "verts"), "vpart"
+        verts.map_batches(add_vpart, batch_format="pyarrow"),
+        os.path.join(build_dir, "verts"),
+        "vpart",
+        filesystem=filesystem,
     )
     n_vertices = int(sum(vm.values()))
 
@@ -275,16 +306,16 @@ def build_graph(
             hub_threshold = int(max(256, 8 * mean_deg))
             deg_stats = {"mean_outdeg": mean_deg}
         th = int(hub_threshold)
-        import glob as _glob
-
+        vdir = os.path.join(build_dir, "verts")
         vert_files = [
             f
-            for d in sorted(_glob.glob(os.path.join(work, "verts", "p=*")))
-            for f in list_partition_files(d)
+            for name in fs_listdir(fs, vdir)
+            if name.startswith("p=")
+            for f in list_partition_files(os.path.join(vdir, name), filesystem=filesystem)
         ]
         if vert_files:
             hub_tbl = (
-                ray.data.read_parquet(vert_files)
+                ray.data.read_parquet(vert_files, filesystem=filesystem)
                 .map_batches(
                     lambda t: t.filter(pc.greater(t["outdeg"], th)), batch_format="pyarrow"
                 )
@@ -304,8 +335,9 @@ def build_graph(
     # --- edges, partitioned by spart --------------------------------------
     em = _write_partitioned(
         _add_part_column(edges, P, hub_vids, by=partition_edges_by),
-        os.path.join(work, "edges"),
+        os.path.join(build_dir, "edges"),
         "spart",
+        filesystem=filesystem,
     )
     n_edges = int(sum(em.values()))
 
@@ -323,10 +355,6 @@ def build_graph(
     }
     if deg_stats:
         meta.update(deg_stats)
-    with open(os.path.join(work, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(work, "_SUCCESS"), "w") as fh:
-        fh.write("ok")
-    shutil.rmtree(build_dir, ignore_errors=True)
-    os.rename(work, build_dir)
+    write_json(fs, os.path.join(build_dir, "meta.json"), meta)
+    write_text(fs, marker, "ok")  # LAST: gates validity for readers
     return meta

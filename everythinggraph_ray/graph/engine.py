@@ -47,7 +47,6 @@ latest complete snapshot and continues mid-iteration.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import time
@@ -60,25 +59,43 @@ import ray
 import ray.data
 
 from everythinggraph_ray.graph.kernels import Kernel
+from everythinggraph_ray.state.fs import (
+    fs_is_dir,
+    fs_listdir,
+    fs_mkdirs,
+    read_json,
+    resolve_fs,
+    write_json,
+    write_text,
+)
 
 
-def _read_part_dir(path: str) -> pa.Table | None:
+def _read_part_dir(path: str, filesystem=None) -> pa.Table | None:
     """Read one partition dir through its manifest (build.py publishes one
     listing only successful-attempt chunk files; orphans from retried
-    spill tasks are excluded)."""
+    spill tasks are excluded). ``filesystem``: optional pyarrow fs for
+    builds on shared storage (s3://, ...); default local."""
     from everythinggraph_ray.graph.build import list_partition_files
 
-    files = list_partition_files(path) if os.path.isdir(path) else []
+    fs = resolve_fs(filesystem)
+    files = list_partition_files(path, filesystem=filesystem) if fs_is_dir(fs, path) else []
     if not files:
         return None
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    return pa.concat_tables([pq.read_table(f, filesystem=fs) for f in files])
 
 
 @ray.remote
 class GraphPartition:
     """One graph partition: pinned CSR/CSC blocks + owned vertex state."""
 
-    def __init__(self, pid: int, build_dir: str, meta: dict, cpu_limit: int | None = None):
+    def __init__(
+        self,
+        pid: int,
+        build_dir: str,
+        meta: dict,
+        cpu_limit: int | None = None,
+        filesystem=None,
+    ):
         if cpu_limit:
             # honest parallelism-level emulation on a shared box: pin this
             # actor to ONE of the first cpu_limit cores (the reference pins
@@ -91,6 +108,8 @@ class GraphPartition:
         self.pid = pid
         self.P = int(meta["P"])
         self.meta = meta
+        self.filesystem = filesystem  # picklable pyarrow fs (None = local)
+        self.fs = resolve_fs(filesystem)
 
         hub_vids = np.asarray(meta.get("hub_vids", []), dtype=np.int64)  # sorted
         hub_outdeg = np.asarray(meta.get("hub_outdeg", []), dtype=np.int64)
@@ -98,7 +117,7 @@ class GraphPartition:
         self.hub_outdeg = hub_outdeg
 
         # ---- owned vertices + out-degrees --------------------------------
-        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"))
+        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"), filesystem)
         if vt is None:
             self.owned_vids = np.empty(0, np.int64)
             self.owned_outdeg = np.empty(0, np.int64)
@@ -109,7 +128,7 @@ class GraphPartition:
             self.owned_vids, self.owned_outdeg = ov[o], od[o]
 
         # ---- edges of this partition -------------------------------------
-        et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"))
+        et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"), filesystem)
         if et is None:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
@@ -389,7 +408,7 @@ class GraphPartition:
 
     def save_checkpoint(self, ckpt_dir: str, superstep: int) -> int:
         d = os.path.join(ckpt_dir, f"superstep={superstep:05d}")
-        os.makedirs(d, exist_ok=True)
+        fs_mkdirs(self.fs, d)
         t = pa.table(
             {
                 "vid": pa.array(self.owned_vids, pa.int64()),
@@ -397,14 +416,15 @@ class GraphPartition:
                 "active": pa.array(self.active.astype(np.int8), pa.int8()),
             }
         )
-        tmp = os.path.join(d, f".part-{self.pid:05d}.tmp")
-        pq.write_table(t, tmp)
-        os.replace(tmp, os.path.join(d, f"part-{self.pid:05d}.parquet"))
+        # direct write — validity is gated by the snapshot's _SUCCESS
+        # marker the driver publishes only after ALL parts landed, so no
+        # tmp-file + rename is needed (object-store-safe)
+        pq.write_table(t, os.path.join(d, f"part-{self.pid:05d}.parquet"), filesystem=self.fs)
         return self.pid
 
     def load_checkpoint(self, ckpt_dir: str, superstep: int) -> int:
         f = os.path.join(ckpt_dir, f"superstep={superstep:05d}", f"part-{self.pid:05d}.parquet")
-        t = pq.read_table(f)
+        t = pq.read_table(f, filesystem=self.fs)
         vids = t["vid"].to_numpy(zero_copy_only=False)
         assert np.array_equal(vids, self.owned_vids), "checkpoint/partition mismatch"
         self.vals = t["value"].to_numpy(zero_copy_only=False).astype(self.kernel.dtype, copy=True)
@@ -415,7 +435,14 @@ class GraphPartition:
 class GraphEngine:
     """Driver for the partition-actor fleet."""
 
-    def __init__(self, build_dir: str, *, actor_cpus: float = 0.0, cpu_limit: int | None = None):
+    def __init__(
+        self,
+        build_dir: str,
+        *,
+        actor_cpus: float = 0.0,
+        cpu_limit: int | None = None,
+        filesystem=None,
+    ):
         """``actor_cpus=0`` by default: partition actors are resident state
         holders that compute only during supersteps (when nothing else
         runs), and reserving CPUs for them would starve the Ray Data
@@ -424,9 +451,12 @@ class GraphEngine:
         moment a Dataset job needs a task slot. On a dedicated multi-node
         deployment set actor_cpus to pin real capacity per partition.
         ``cpu_limit`` pins every actor to the first N cores — the
-        in-sandbox N-vs-4N parallelism emulation (see GraphPartition)."""
-        with open(os.path.join(build_dir, "meta.json")) as fh:
-            self.meta = json.load(fh)
+        in-sandbox N-vs-4N parallelism emulation (see GraphPartition).
+        ``filesystem``: optional pyarrow fs for builds/checkpoints on
+        shared storage — handed to every partition actor (picklable)."""
+        self._filesystem = filesystem
+        self._fs = resolve_fs(filesystem)
+        self.meta = read_json(self._fs, os.path.join(build_dir, "meta.json"))
         self.build_dir = build_dir
         self.P = int(self.meta["P"])
         self._actor_cpus = actor_cpus
@@ -436,7 +466,7 @@ class GraphEngine:
     def _spawn_actors(self):
         self.actors = [
             GraphPartition.options(num_cpus=self._actor_cpus).remote(
-                p, self.build_dir, self.meta, self._cpu_limit
+                p, self.build_dir, self.meta, self._cpu_limit, self._filesystem
             )
             for p in range(self.P)
         ]
@@ -506,10 +536,9 @@ class GraphEngine:
         start_iter = 0
         metrics: list[dict] = []
         if resume and checkpoint_dir:
-            latest = _latest_checkpoint(checkpoint_dir)
+            latest = _latest_checkpoint(checkpoint_dir, self._filesystem)
             if latest is not None:
-                with open(os.path.join(checkpoint_dir, "lineage.json")) as fh:
-                    lineage = json.load(fh)
+                lineage = read_json(self._fs, os.path.join(checkpoint_dir, "lineage.json"))
                 # the checkpoint is only valid for the SAME kernel on the
                 # SAME built graph — a stale dir would otherwise silently
                 # cast another kernel's values into this one's dtype
@@ -685,12 +714,12 @@ class GraphEngine:
             },
             "metrics": metrics,
         }
-        tmp = os.path.join(ckpt_dir, ".lineage.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(lineage, fh)
-        os.replace(tmp, os.path.join(ckpt_dir, "lineage.json"))
-        with open(os.path.join(ckpt_dir, f"superstep={superstep:05d}", "_SUCCESS"), "w") as fh:
-            fh.write("ok")
+        # lineage is one JSON put (atomic on object stores); the snapshot
+        # _SUCCESS marker goes LAST — readers ignore marker-less snapshots
+        write_json(self._fs, os.path.join(ckpt_dir, "lineage.json"), lineage)
+        write_text(
+            self._fs, os.path.join(ckpt_dir, f"superstep={superstep:05d}", "_SUCCESS"), "ok"
+        )
 
     def shutdown(self):
         for a in self.actors:
@@ -708,9 +737,14 @@ def _kernel_fingerprint(kernel: Kernel) -> str:
     return json.dumps([[k, repr(v)] for k, v in items])
 
 
-def _latest_checkpoint(ckpt_dir: str) -> int | None:
+def _latest_checkpoint(ckpt_dir: str, filesystem=None) -> int | None:
+    from everythinggraph_ray.state.fs import fs_exists
+
+    fs = resolve_fs(filesystem)
     done = []
-    for d in glob.glob(os.path.join(ckpt_dir, "superstep=*")):
-        if os.path.exists(os.path.join(d, "_SUCCESS")):
-            done.append(int(os.path.basename(d).split("=")[1]))
+    for name in fs_listdir(fs, ckpt_dir):
+        if name.startswith("superstep=") and fs_exists(
+            fs, os.path.join(ckpt_dir, name, "_SUCCESS")
+        ):
+            done.append(int(name.split("=")[1]))
     return max(done) if done else None
