@@ -48,9 +48,12 @@ def main(argv: list[str] | None = None) -> int:
             "wcc",
             "labelprop",
             "bfs",
+            "bfs-pull",
             "sssp",
+            "sssp-pull",
             "sssp-parent",
             "sssp-weighted",
+            "sssp-weighted-pull",
             "spmv",
             "triangles",
         ],
@@ -107,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.synthesize_weights:
         edges = E.synthesize_weights(edges)
         weighted = True
-    if args.kernel == "sssp-weighted" and not weighted:
+    if args.kernel in ("sssp-weighted", "sssp-weighted-pull") and not weighted:
         edges = E.synthesize_weights(edges)
         weighted = True
 
@@ -132,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"und={int(bool(args.undirect or auto_undirect))}",
                 f"w={int(bool(weighted))}",
                 f"P={args.partitions}",
-                f"by={'dst' if args.kernel == 'pagerank-pull' else 'src'}",
+                f"by={'dst' if args.kernel.endswith('-pull') else 'src'}",
             ]
         )
         bdir = os.path.join(
@@ -159,6 +162,39 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "kernel": "pagerank-pull",
                     "iterations": res["iterations"],
+                    "n_vertices": res["n_vertices"],
+                    "n_edges": res["n_edges"],
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.kernel in ("bfs-pull", "sssp-pull", "sssp-weighted-pull"):
+        from everythinggraph_ray.graph.pull import frontier_pull
+
+        if args.checkpoint_dir or args.checkpoint_every or args.resume:
+            p.error(
+                "pull frontier kernels are the checkpoint-free cross-variants; "
+                "use the push form for checkpointed/resumable runs"
+            )
+        kind = {
+            "bfs-pull": "bfs",
+            "sssp-pull": "sssp_hops",
+            "sssp-weighted-pull": "sssp_weighted",
+        }[args.kernel]
+        build_graph(
+            edges, bdir, num_partitions=args.partitions,
+            partition_edges_by="dst", weighted=weighted,
+        )
+        res = frontier_pull(bdir, args.root, kind=kind)
+        save_results(res, args.out)
+        print(
+            json.dumps(
+                {
+                    "kernel": args.kernel,
+                    "iterations": res["iterations"],
+                    "modes": res["modes"],
                     "n_vertices": res["n_vertices"],
                     "n_edges": res["n_edges"],
                     "out": args.out,
