@@ -960,6 +960,15 @@ def q_docs_token_count_bpe(sf_dir):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_docs_pack_sequences(sf_dir):
+    """Sequence packing into 2000-token bins — the distributed prefix
+    scan (datapipe/pack.py; the reference's sequence::scan made
+    cluster-scale). SQL oracle = window cumsum ordered by doc_id."""
+    from everythinggraph_ray.datapipe.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), bin_tokens=2000)
+
+
 def q_q1_returnflag(sf_dir):
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -1331,6 +1340,15 @@ ORACLES: dict[str, str] = {
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
         r"'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens FROM documents"
     ),
+    # sequence packing = window cumsum in doc_id order; bin of the doc's
+    # FIRST token (integer division of the exclusive running total)
+    "docs_pack_sequences": (
+        r"WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens FROM documents), "
+        r"c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
+        r"(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+        r"SELECT doc_id, n_tokens, (cum - n_tokens) // 2000 AS bin_id FROM c"
+    ),
     "q1_returnflag": (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
@@ -1404,6 +1422,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "rel_degree_hist": q_rel_degree_hist,
     "docs_token_count_bpe": q_docs_token_count_bpe,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
 }

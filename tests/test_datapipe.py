@@ -356,3 +356,38 @@ def test_web_curation_matches_two_pass_reference():
     assert int(out["n_pages"]) == docs.count()
     assert int(out["n_quality"]) == kept.count()
     assert int(out["n_unique"]) == exact_duplicates(kept).count()
+
+
+def test_pack_sequences_matches_serial_scan():
+    """Distributed prefix-scan packing == the serial cumsum, including
+    when ranges outnumber buckets (multi-range bucket path) and when a
+    doc spans bins."""
+    import re
+
+    from everythinggraph_ray.datapipe.pack import BPE_RE, pack_sequences
+
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"w{i}" for i in range(int(n))) for n in rng.integers(1, 60, 300)]
+    texts[5] = "x " * 500  # longer than a bin: spans bins
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(300)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = (
+        pack_sequences(ds, bin_tokens=100, num_ranges=256)  # ranges > 64 buckets
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tok = np.array([len(re.findall(BPE_RE, t)) for t in texts], dtype=np.int64)
+    cum = np.cumsum(tok)
+    want_bin = (cum - tok) // 100
+    assert np.array_equal(out["n_tokens"].to_numpy(), tok)
+    assert np.array_equal(out["bin_id"].to_numpy(), want_bin)
+    # contiguity: bin ids are non-decreasing in doc order and start at 0
+    b = out["bin_id"].to_numpy()
+    assert b[0] == 0 and (np.diff(b) >= 0).all()
