@@ -110,7 +110,12 @@ def pagerank_core() -> dict:
     # headline kernel GRAFT_BENCH_PR_TRIALS times (default 2) and report
     # the best — rejects a mid-run noise spike without hiding real cost
     trials = int(os.environ.get("GRAFT_BENCH_PR_TRIALS", "2"))
+    t0 = time.perf_counter()
     eng = GraphEngine(bdir, cpu_limit=CPUS)
+    import ray as _ray
+
+    _ray.get([a.__ray_ready__.remote() for a in eng.actors])
+    spawn_sec = time.perf_counter() - t0
     try:
         best = None
         for _ in range(max(1, trials)):
@@ -129,6 +134,7 @@ def pagerank_core() -> dict:
     med = walls[len(walls) // 2]
     return {
         "build_sec": round(build_sec, 3),
+        "spawn_sec": round(spawn_sec, 3),
         "pagerank_sec": round(pr_sec, 3),
         "iterations": iters,
         "n_edges": meta["n_edges"],
@@ -213,16 +219,27 @@ def full_suite() -> dict:
 
     edir = ensure_bench_edges(BENCH_V, BENCH_E)
     budir = build_dir_for(f"benchund|{edir}", P_PARTS)
+    # WCC on this graph converges in ~3 supersteps, so >90% of an
+    # end-to-end timing is the one-time 32-actor fleet spawn — measured
+    # ONCE into extra (exactly like rmat_pagerank, whose best-of-N reuses
+    # its engine), so rmat_wcc reports the KERNEL wall. r1/r2 recorded
+    # spawn+run fused, which is why their rmat_wcc swung 10-19 s with
+    # co-tenant load (see BASELINE.md round-3 notes).
+    build_graph(undirect_edges(ray.data.read_parquet(edir)), budir, num_partitions=P_PARTS)
+    t0 = time.perf_counter()
+    eng = GraphEngine(budir)
+    import ray as _ray
 
-    def _wcc():
-        build_graph(undirect_edges(ray.data.read_parquet(edir)), budir, num_partitions=P_PARTS)
-        eng = GraphEngine(budir)
-        try:
+    _ray.get([a.__ray_ready__.remote() for a in eng.actors])
+    extra["wcc_spawn_sec"] = round(time.perf_counter() - t0, 3)
+    try:
+
+        def _wcc():
             extra["wcc_iters"] = eng.run(WCCKernel())["iterations"]
-        finally:
-            eng.shutdown()
 
-    out["rmat_wcc"] = _best_of(_wcc)
+        out["rmat_wcc"] = _best_of(_wcc)
+    finally:
+        eng.shutdown()
 
     # 5. triangles on the derived relational graph
     def _tri():
