@@ -928,6 +928,49 @@ def q_events_sliding(sf_dir):
     )
 
 
+def q_events_asof_prev(sf_dir):
+    """As-of join (datapipe/joins.py — the temporal join Ray Data lacks):
+    every event enriched with the latest STRICTLY-earlier event value of
+    the same user. Self-join form so the SQL oracle is a window lag
+    (events have unique (user_id, ts), making lag ≡ strict as-of);
+    two-table behavior is pytest-checked against pandas merge_asof."""
+    from everythinggraph_ray.datapipe.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id", "value"]
+    )
+    left = ev.select_columns(["event_id", "ts", "user_id"])
+
+    def rv(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "prev_value_u": pa.array(v, pa.int64()),
+            }
+        )
+
+    out = asof_join(
+        left,
+        ev.map_batches(rv, batch_format="pyarrow"),
+        by="user_id",
+        on="ts",
+        value_cols=["prev_value_u"],
+        strict=True,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "prev_value_u": pc.fill_null(t["prev_value_u"], -1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_rel_degree_hist(sf_dir):
     """Out-degree histogram (the reference prints degree stats during
     load): degree table → groupby(outdeg) count. Distinct degrees are few,
@@ -1331,6 +1374,11 @@ ORACLES: dict[str, str] = {
         "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_u "
         "FROM events, (VALUES (0), (1)) x(i) GROUP BY user_id, win_start"
     ),
+    # strict as-of == lag because (user_id, ts) is unique in events
+    "events_asof_prev": (
+        "SELECT event_id, user_id, coalesce(lag(CAST(round(value * 1000000) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_value_u FROM events"
+    ),
     "rel_degree_hist": (
         f"WITH e AS ({SQL_REL_EDGES}), d AS (SELECT vid, CAST(sum(c) AS BIGINT) AS outdeg FROM "
         "(SELECT src AS vid, 1 AS c FROM e UNION ALL SELECT DISTINCT dst AS vid, 0 AS c FROM e) t "
@@ -1420,6 +1468,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,
+    "events_asof_prev": q_events_asof_prev,
     "rel_degree_hist": q_rel_degree_hist,
     "docs_token_count_bpe": q_docs_token_count_bpe,
     "docs_pack_sequences": q_docs_pack_sequences,

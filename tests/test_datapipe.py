@@ -391,3 +391,51 @@ def test_pack_sequences_matches_serial_scan():
     # contiguity: bin ids are non-decreasing in doc order and start at 0
     b = out["bin_id"].to_numpy()
     assert b[0] == 0 and (np.diff(b) >= 0).all()
+
+
+def test_asof_join_two_tables_matches_pandas():
+    """Generic two-table as-of join (non-strict) == a direct global
+    pandas.merge_asof, including left rows with no match (nulls)."""
+    import pandas as pd
+
+    from everythinggraph_ray.datapipe.joins import asof_join
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 400, 120
+    left_df = pd.DataFrame(
+        {
+            "eid": np.arange(n_l, dtype=np.int64),
+            "t": rng.integers(0, 1000, n_l).astype(np.int64),
+            "key": rng.integers(0, 12, n_l).astype(np.int64),
+        }
+    )
+    right_df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 12, n_r).astype(np.int64),
+            "t": rng.integers(0, 1000, n_r).astype(np.int64),
+            "feat": rng.integers(0, 10**6, n_r).astype(np.int64),
+        }
+    ).drop_duplicates(["key", "t"])  # unique (key, t): deterministic winner
+
+    left = ray.data.from_pandas(left_df.rename(columns={"t": "ts", "key": "user"}))
+    right = ray.data.from_pandas(right_df.rename(columns={"t": "ts", "key": "user"}))
+    got = (
+        asof_join(left, right, by="user", on="ts", value_cols=["feat"])
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+
+    want = pd.merge_asof(
+        left_df.sort_values(["t", "key"], kind="stable"),
+        right_df.sort_values(["t", "feat"], kind="stable"),
+        on="t",
+        by="key",
+        direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    assert len(got) == n_l
+    g = got["feat"].to_numpy(dtype=np.float64, na_value=np.nan)
+    w = want["feat"].to_numpy(dtype=np.float64, na_value=np.nan)
+    assert np.array_equal(np.isnan(g), np.isnan(w))
+    assert np.array_equal(g[~np.isnan(g)], w[~np.isnan(w)])
+    assert np.isnan(g).any()  # the no-match path is actually exercised
