@@ -84,9 +84,31 @@ def _read_part_dir(path: str, filesystem=None) -> pa.Table | None:
     return pa.concat_tables([pq.read_table(f, filesystem=fs) for f in files])
 
 
+# every derived array a GraphPartition pins; pure functions of the
+# immutable build layout, so they are cacheable per (build, partition)
+_LAYOUT_ATTRS = (
+    "owned_vids", "owned_outdeg", "usrc", "out_counts", "dst_by_src",
+    "not_self", "src_owned_idx", "src_outdeg", "red_starts", "uniq_dst",
+    "src_idx_dst_sorted", "pack_perm", "pack_offsets", "uniq_packed",
+    "hub_src_idx", "hub_not_self", "hub_red_starts", "hub_dst_pos",
+    "hub_dst_all_pos", "owned_hub_pos", "owned_hub_global_idx",
+)
+_LAYOUT_OPTIONAL = ("w_by_src", "hub_w")  # None when unweighted
+_LAYOUT_CACHE_VERSION = "1"
+
+
 @ray.remote
 class GraphPartition:
-    """One graph partition: pinned CSR/CSC blocks + owned vertex state."""
+    """One graph partition: pinned CSR/CSC blocks + owned vertex state.
+
+    The derived layout (sorted CSR/CSC index arrays, packing
+    permutations) is a pure function of the immutable published build, so
+    after the first spawn it is cached as one npz per partition inside
+    the build dir (``layout_cache=True``): a build-once-run-many workload
+    (resume, repeated kernels, benchmarks) pays the radix sorts once, and
+    every later fleet spawn mostly just reads buffers back. The cache is
+    keyed on the partition manifests + layout params and falls back to a
+    full recompute on any mismatch or read error."""
 
     def __init__(
         self,
@@ -95,6 +117,7 @@ class GraphPartition:
         meta: dict,
         cpu_limit: int | None = None,
         filesystem=None,
+        layout_cache: bool = True,
     ):
         if cpu_limit:
             # honest parallelism-level emulation on a shared box: pin this
@@ -115,6 +138,16 @@ class GraphPartition:
         hub_outdeg = np.asarray(meta.get("hub_outdeg", []), dtype=np.int64)
         self.hub_vids = hub_vids
         self.hub_outdeg = hub_outdeg
+
+        self._cache_path = os.path.join(
+            build_dir, "edges", f"p={pid:05d}", f"layout-v{_LAYOUT_CACHE_VERSION}.npz"
+        )
+        self._cache_fp = self._layout_fingerprint(build_dir)
+        if layout_cache and self._load_layout_cache():
+            self.kernel = None
+            self.vals = None
+            self.active = None
+            return
 
         # ---- owned vertices + out-degrees --------------------------------
         vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"), filesystem)
@@ -237,6 +270,70 @@ class GraphPartition:
         self.kernel: Kernel | None = None
         self.vals: np.ndarray | None = None
         self.active: np.ndarray | None = None
+        if layout_cache:
+            self._save_layout_cache()
+
+    # ------------------------------------------------------------------
+    def _layout_fingerprint(self, build_dir: str) -> str:
+        """The cache key: this partition's manifest file lists + every
+        layout parameter that shapes the derived arrays. Builds are
+        immutable once _SUCCESS'd (build.py deletes marker-less dirs), so
+        matching manifests imply identical parquet bytes."""
+        from everythinggraph_ray.graph.build import list_partition_files
+
+        parts = [
+            f"v{_LAYOUT_CACHE_VERSION}",
+            f"P={self.P}",
+            f"hubs={len(self.hub_vids)}",
+            f"th={self.meta.get('hub_threshold')}",
+            f"w={self.meta.get('weighted')}",
+            f"by={self.meta.get('partition_edges_by', 'src')}",
+        ]
+        for sub in ("edges", "verts"):
+            d = os.path.join(build_dir, sub, f"p={self.pid:05d}")
+            files = list_partition_files(d, filesystem=self.filesystem) if fs_is_dir(self.fs, d) else []
+            parts.append(sub + ":" + ",".join(os.path.basename(f) for f in files))
+        return "|".join(parts)
+
+    def _load_layout_cache(self) -> bool:
+        import io
+
+        from everythinggraph_ray.state.fs import fs_exists
+
+        try:
+            if not fs_exists(self.fs, self._cache_path):
+                return False
+            with self.fs.open_input_stream(self._cache_path) as inp:
+                data = np.load(io.BytesIO(inp.read()), allow_pickle=False)
+            if str(data["fingerprint"]) != self._cache_fp:
+                return False
+            for a in _LAYOUT_ATTRS:
+                setattr(self, a, data[a])
+            for a in _LAYOUT_OPTIONAL:
+                setattr(self, a, data[a] if f"has_{a}" in data.files else None)
+            self.n_edges = int(data["n_edges"])
+            return True
+        except Exception:
+            return False  # any corruption -> recompute from the parquet
+
+    def _save_layout_cache(self) -> None:
+        import io
+
+        try:
+            arrays = {a: getattr(self, a) for a in _LAYOUT_ATTRS}
+            for a in _LAYOUT_OPTIONAL:
+                v = getattr(self, a)
+                if v is not None:
+                    arrays[a] = v
+                    arrays[f"has_{a}"] = np.array(1)
+            arrays["n_edges"] = np.array(self.n_edges, dtype=np.int64)
+            arrays["fingerprint"] = np.array(self._cache_fp)
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            with self.fs.open_output_stream(self._cache_path) as out:
+                out.write(buf.getvalue())
+        except Exception:
+            pass  # best-effort: the cache is an optimization only
 
     # ------------------------------------------------------------------
     def set_cpu_limit(self, cpu_limit: int | None) -> int:
@@ -442,6 +539,7 @@ class GraphEngine:
         actor_cpus: float = 0.0,
         cpu_limit: int | None = None,
         filesystem=None,
+        layout_cache: bool = True,
     ):
         """``actor_cpus=0`` by default: partition actors are resident state
         holders that compute only during supersteps (when nothing else
@@ -453,9 +551,13 @@ class GraphEngine:
         ``cpu_limit`` pins every actor to the first N cores — the
         in-sandbox N-vs-4N parallelism emulation (see GraphPartition).
         ``filesystem``: optional pyarrow fs for builds/checkpoints on
-        shared storage — handed to every partition actor (picklable)."""
+        shared storage — handed to every partition actor (picklable).
+        ``layout_cache``: cache each partition's derived CSR/CSC arrays
+        as one npz inside the (immutable) build dir, so repeat fleet
+        spawns skip the radix sorts (see GraphPartition)."""
         self._filesystem = filesystem
         self._fs = resolve_fs(filesystem)
+        self._layout_cache = layout_cache
         self.meta = read_json(self._fs, os.path.join(build_dir, "meta.json"))
         self.build_dir = build_dir
         self.P = int(self.meta["P"])
@@ -466,7 +568,8 @@ class GraphEngine:
     def _spawn_actors(self):
         self.actors = [
             GraphPartition.options(num_cpus=self._actor_cpus).remote(
-                p, self.build_dir, self.meta, self._cpu_limit, self._filesystem
+                p, self.build_dir, self.meta, self._cpu_limit, self._filesystem,
+                self._layout_cache,
             )
             for p in range(self.P)
         ]

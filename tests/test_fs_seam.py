@@ -113,3 +113,42 @@ def test_stale_unmarked_build_is_rebuilt(tmp_path):
     meta = build_graph(_edges(seed=5), "b", num_partitions=2, hub_threshold=10**9, filesystem=fs)
     assert meta["n_edges"] == 5000
     assert not (jail / "b" / "edges" / "p=00000" / "chunk-stale-0.parquet").exists()
+
+
+def test_layout_cache_roundtrip_and_invalidation(tmp_path):
+    """The per-partition layout cache returns bit-identical kernels warm
+    vs cold vs disabled, survives the fs seam, and a fingerprint mismatch
+    (stale/corrupt cache) falls back to a silent recompute."""
+    import glob
+
+    from everythinggraph_ray.graph.engine import _LAYOUT_CACHE_VERSION
+
+    bdir = str(tmp_path / "b")
+    build_graph(_edges(seed=9), bdir, num_partitions=3, hub_threshold=100)
+
+    def pr(layout_cache=True):
+        eng = GraphEngine(bdir, layout_cache=layout_cache)
+        try:
+            return (
+                eng.run(PageRankKernel(), n_iters=6)["dataset"]
+                .to_pandas()
+                .sort_values("vid")
+                .reset_index(drop=True)
+            )
+        finally:
+            eng.shutdown()
+
+    cold = pr()  # writes the caches
+    caches = glob.glob(f"{bdir}/edges/p=*/layout-v{_LAYOUT_CACHE_VERSION}.npz")
+    assert len(caches) == 3
+    warm = pr()  # loads them
+    off = pr(layout_cache=False)
+    assert np.array_equal(cold["pagerank"].to_numpy(), warm["pagerank"].to_numpy())
+    assert np.array_equal(cold["pagerank"].to_numpy(), off["pagerank"].to_numpy())
+
+    # corrupt one cache file: the engine must fall back to recompute and
+    # still produce identical values (and rewrite a valid cache)
+    with open(caches[0], "wb") as fh:
+        fh.write(b"not an npz")
+    again = pr()
+    assert np.array_equal(cold["pagerank"].to_numpy(), again["pagerank"].to_numpy())
