@@ -217,17 +217,26 @@ def knn_ivf(
     3. search: each query probes its ``n_probe`` nearest centroid lists;
        one grouped pass brute-forces each list against only the queries
        probing it (shared _grouped_search machinery)."""
-    # --- bounded deterministic sample for training -----------------------
+    # --- ONE pass collects both small sides: the bounded deterministic
+    # training sample AND the query rows (round-3: was two full scans) ---
     from everythinggraph_ray.stages.agg import mix64
 
-    total = embeddings.count()
+    total = embeddings.count()  # metadata-served for parquet sources
     mod = max(1, total // sample_cap)
+    qset = sorted(int(q) for q in query_ids)
 
-    def sample(batch: pa.Table) -> pa.Table:
+    def grab_small_sides(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(mix64(ids) % np.uint64(mod) == 0))
+        is_s = mix64(ids) % np.uint64(mod) == 0
+        is_q = np.isin(ids, qset)
+        t = batch.filter(pa.array(is_s | is_q))
+        tids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__is_sample", pa.array(mix64(tids) % np.uint64(mod) == 0, pa.bool_())
+        )
 
-    sm = embeddings.map_batches(sample, batch_format="pyarrow").to_pandas()
+    small = embeddings.map_batches(grab_small_sides, batch_format="pyarrow").to_pandas()
+    sm = small[small["__is_sample"]]
     if not len(sm):  # empty corpus
         return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
     X = _normalize(np.stack(sm[emb_col].to_numpy()).astype(np.float64))
@@ -242,14 +251,8 @@ def knn_ivf(
                 cents[c] = v / max(np.linalg.norm(v), 1e-30)
     cref = ray.put(cents)
 
-    # --- probe map for the queries (small side, collected once) ----------
-    qset = sorted(int(q) for q in query_ids)
-
-    def grab(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, qset)))
-
-    qdf = embeddings.map_batches(grab, batch_format="pyarrow").to_pandas()
+    # --- probe map for the queries (already collected in the same pass) --
+    qdf = small[small[id_col].isin(qset)]
     if not len(qdf):
         return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype("int64")
     qids = qdf[id_col].to_numpy(np.int64)

@@ -333,7 +333,8 @@ def cluster_pairs(pairs: ray.data.Dataset, *, num_partitions: int = 4) -> ray.da
         with open(os.path.join(bdir, "_SUCCESS"), "w") as fh:
             fh.write("ok")
 
-        eng = GraphEngine(bdir)
+        # the build dir is a throwaway tempdir: don't write a layout cache
+        eng = GraphEngine(bdir, layout_cache=False)
         try:
             res = eng.run(WCCKernel())
             # the result blocks are owned by the DRIVER (actor-task returns),
