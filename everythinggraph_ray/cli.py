@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--pages", help="pages parquet dir (url,warc_ts,html,text,lang)")
     src.add_argument("--edges", help="edge parquet dir/file (src,dst[,weight])")
     src.add_argument("--edges-bin", help="reference-format binary edge file [src:u32][dst:u32]")
+    src.add_argument("--edges-txt", help="text edge list (SNAP-style 'src dst [w]' lines; # and %% comments)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--build-dir", default=None, help="graph build dir (default: <out>/build)")
     p.add_argument("--partitions", type=int, default=32)
@@ -95,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
         edges = pages_to_edges(ray.data.read_parquet(args.pages))
     elif args.edges_bin:
         edges = read_binary_edges(args.edges_bin, weighted=args.weighted)
+    elif args.edges_txt:
+        from everythinggraph_ray.sources.text_edges import read_text_edges
+
+        edges = read_text_edges(args.edges_txt, weighted=args.weighted)
     else:
         edges = ray.data.read_parquet(args.edges)
 
@@ -127,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from everythinggraph_ray.pipelines.flagship import _path_fingerprint
 
-        src_path = args.pages or args.edges or args.edges_bin
+        src_path = args.pages or args.edges or args.edges_bin or args.edges_txt
         sig = "|".join(
             [
                 str(src_path),

@@ -126,3 +126,83 @@ def validate_parents(
         "dist_violations": dist_viol,
         "edge_violations": edge_viol,
     }
+
+
+def validate_components(
+    result: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    label_col: str = "component",
+) -> dict:
+    """Distributed form of the reference's WCC validator (wcc.c:138-182):
+    every edge's endpoints must carry the SAME component label (the
+    reference exits on the first violation; we count them). Labels attach
+    to each endpoint via one bucketed co-group per side — edges and labels
+    co-locate by vid hash, nothing lands on the driver.
+
+    ``result``: (vid, <label_col>); ``edges``: (src, dst).
+    Returns {"n_edges", "violations"} — a valid labeling yields 0."""
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": pa.array(
+                    batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+                "other": pa.array(np.full(n, -1), pa.int64()),
+                "lab": pa.array(
+                    batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+                "role": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    labels = result.map_batches(lab_rows, batch_format="pyarrow")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        return pa.table(
+            {
+                "key": pa.array(s, pa.int64()),  # attach the SRC label first
+                "other": pa.array(d, pa.int64()),
+                "lab": pa.array(np.full(n, -1), pa.int64()),
+                "role": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    def by_key(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["key"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def attach(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lab = df[df["role"] == 0][["key", "lab"]].rename(columns={"lab": "key_lab"})
+        ed = df[df["role"] == 1][["key", "other"]]
+        m = ed.merge(lab, on="key", how="left")
+        # an endpoint with NO label row is itself a violation: mark -2
+        kl = m["key_lab"].fillna(-2).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(m["other"].to_numpy(np.int64), pa.int64()),  # now keyed by dst
+                "other": pa.array(m["key"].to_numpy(np.int64), pa.int64()),
+                "lab": pa.array(kl.to_numpy(np.int64), pa.int64()),
+                "role": pa.array(np.ones(len(m), np.int8), pa.int8()),
+            }
+        )
+
+    half = bucketed_reduce(labels.union(edges.map_batches(edge_rows, batch_format="pyarrow")), by_key, attach)
+
+    def check(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lab = df[df["role"] == 0][["key", "lab"]].rename(columns={"lab": "dst_lab"})
+        ed = df[df["role"] == 1]
+        m = ed.merge(lab, on="key", how="left")
+        dl = m["dst_lab"].fillna(-2).astype(np.int64).to_numpy()
+        sl = m["lab"].to_numpy(np.int64)
+        bad = int(((sl != dl) | (sl == -2)).sum())  # mismatch OR missing endpoint
+        return pa.table({"viol": pa.array([bad], pa.int64()), "n": pa.array([len(m)], pa.int64())})
+
+    out = bucketed_reduce(labels.union(half), by_key, check).materialize()
+    return {"n_edges": _sum_col(out, "n"), "violations": _sum_col(out, "viol")}

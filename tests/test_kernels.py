@@ -372,3 +372,49 @@ def test_frontier_pull_matches_push_all_modes(tmp_path):
     # the adaptive run must actually exercise BOTH directions on this graph
     res = frontier_pull(pull_dir, root, kind="sssp_hops")
     assert "sparse" in res["modes"] and "dense" in res["modes"]
+
+
+def test_validate_components_distributed(tmp_path):
+    """The distributed WCC validator (wcc.c:138-182 analogue): a correct
+    labeling validates clean; corrupting one vertex's label is caught."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import WCCKernel
+    from everythinggraph_ray.graph.validate import validate_components
+    from everythinggraph_ray.stages.edges import undirect_edges
+
+    rng = np.random.default_rng(31)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(rng.integers(0, 200, 3000), pa.int64()),
+                "dst": pa.array(rng.integers(0, 200, 3000), pa.int64()),
+            }
+        )
+    )
+    und = undirect_edges(edges)
+    bdir = str(tmp_path / "b")
+    build_graph(und, bdir, num_partitions=3, hub_threshold=10**9)
+    eng = GraphEngine(bdir)
+    try:
+        labels = eng.run(WCCKernel())["dataset"].map_batches(
+            lambda t: pa.table({"vid": t["vid"], "component": t["wcc"]}),
+            batch_format="pyarrow",
+        ).materialize()
+    finally:
+        eng.shutdown()
+
+    ok = validate_components(labels, und)
+    assert ok["violations"] == 0 and ok["n_edges"] == und.count()
+
+    # corrupt one connected vertex's label -> every incident edge flags
+    df = labels.to_pandas()
+    victim = int(edges.take(1)[0]["src"])
+    df.loc[df["vid"] == victim, "component"] = -99
+    bad = validate_components(ray.data.from_pandas(df), und)
+    assert bad["violations"] > 0

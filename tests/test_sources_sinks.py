@@ -80,3 +80,26 @@ def test_save_results_sink(small_build, tmp_path):
     back = ray.data.read_parquet(os.path.join(out, "data")).to_pandas()
     assert len(back) == res["n_vertices"]
     assert set(back.columns) == {"vid", "pagerank"}
+
+
+def test_read_text_edges_snap_and_csv(tmp_path):
+    """SNAP-style whitespace edge lists (# / % comments, mixed tabs) and
+    weighted CSV both parse vectorized into the engine's edge schema."""
+    from everythinggraph_ray.sources.text_edges import read_text_edges
+
+    p = tmp_path / "g.txt"
+    p.write_text("# comment\n% header\n0 1\n1\t2\n\n2   3\n")
+    df = read_text_edges(str(p)).to_pandas()
+    assert df["src"].tolist() == [0, 1, 2] and df["dst"].tolist() == [1, 2, 3]
+
+    c = tmp_path / "g.csv"
+    c.write_text("5,6,1.5\n6,7,2.25\n")
+    dfw = read_text_edges(str(c), weighted=True, delimiter=",").to_pandas()
+    assert dfw["weight"].tolist() == [1.5, 2.25]
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1 2\n3\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_text_edges(str(bad)).to_pandas()
