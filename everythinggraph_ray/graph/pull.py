@@ -38,7 +38,6 @@ Results are cross-checked allclose-1e-6 against the push engine in tests.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -55,11 +54,11 @@ from everythinggraph_ray.graph.engine import _read_part_dir
 class PullPartition:
     """One pull partition: in-edge CSC over owned dsts + owned src state."""
 
-    def __init__(self, pid: int, build_dir: str, meta: dict):
+    def __init__(self, pid: int, build_dir: str, meta: dict, filesystem=None):
         self.pid = pid
         self.P = int(meta["P"])
 
-        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"))
+        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"), filesystem)
         if vt is None:
             ov = np.empty(0, np.int64)
             od = np.empty(0, np.int64)
@@ -69,7 +68,7 @@ class PullPartition:
         o = np.argsort(ov)
         self.owned_vids, self.owned_outdeg = ov[o], od[o]
 
-        et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"))
+        et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"), filesystem)
         if et is None:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
@@ -176,17 +175,19 @@ def pagerank_pull(
     tol: float | None = 1e-6,
     n_iters: int | None = None,
     max_iters: int = 10_000,
+    filesystem=None,
 ) -> dict:
     """Run pull-mode PageRank over a ``partition_edges_by='dst'`` build.
     Same update rule and init (prev=0.15, pagerank_simple.c:51-55) as the
     push engine — values agree to float64 associativity (~1e-14)."""
-    with open(os.path.join(build_dir, "meta.json")) as fh:
-        meta = json.load(fh)
+    from everythinggraph_ray.state.fs import read_json, resolve_fs
+
+    meta = read_json(resolve_fs(filesystem), os.path.join(build_dir, "meta.json"))
     assert meta.get("partition_edges_by") == "dst", (
         "pull engine needs a dst-partitioned build (partition_edges_by='dst')"
     )
     P = int(meta["P"])
-    actors = [PullPartition.remote(p, build_dir, meta) for p in range(P)]
+    actors = [PullPartition.remote(p, build_dir, meta, filesystem) for p in range(P)]
     try:
         needs = ray.get([a.need_lists.remote() for a in actors])
         # transpose: owner q receives, for each requester p, needs[p][q]
@@ -259,14 +260,17 @@ class FrontierPullPartition:
     sssp_pushpull.c:81). Self-loop edges are dropped at load: a
     self-relax can never improve a dist (weights are >= 0)."""
 
-    def __init__(self, pid: int, build_dir: str, meta: dict, kind: str, root: int, root_value):
+    def __init__(
+        self, pid: int, build_dir: str, meta: dict, kind: str, root: int, root_value,
+        filesystem=None,
+    ):
         self.pid = pid
         self.P = int(meta["P"])
         self.kind = kind
         self.dtype = np.float64 if kind == "weighted" else np.int64
         self.unreached = np.inf if kind == "weighted" else _I64_UNREACHED
 
-        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"))
+        vt = _read_part_dir(os.path.join(build_dir, "verts", f"p={pid:05d}"), filesystem)
         if vt is None:
             ov, od = np.empty(0, np.int64), np.empty(0, np.int64)
         else:
@@ -275,7 +279,7 @@ class FrontierPullPartition:
         o = np.argsort(ov)
         self.owned_vids, self.owned_outdeg = ov[o], od[o]
 
-        et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"))
+        et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"), filesystem)
         if et is None:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
@@ -445,6 +449,7 @@ def frontier_pull(
     max_iters: int = 100_000,
     switch_den: int = 20,
     force_mode: str | None = None,
+    filesystem=None,
 ) -> dict:
     """Run a frontier kernel over a ``partition_edges_by='dst'`` build in
     pull layout with the reference's adaptive direction switch.
@@ -457,8 +462,9 @@ def frontier_pull(
     for cross-variant tests; default None = the Beamer rule
     ``frontier + frontier_degree > n_edges / switch_den`` from driver-side
     counts (bfs_simple.c:191)."""
-    with open(os.path.join(build_dir, "meta.json")) as fh:
-        meta = json.load(fh)
+    from everythinggraph_ray.state.fs import read_json, resolve_fs
+
+    meta = read_json(resolve_fs(filesystem), os.path.join(build_dir, "meta.json"))
     assert meta.get("partition_edges_by") == "dst", (
         "frontier_pull needs a dst-partitioned build (partition_edges_by='dst')"
     )
@@ -466,7 +472,7 @@ def frontier_pull(
     inner = "weighted" if kind == "sssp_weighted" else "hops"
     root_value = 1 if kind == "bfs" else (0.0 if inner == "weighted" else 0)
     actors = [
-        FrontierPullPartition.remote(p, build_dir, meta, inner, root, root_value)
+        FrontierPullPartition.remote(p, build_dir, meta, inner, root, root_value, filesystem)
         for p in range(P)
     ]
     try:

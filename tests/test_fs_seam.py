@@ -152,3 +152,21 @@ def test_layout_cache_roundtrip_and_invalidation(tmp_path):
         fh.write(b"not an npz")
     again = pr()
     assert np.array_equal(cold["pagerank"].to_numpy(), again["pagerank"].to_numpy())
+
+
+def test_pull_engines_through_subtree_fs(tmp_path):
+    """pagerank_pull and frontier_pull read dst-partitioned builds through
+    the filesystem seam too (no hidden local-path reads)."""
+    from everythinggraph_ray.graph.pull import frontier_pull, pagerank_pull
+
+    jail = tmp_path / "jail"
+    jail.mkdir()
+    fs = pafs.SubTreeFileSystem(str(jail), pafs.LocalFileSystem())
+    build_graph(
+        _edges(seed=6), "pb", num_partitions=3, hub_threshold=10**9,
+        partition_edges_by="dst", filesystem=fs,
+    )
+    pr = pagerank_pull("pb", n_iters=4, filesystem=fs)["dataset"].to_pandas()
+    assert len(pr) > 0 and np.isfinite(pr["pagerank"]).all()
+    bfs = frontier_pull("pb", 0, kind="bfs", filesystem=fs)["dataset"].to_pandas()
+    assert len(bfs) == len(pr)
