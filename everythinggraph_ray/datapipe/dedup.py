@@ -93,17 +93,16 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return h.min(axis=1)
 
 
-def signature_matrix(
-    texts: list[str], a: np.ndarray, b: np.ndarray, k: int = 3, slab: int = 200_000
+def signature_matrix_from_sets(
+    sh: list[np.ndarray], a: np.ndarray, b: np.ndarray, slab: int = 200_000
 ) -> np.ndarray:
-    """(n_docs, num_perm) minhash signatures for a whole batch in blocked
-    matrix kernels: concatenate every doc's shingles, hash ALL of them with
-    one (num_perm × slab) broadcast per slab, and ``minimum.reduceat`` at
-    the doc boundaries — identical values to per-doc
-    ``minhash_signature`` (asserted in tests), no per-doc Python hashing.
-    """
-    sh = [_token_shingles(t, k) for t in texts]
-    sig = np.full((len(texts), len(a)), _MAXU, dtype=np.uint64)
+    """(n_docs, num_perm) minhash signatures from per-doc shingle-hash
+    sets, in blocked matrix kernels: concatenate every doc's shingles,
+    hash ALL of them with one (num_perm × slab) broadcast per slab, and
+    ``minimum.reduceat`` at the doc boundaries — no per-doc Python
+    hashing. Min is order-independent, so any set iteration order yields
+    identical signatures."""
+    sig = np.full((len(sh), len(a)), _MAXU, dtype=np.uint64)
     lens = np.fromiter((len(s) for s in sh), np.int64, count=len(sh))
     nz = np.flatnonzero(lens)
     if not len(nz):
@@ -116,6 +115,15 @@ def signature_matrix(
         red = np.minimum.reduceat(h, offs[start:end] - offs[start], axis=1)
         sig[nz[start:end]] = red.T
     return sig
+
+
+def signature_matrix(
+    texts: list[str], a: np.ndarray, b: np.ndarray, k: int = 3, slab: int = 200_000
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures straight from texts — tokenize, then
+    the blocked kernel; identical values to per-doc ``minhash_signature``
+    (asserted in tests)."""
+    return signature_matrix_from_sets([_token_shingles(t, k) for t in texts], a, b, slab)
 
 
 def band_hashes(sig: np.ndarray, bands: int, seed: np.uint64 = np.uint64(0x9E3779B97F4A7C15)) -> np.ndarray:
@@ -146,10 +154,7 @@ class MinHashStage:
     def signature(self, text: str) -> np.ndarray:
         return minhash_signature(_token_shingles(text, self.k), self.a, self.b)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        sig = signature_matrix(texts, self.a, self.b, self.k)
+    def _band_rows(self, ids: np.ndarray, sig: np.ndarray) -> pa.Table:
         bh = band_hashes(sig, self.bands)
         return pa.table(
             {
@@ -160,6 +165,27 @@ class MinHashStage:
                 "band_hash": pa.array(bh.ravel(), pa.int64()),
             }
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        sig = signature_matrix(texts, self.a, self.b, self.k)
+        return self._band_rows(ids, sig)
+
+    def bands_from_payloads(self, batch: pa.Table) -> pa.Table:
+        """Band rows from a (doc_id, pay:list<int64>) shingle table — the
+        shared-tokenization path of minhash_near_duplicates (shingles are
+        computed and hashed ONCE per doc, not once per consumer)."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["pay"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+        offs = np.r_[0, np.cumsum(lens)]
+        sh = [flat[offs[i] : offs[i + 1]] for i in range(len(ids))]
+        sig = signature_matrix_from_sets(sh, self.a, self.b)
+        return self._band_rows(ids, sig)
 
 
 def exact_duplicates(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -268,24 +294,28 @@ def minhash_near_duplicates(
     with min-root merging). No pairs, texts or union-find state on the
     driver — the round-1 VERDICT scale fix.
 
-    NOTE: ``docs`` is consumed twice (banding pass + shingle-payload
-    pass). For a parquet-backed table that is two cheap reads; when docs
-    is an expensive composed pipeline, materialize() it first."""
+    Tokenization happens ONCE: the shingle table (doc_id, pay) is
+    computed and materialized first — texts are read and blake2b-hashed a
+    single time — and BOTH the banding pass (signatures derive from the
+    shingle sets) and the verify payloads consume it. The shingle table
+    is ~the text's size in the object store (spillable); the savings is
+    the dominant per-doc CPU (tokenize + hash) and one full corpus read."""
     from everythinggraph_ray.datapipe.pairs import (
         cluster_pairs,
         group_pairs,
         pairwise_verify,
     )
 
+    shingles = shingle_payloads(docs, shingle_k).materialize()
     stage = MinHashStage(num_perm, bands, shingle_k)
-    bands_ds = docs.map_batches(stage, batch_format="pyarrow")
+    bands_ds = shingles.map_batches(stage.bands_from_payloads, batch_format="pyarrow")
     # candidate pairs (may repeat across bands — the verify co-group
     # dedupes); consumed once by the verify union, so no materialize
     # barrier here; the empty case flows through (anchored schemas +
     # cluster_pairs' n_edges==0 branch handle it)
     cand = group_pairs(bands_ds, ["band_id", "band_hash"], max_bucket=max_bucket)
     scored = pairwise_verify(
-        shingle_payloads(docs, shingle_k),
+        shingles,
         cand,
         jaccard,
         out_col="jaccard",
