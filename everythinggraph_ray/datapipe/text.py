@@ -125,6 +125,27 @@ def lang_id(docs: ray.data.Dataset, *, concurrency: int = 4) -> ray.data.Dataset
     return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
 
 
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(1469598103934665603)
+
+
+def rolling_fingerprint(text: str) -> int:
+    """FNV-1a-style ROLLING hash over whitespace tokens — a stable 63-bit
+    order-sensitive, whitespace-normalized document fingerprint (the
+    streaming-friendly variant: updatable token-by-token without holding
+    the document). The md5 ``fingerprint`` below is the oracle-checkable
+    batch form; this one exists for incremental/streaming fingerprinting
+    and is exactness-tested in pytest."""
+    import re
+
+    h = _FP_SEED
+    for tok in re.findall(r"\S+", text):
+        for byt in tok.encode("utf-8"):
+            h = (h ^ np.uint64(byt)) * _FP_BASE
+        h = (h ^ np.uint64(32)) * _FP_BASE  # normalized single separator
+    return int(h & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+
+
 def fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, fingerprint): md5 hex digest of the whitespace-normalized
     text (``\\S+`` tokens re-joined with single spaces). Two docs differing

@@ -1003,6 +1003,16 @@ def q_docs_token_count_bpe(sf_dir):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_docs_cdc_chunks(sf_dir):
+    """Content-defined chunking (rolling Rabin hash, datapipe/chunk.py):
+    per-doc chunk table (idx, start, len, md5) — the sub-document dedup
+    primitive. No SQL oracle (the splitting is not SQL-expressible);
+    edit-locality + determinism + bounds are pytest-asserted."""
+    from everythinggraph_ray.datapipe.chunk import cdc_chunks
+
+    return cdc_chunks(_docs(sf_dir))
+
+
 def q_docs_pack_sequences(sf_dir):
     """Sequence packing into 2000-token bins — the distributed prefix
     scan (datapipe/pack.py; the reference's sequence::scan made
@@ -1472,6 +1482,7 @@ QUERIES = {
     "rel_degree_hist": q_rel_degree_hist,
     "docs_token_count_bpe": q_docs_token_count_bpe,
     "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_cdc_chunks": q_docs_cdc_chunks,
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
 }

@@ -439,3 +439,55 @@ def test_asof_join_two_tables_matches_pandas():
     assert np.array_equal(np.isnan(g), np.isnan(w))
     assert np.array_equal(g[~np.isnan(g)], w[~np.isnan(w)])
     assert np.isnan(g).any()  # the no-match path is actually exercised
+
+
+def test_cdc_chunks_properties():
+    """Content-defined chunking: deterministic, bounds respected, chunks
+    reassemble the document, and an edit near the END leaves the EARLY
+    chunks untouched (the rolling-hash locality property fixed-size
+    blocking lacks)."""
+    from everythinggraph_ray.datapipe.chunk import cdc_chunks
+
+    rng = np.random.default_rng(41)
+    words = ["w%d" % x for x in rng.integers(0, 500, 3000)]
+    base = " ".join(words)
+    edited = base + " tail edit zzz"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([base, edited], pa.string()),
+            }
+        )
+    )
+    out = cdc_chunks(ds).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    a = out[out["doc_id"] == 1].reset_index(drop=True)
+    b = out[out["doc_id"] == 2].reset_index(drop=True)
+    assert len(a) > 3
+    # bounds: every chunk within [min_len, max_len] except possibly the tail
+    assert (a["chunk_len"].iloc[:-1] >= 64).all() and (a["chunk_len"] <= 2048).all()
+    # reassembly: contiguous coverage
+    assert a["chunk_start"].iloc[0] == 0
+    assert (
+        a["chunk_start"].iloc[1:].to_numpy()
+        == (a["chunk_start"] + a["chunk_len"]).iloc[:-1].to_numpy()
+    ).all()
+    assert int((a["chunk_start"] + a["chunk_len"]).iloc[-1]) == len(base.encode())
+    # edit locality: all but the last chunk(s) identical between the docs
+    n_shared = min(len(a), len(b)) - 1
+    assert (
+        a["chunk_hash"].iloc[: n_shared - 1].to_numpy()
+        == b["chunk_hash"].iloc[: n_shared - 1].to_numpy()
+    ).all()
+    # determinism
+    out2 = cdc_chunks(ds).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    assert out["chunk_hash"].tolist() == out2["chunk_hash"].tolist()
+
+
+def test_rolling_fingerprint_matches_batch_semantics():
+    """The streaming rolling fingerprint is whitespace-invariant and
+    order-sensitive, like the md5 batch fingerprint."""
+    from everythinggraph_ray.datapipe.text import rolling_fingerprint
+
+    assert rolling_fingerprint("a b  c") == rolling_fingerprint("a\tb\nc")
+    assert rolling_fingerprint("a b c") != rolling_fingerprint("a c b")
