@@ -491,3 +491,56 @@ def test_rolling_fingerprint_matches_batch_semantics():
 
     assert rolling_fingerprint("a b  c") == rolling_fingerprint("a\tb\nc")
     assert rolling_fingerprint("a b c") != rolling_fingerprint("a c b")
+
+
+def test_asof_join_duplicate_right_keys_deterministic():
+    """Right-side ties on (key, ts) resolve to the same deterministic
+    winner as the global-sort pandas merge_asof (sort by on + value_cols:
+    last wins), across shuffles — run twice, identical."""
+    import pandas as pd
+
+    from everythinggraph_ray.datapipe.joins import asof_join
+
+    rng = np.random.default_rng(47)
+    left_df = pd.DataFrame(
+        {
+            "eid": np.arange(200, dtype=np.int64),
+            "ts": rng.integers(0, 50, 200).astype(np.int64),  # heavy ts ties
+            "key": rng.integers(0, 5, 200).astype(np.int64),
+        }
+    )
+    right_df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 5, 150).astype(np.int64),
+            "ts": rng.integers(0, 50, 150).astype(np.int64),  # duplicate (key, ts)
+            "feat": rng.integers(0, 100, 150).astype(np.int64),
+        }
+    )
+    want = pd.merge_asof(
+        left_df.sort_values(["ts", "key"], kind="stable"),
+        right_df.sort_values(["ts", "feat"], kind="stable"),
+        on="ts",
+        by="key",
+        direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+
+    outs = []
+    for _ in range(2):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left_df),
+                ray.data.from_pandas(right_df),
+                by="key",
+                on="ts",
+                value_cols=["feat"],
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        outs.append(got["feat"].to_numpy(dtype=np.float64, na_value=np.nan))
+    w = want["feat"].to_numpy(dtype=np.float64, na_value=np.nan)
+    for g in outs:
+        assert np.array_equal(np.isnan(g), np.isnan(w))
+        assert np.array_equal(g[~np.isnan(g)], w[~np.isnan(w)])
+    assert np.array_equal(outs[0], outs[1], equal_nan=True)
