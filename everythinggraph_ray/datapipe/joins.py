@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -96,6 +97,117 @@ def asof_join(
             direction="backward",
             allow_exact_matches=not strict,
         )
+        arrays = {}
+        for c, t in out_fields:
+            arrays[c] = pa.Array.from_pandas(m[c], type=t)
+        return pa.table(arrays)
+
+    return bucketed_reduce(unioned, bucket_of, join, num_buckets=num_buckets)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    right_cols: list[str],
+    closed: str = "both",
+    bucket_width_us: int = 3_600_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Interval (range) join: each left row × every right interval of the
+    same ``by`` key that contains its ``left_on`` timestamp — the
+    event-in-window join (sessions, promo windows, incident periods) Ray
+    Data has no native operator for.
+
+    Shape: time is tiled into ``bucket_width_us`` buckets. Each left row
+    lands in exactly ONE bucket; each right interval is REPLICATED to
+    every bucket it overlaps (replication factor ≈ interval_len/width + 1
+    — size the width to the typical interval so it stays ~2). Rows then
+    co-locate by ``hash(by, time_bucket)`` and each group resolves with
+    one vectorized pandas merge + containment mask. Matching left and
+    right rows always share a time bucket, and a left row has one bucket,
+    so no pair is emitted twice — no dedup pass. Nothing touches the
+    driver; the partitioning assumption is the usual bucketed-reduce
+    contract (one (key, bucket)'s rows fit a worker).
+
+    ``closed``: which interval bounds match — 'both' (default),
+    'left', 'right', or 'neither'. Output: all left columns +
+    ``right_cols`` (names must not collide with left's)."""
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"closed must be both/left/right/neither, got {closed!r}")
+    W = np.int64(bucket_width_us)
+    lschema = left.take_batch(1, batch_format="pyarrow").schema
+    rschema = right.take_batch(1, batch_format="pyarrow").schema
+    left_cols = lschema.names
+    clash = set(right_cols) & set(left_cols)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    out_fields = [(c, lschema.field(c).type) for c in left_cols]
+    out_fields += [(c, rschema.field(c).type) for c in right_cols]
+
+    def _us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ts = _us(batch[left_on])
+        cols = {c: batch[c] for c in left_cols}
+        for c in right_cols:
+            cols[c] = pa.nulls(batch.num_rows, rschema.field(c).type)
+        cols["__ts"] = pa.array(ts, pa.int64())
+        cols["__st"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["__en"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["__tb"] = pa.array(ts // W, pa.int64())
+        cols["__role"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        st = _us(batch[right_start])
+        en = _us(batch[right_end])
+        valid = np.flatnonzero(en >= st)  # drop inverted intervals
+        st, en = st[valid], en[valid]
+        reps = (en // W - st // W + 1).astype(np.int64)
+        idx = np.repeat(valid, reps)
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else np.empty(0, np.int64)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        tb = np.repeat(st // W, reps) + off
+        cols = {}
+        byv = batch[by].take(pa.array(idx, pa.int64()))
+        for c in left_cols:
+            cols[c] = byv if c == by else pa.nulls(len(idx), lschema.field(c).type)
+        for c in right_cols:
+            cols[c] = batch[c].take(pa.array(idx, pa.int64()))
+        cols["__ts"] = pa.nulls(len(idx), pa.int64())
+        cols["__st"] = pa.array(np.repeat(st, reps), pa.int64())
+        cols["__en"] = pa.array(np.repeat(en, reps), pa.int64())
+        cols["__tb"] = pa.array(tb, pa.int64())
+        cols["__role"] = pa.array(np.ones(len(idx), np.int8), pa.int8())
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        from everythinggraph_ray.stages.agg import mix64_pair
+
+        return mix64_pair(
+            batch[by].to_numpy(zero_copy_only=False),
+            batch["__tb"].to_numpy(zero_copy_only=False),
+        )
+
+    lo_ok = np.greater_equal if closed in ("both", "left") else np.greater
+    hi_ok = np.less_equal if closed in ("both", "right") else np.less
+
+    def join(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lf = df[df["__role"] == 0][left_cols + ["__ts", "__tb"]]
+        rf = df[df["__role"] == 1][[by, "__st", "__en", "__tb"] + right_cols]
+        m = lf.merge(rf, on=[by, "__tb"])
+        m = m[lo_ok(m["__ts"], m["__st"]) & hi_ok(m["__ts"], m["__en"])]
         arrays = {}
         for c, t in out_fields:
             arrays[c] = pa.Array.from_pandas(m[c], type=t)

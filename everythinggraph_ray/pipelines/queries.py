@@ -1022,6 +1022,143 @@ def q_docs_pack_sequences(sf_dir):
     return pack_sequences(_docs(sf_dir), bin_tokens=2000)
 
 
+def _augment_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII augmentation: every 13th doc gets a synthetic
+    email + phone derived from its doc_id (the corpus has none natively —
+    same derived-fixture pattern as the planted embedding near-dups).
+    Reproduced verbatim by the SQL oracle's CASE/concat."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out = [
+        (
+            t + f" contact user{i}@example.com call 555-{i % 900 + 100}-{i % 9000 + 1000}"
+            if i % 13 == 0
+            else t
+        )
+        for i, t in zip(ids, batch["text"].to_pylist())
+    ]
+    return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())})
+
+
+def q_docs_pii_redact(sf_dir):
+    """PII redaction (emails then phones, RE2 both sides) over the
+    PII-augmented corpus; result carries match counts + md5 of the
+    redacted text so the oracle hash-compares exactly."""
+    from everythinggraph_ray.datapipe.curate import pii_redact
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pii_redact(docs.map_batches(_augment_pii, batch_format="pyarrow"))
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}
+SAMPLE_DEFAULT_RATE = 0.0625
+
+
+def q_docs_sample_stratified(sf_dir):
+    """Deterministic stratified sampling: per-language md5-threshold
+    rates (en 1/2, de 1/4, fr 1/8, others 1/16) — no RNG, so the DuckDB
+    oracle keeps the identical rows."""
+    from everythinggraph_ray.datapipe.curate import stratified_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE)
+
+
+def q_docs_repetition(sf_dir):
+    """Gopher-style within-doc repetition stats (all-integer signals)."""
+    from everythinggraph_ray.datapipe.curate import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_docs_decontaminate(sf_dir):
+    """Benchmark decontamination: benchmark = every 7th doc; reports each
+    remaining doc's count of distinct word-5-grams shared with the
+    benchmark (distributed gram co-group, datapipe/curate.py)."""
+    from everythinggraph_ray.datapipe.curate import decontaminate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 0, pa.bool_()))
+
+    def corpus_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 != 0, pa.bool_()))
+
+    bench = docs.map_batches(bench_part, batch_format="pyarrow")
+    corpus = docs.map_batches(corpus_part, batch_format="pyarrow")
+    return decontaminate(corpus, bench, ngram=5)
+
+
+def q_docs_mix_weights(sf_dir):
+    """Per-(lang, source) corpus stats + uniform-mixing weight
+    (integer floor division — bit-exact vs the SQL window oracle)."""
+    from everythinggraph_ray.datapipe.curate import mix_weights
+
+    return mix_weights(_docs(sf_dir))
+
+
+def q_events_purchase_window(sf_dir):
+    """Range join: every event of the same user inside [p.ts, p.ts+1h]
+    of each purchase p (both bounds inclusive — the purchase itself
+    counts), aggregated per window. datapipe/joins.py range_join: 1h
+    time-tiled interval replication + bucketed co-group, then a bucketed
+    sum per window."""
+    from everythinggraph_ray.datapipe.joins import range_join
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    left = ev.select_columns(["user_id", "ts", "value"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        ts = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_id": t["event_id"],
+                "w_start": ts,
+                "w_end": pc.add(ts, pa.scalar(3_600_000_000, pa.int64())),
+            }
+        )
+
+    j = range_join(
+        left,
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        by="user_id",
+        left_on="ts",
+        right_start="w_start",
+        right_end="w_end",
+        right_cols=["window_id"],
+        closed="both",
+        bucket_width_us=3_600_000_000,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch["window_id"].to_numpy(zero_copy_only=False)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        g = pd.DataFrame({"window_id": w, "v": v}).groupby("window_id", as_index=False).agg(
+            n_events=("v", "size"), value_sum_u=("v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return sum_by_key(
+        j.map_batches(partial, batch_format="pyarrow"),
+        "window_id",
+        ["n_events", "value_sum_u"],
+    )
+
+
 def q_q1_returnflag(sf_dir):
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -1427,6 +1564,83 @@ ORACLES["rel_bfs_pull"] = ORACLES["rel_bfs"]
 ORACLES["rel_sssp_hops_pull"] = ORACLES["rel_sssp_hops"]
 ORACLES["rel_sssp_weighted_pull"] = ORACLES["rel_sssp_weighted"]
 
+
+def _curation_oracles() -> dict[str, str]:
+    """Oracles for the curation family — built from the same regex /
+    threshold constants the operators use, so the two sides cannot
+    drift."""
+    from everythinggraph_ray.datapipe.curate import (
+        EMAIL_RE,
+        PHONE_RE,
+        _rate_threshold,
+    )
+
+    aug = (
+        "aug AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' contact user' "
+        "|| CAST(doc_id AS VARCHAR) || '@example.com call 555-' "
+        "|| CAST(doc_id % 900 + 100 AS VARCHAR) || '-' "
+        "|| CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE text END AS t FROM documents)"
+    )
+    sample_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{lg}' THEN '{_rate_threshold(r)}'" for lg, r in SAMPLE_RATES.items())
+        + f" ELSE '{_rate_threshold(SAMPLE_DEFAULT_RATE)}' END"
+    )
+    return {
+        "docs_pii_redact": (
+            f"WITH {aug}, "
+            f"r1 AS (SELECT doc_id, t, regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM aug) "
+            f"SELECT doc_id, CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT) AS n_phones, "
+            f"md5(regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5 FROM r1"
+        ),
+        "docs_sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            f"WHERE md5(CAST(doc_id AS VARCHAR)) < {sample_case}"
+        ),
+        "docs_repetition": (
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents), "
+            r"wc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+            r"CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_words FROM t), "
+            r"u AS (SELECT doc_id, unnest(w) AS word FROM t), "
+            r"tw AS (SELECT doc_id, max(c) AS m FROM "
+            r"(SELECT doc_id, word, count(*) AS c FROM u GROUP BY doc_id, word) GROUP BY doc_id), "
+            r"bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS b FROM t "
+            r"CROSS JOIN unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2), "
+            r"tb AS (SELECT doc_id, max(c) AS m FROM "
+            r"(SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id) "
+            r"SELECT wc.doc_id, n_words, n_unique_words, "
+            r"CAST(coalesce(tw.m, 0) AS BIGINT) AS top_word_n, "
+            r"CAST(coalesce(tb.m, 0) AS BIGINT) AS top_bigram_n "
+            r"FROM wc LEFT JOIN tw ON tw.doc_id = wc.doc_id LEFT JOIN tb ON tb.doc_id = wc.doc_id"
+        ),
+        "docs_decontaminate": (
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents), "
+            r"g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM toks "
+            r"CROSS JOIN unnest(range(1, len(w)-3)) AS u(i) WHERE len(w) >= 5), "
+            r"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0) "
+            r"SELECT g.doc_id, count(*) AS n_contaminated FROM g JOIN bench USING (gram) "
+            r"WHERE g.doc_id % 7 <> 0 GROUP BY g.doc_id"
+        ),
+        "docs_mix_weights": (
+            r"WITH s AS (SELECT lang, source, count(*) AS n_docs, "
+            r"CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens "
+            r"FROM documents GROUP BY lang, source) "
+            r"SELECT lang, source, n_docs, n_tokens, "
+            r"(1000000 * (min(n_tokens) OVER ())) // n_tokens AS weight_u FROM s"
+        ),
+        "events_purchase_window": (
+            "SELECT p.event_id AS window_id, count(*) AS n_events, "
+            "CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_u "
+            "FROM events p JOIN events e ON e.user_id = p.user_id "
+            "AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR "
+            "WHERE p.event_type = 'purchase' GROUP BY p.event_id"
+        ),
+    }
+
+
+ORACLES.update(_curation_oracles())
+
 QUERIES = {
     "rel_edges": q_rel_edges,
     "rel_degree": q_rel_degree,
@@ -1483,6 +1697,12 @@ QUERIES = {
     "docs_token_count_bpe": q_docs_token_count_bpe,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "docs_pii_redact": q_docs_pii_redact,
+    "docs_sample_stratified": q_docs_sample_stratified,
+    "docs_repetition": q_docs_repetition,
+    "docs_decontaminate": q_docs_decontaminate,
+    "docs_mix_weights": q_docs_mix_weights,
+    "events_purchase_window": q_events_purchase_window,
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
 }

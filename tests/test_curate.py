@@ -1,0 +1,283 @@
+"""Curation-layer oracles (datapipe/curate.py) + range join.
+
+Each operator is checked against a direct serial recomputation on the
+same fixture — the pytest analogue of the driver's DuckDB gate, plus the
+properties SQL can't express (nested samples, bucket-width invariance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from everythinggraph_ray.datapipe.curate import (
+    EMAIL_RE,
+    PHONE_RE,
+    decontaminate,
+    mix_weights,
+    pii_redact,
+    repetition_stats,
+    stratified_sample,
+)
+from everythinggraph_ray.datapipe.joins import range_join
+
+
+def _docs_fixture(n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for i in range(n):
+        words = rng.choice(vocab, size=rng.integers(3, 40)).tolist()
+        t = " ".join(words)
+        if i % 5 == 0:
+            t += f" mail bob{i}@test.org and alice.k{i}@sub.domain.io"
+        if i % 7 == 0:
+            t += " dial 415-555-0199 or 650.555.0100 now"
+        rows.append(
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": ["en", "de", "fr", "zh"][i % 4],
+                "source": ["web", "books"][i % 2],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_pii_redact_matches_serial():
+    df = _docs_fixture()
+    out = (
+        pii_redact(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in df.iterrows():
+        o = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        t1 = re.sub(EMAIL_RE, "<EMAIL>", r["text"])
+        t2 = re.sub(PHONE_RE, "<PHONE>", t1)
+        assert o["n_emails"] == len(re.findall(EMAIL_RE, r["text"]))
+        assert o["n_phones"] == len(re.findall(PHONE_RE, t1))
+        assert o["redacted_md5"] == hashlib.md5(t2.encode()).hexdigest()
+    # the fixture actually exercises both pattern families
+    assert out["n_emails"].sum() > 0 and out["n_phones"].sum() > 0
+
+
+def test_pii_redact_keep_text_round_trip():
+    df = _docs_fixture(30)
+    out = pii_redact(ray.data.from_pandas(df), keep_text=True).to_pandas()
+    for _, o in out.iterrows():
+        assert hashlib.md5(o["redacted"].encode()).hexdigest() == o["redacted_md5"]
+        assert "@" not in o["redacted"] or "<EMAIL>" in o["redacted"]
+
+
+def test_stratified_sample_deterministic_and_nested():
+    df = _docs_fixture(400)
+    ds = ray.data.from_pandas(df)
+    lo = {"en": 0.25, "de": 0.5}
+    hi = {"en": 0.5, "de": 0.75}
+    a1 = set(stratified_sample(ds, lo, default_rate=0.1).to_pandas()["doc_id"])
+    a2 = set(stratified_sample(ds, lo, default_rate=0.1).to_pandas()["doc_id"])
+    b = set(stratified_sample(ds, hi, default_rate=0.2).to_pandas()["doc_id"])
+    assert a1 == a2  # deterministic across runs
+    assert a1 <= b  # raising every rate strictly grows the sample (nested)
+    # rate ~ observed fraction, loose bound
+    n_en = (df["lang"] == "en").sum()
+    k_en = sum(1 for i in a1 if df.loc[df["doc_id"] == i, "lang"].iloc[0] == "en")
+    assert 0.1 < k_en / n_en < 0.45
+
+
+def test_repetition_stats_matches_serial():
+    df = _docs_fixture()
+    out = (
+        repetition_stats(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rx = re.compile(r"[a-z0-9]+")
+    for _, r in df.iterrows():
+        ws = rx.findall(r["text"].lower())
+        o = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert o["n_words"] == len(ws)
+        assert o["n_unique_words"] == len(set(ws))
+        assert o["top_word_n"] == (max(Counter(ws).values()) if ws else 0)
+        assert o["top_bigram_n"] == (
+            max(Counter(zip(ws, ws[1:])).values()) if len(ws) >= 2 else 0
+        )
+
+
+def test_decontaminate_matches_serial():
+    df = _docs_fixture(80, seed=11)
+    bench_df = df[df["doc_id"] % 6 == 0]
+    corp_df = df[df["doc_id"] % 6 != 0]
+    got = (
+        decontaminate(
+            ray.data.from_pandas(corp_df),
+            ray.data.from_pandas(bench_df),
+            ngram=3,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rx = re.compile(r"[a-z0-9]+")
+
+    def grams(t):
+        ws = rx.findall(t.lower())
+        return {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+
+    bench_g = set().union(*(grams(t) for t in bench_df["text"]))
+    want = {
+        int(r["doc_id"]): len(grams(r["text"]) & bench_g)
+        for _, r in corp_df.iterrows()
+        if grams(r["text"]) & bench_g
+    }
+    assert dict(zip(got["doc_id"], got["n_contaminated"])) == want
+    assert len(want) > 0  # fixture actually contaminates
+
+
+def test_mix_weights_matches_serial():
+    df = _docs_fixture()
+    got = (
+        mix_weights(ray.data.from_pandas(df))
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    tdf = df.copy()
+    tdf["n_tokens"] = [len(re.findall(r"\S+", t)) for t in df["text"]]
+    want = (
+        tdf.groupby(["lang", "source"])
+        .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+        .reset_index()
+    )
+    mn = want["n_tokens"].min()
+    want["weight_u"] = (1_000_000 * mn) // want["n_tokens"]
+    pd.testing.assert_frame_equal(
+        got, want.sort_values(["lang", "source"]).reset_index(drop=True), check_dtype=False
+    )
+    assert (got["weight_u"] <= 1_000_000).all() and (got["weight_u"] > 0).any()
+
+
+def _range_fixture(seed=3, n_l=500, n_r=60):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l).astype(np.int64),
+            "ts": rng.integers(0, 10_000, n_l).astype(np.int64),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    st = rng.integers(0, 9_000, n_r).astype(np.int64)
+    # mix of short and long (multi-bucket) intervals
+    ln = np.where(rng.random(n_r) < 0.3, rng.integers(2_000, 6_000, n_r), rng.integers(0, 800, n_r))
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r).astype(np.int64),
+            "st": st,
+            "en": (st + ln).astype(np.int64),
+            "rid": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def _brute(left, right, closed):
+    lo = {"both": "ge", "left": "ge", "right": "gt", "neither": "gt"}[closed]
+    hi = {"both": "le", "right": "le", "left": "lt", "neither": "lt"}[closed]
+    m = left.merge(right, on="k")
+    ge = m["ts"] >= m["st"] if lo == "ge" else m["ts"] > m["st"]
+    le = m["ts"] <= m["en"] if hi == "le" else m["ts"] < m["en"]
+    return set(zip(m.loc[ge & le, "lid"], m.loc[ge & le, "rid"]))
+
+
+def test_range_join_matches_bruteforce_all_closed_modes():
+    left, right = _range_fixture()
+    for closed in ("both", "left", "right", "neither"):
+        got = range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            left_on="ts",
+            right_start="st",
+            right_end="en",
+            right_cols=["rid"],
+            closed=closed,
+            bucket_width_us=1_000,
+            num_buckets=16,
+        ).to_pandas()
+        assert set(zip(got["lid"], got["rid"])) == _brute(left, right, closed)
+        # no duplicate pairs despite interval replication
+        assert len(got) == len(set(zip(got["lid"], got["rid"])))
+
+
+def test_range_join_bucket_width_invariant():
+    """The result must not depend on the tiling width (replication is an
+    implementation detail)."""
+    left, right = _range_fixture(seed=9)
+    want = _brute(left, right, "both")
+    for width in (137, 5_000, 50_000):
+        got = range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            left_on="ts",
+            right_start="st",
+            right_end="en",
+            right_cols=["rid"],
+            bucket_width_us=width,
+            num_buckets=8,
+        ).to_pandas()
+        assert set(zip(got["lid"], got["rid"])) == want
+
+
+def test_range_join_rejects_colliding_and_bad_args():
+    left, right = _range_fixture()
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right.rename(columns={"rid": "lid"})),
+            by="k",
+            left_on="ts",
+            right_start="st",
+            right_end="en",
+            right_cols=["lid"],
+        )
+    with pytest.raises(ValueError, match="closed"):
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            left_on="ts",
+            right_start="st",
+            right_end="en",
+            right_cols=["rid"],
+            closed="open",
+        )
+
+
+def test_range_join_drops_inverted_intervals():
+    left = pd.DataFrame({"k": [1, 1], "ts": [5, 50], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1, 1], "st": [60, 0], "en": [10, 100], "rid": [0, 1]})
+    got = range_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        by="k",
+        left_on="ts",
+        right_start="st",
+        right_end="en",
+        right_cols=["rid"],
+        bucket_width_us=64,
+    ).to_pandas()
+    # interval 0 is inverted (60 > 10): silently dropped, never matched
+    assert set(zip(got["lid"], got["rid"])) == {(0, 1), (1, 1)}
