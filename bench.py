@@ -261,9 +261,15 @@ def full_suite() -> dict:
 
     out["knn_top10"] = _best_of(_knn)
 
-    # 8. round-3 operators: distributed prefix-scan packing + as-of join
+    # 8. round-3 operators: distributed prefix-scan packing + as-of join,
+    # hash join, range join, and the heaviest curation op (decontaminate)
     out["docs_pack"] = _best_of(lambda: Q.q_docs_pack_sequences(SF_DIR).to_pandas())
     out["events_asof"] = _best_of(lambda: Q.q_events_asof_prev(SF_DIR).to_pandas())
+    out["orders_join"] = _best_of(lambda: Q.q_orders_customer_join(SF_DIR).to_pandas())
+    out["events_range_join"] = _best_of(
+        lambda: Q.q_events_purchase_window(SF_DIR).to_pandas()
+    )
+    out["docs_decontaminate"] = _best_of(lambda: Q.q_docs_decontaminate(SF_DIR).to_pandas())
 
     out = {k: round(v, 3) for k, v in out.items()}
     return {"queries": out, "extra": extra}

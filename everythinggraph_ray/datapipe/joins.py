@@ -105,6 +105,124 @@ def asof_join(
     return bucketed_reduce(unioned, bucket_of, join, num_buckets=num_buckets)
 
 
+def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    """Combined bucket hash over one or more join-key columns (int64 via
+    splitmix64, strings via pandas' deterministic siphash)."""
+    from pandas.util import hash_pandas_object
+
+    from everythinggraph_ray.stages.agg import mix64
+
+    h: np.ndarray | None = None
+    for c in cols:
+        arr = batch[c]
+        if pa.types.is_integer(arr.type) or pa.types.is_timestamp(arr.type):
+            hc = mix64(pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False))
+        else:
+            hc = (
+                hash_pandas_object(arr.to_pandas(), index=False)
+                .to_numpy()
+                .astype(np.uint64)
+            )
+        h = hc if h is None else mix64((h ^ hc).astype(np.int64))
+    assert h is not None
+    return h.astype(np.int64) & 0x7FFFFFFF
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str | list[str],
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    right_on: str | list[str] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed hash equi-join — the general shuffle join Ray Data
+    2.49 has no operator for: ``inner`` / ``left`` (attach ``right_cols``),
+    ``semi`` / ``anti`` (filter left by key existence — the
+    blocklist/allowlist filters of corpus curation).
+
+    Shape (one shuffle, no driver or broadcast state — the BIG-side
+    complement of the `ray.put` broadcast join in q_mktsegment_revenue):
+    both sides are role-tagged and unioned, rows co-locate by
+    ``hash(key) % B``, each bucket resolves with ONE vectorized
+    ``pandas.merge`` — the bucketed-reduce contract (a bucket's rows fit
+    a worker; pre-aggregate or salt chronic hot keys upstream).
+
+    Null-key semantics are SQL's (NOT-EXISTS style): null keys never
+    match — inner/semi drop them, left/anti keep them unmatched. Right
+    key columns (``right_on``, default ``on``) are renamed to left's.
+    ``semi`` emits each matching left row once (no multiplication)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    r_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if len(r_on) != len(on):
+        raise ValueError("right_on must match on in length")
+    right_cols = list(right_cols or [])
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"{how} join emits left columns only; right_cols must be empty")
+    lschema = left.take_batch(1, batch_format="pyarrow").schema
+    rschema = right.take_batch(1, batch_format="pyarrow").schema
+    left_cols = lschema.names
+    clash = set(right_cols) & set(left_cols)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    out_fields = [(c, lschema.field(c).type) for c in left_cols]
+    out_fields += [(c, rschema.field(c).type) for c in right_cols]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_cols}
+        for c in right_cols:
+            cols[c] = pa.nulls(batch.num_rows, rschema.field(c).type)
+        cols["__role"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # only the key + value columns of the right side ever move
+        n = batch.num_rows
+        cols = {}
+        for lc, rc in zip(on, r_on):
+            cols[lc] = batch[rc]
+        for c in left_cols:
+            if c not in cols:
+                cols[c] = pa.nulls(n, lschema.field(c).type)
+        for c in right_cols:
+            cols[c] = batch[c]
+        cols["__role"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return _key_hash(batch, on)
+
+    def join(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lf = df[df["__role"] == 0][left_cols]
+        rf = df[df["__role"] == 1][on + right_cols].dropna(subset=on)
+        if how in ("inner", "left"):
+            m = lf.merge(rf, on=on, how=how)
+        else:
+            keys = rf[on].drop_duplicates()
+            if how == "semi":
+                m = lf.merge(keys, on=on, how="inner")
+            else:
+                m = lf.merge(keys, on=on, how="left", indicator="__matched")
+                m = m[m["__matched"] == "left_only"]
+        arrays = {}
+        for c, t in out_fields:
+            arrays[c] = pa.Array.from_pandas(m[c], type=t)
+        return pa.table(arrays)
+
+    return bucketed_reduce(unioned, bucket_of, join, num_buckets=num_buckets)
+
+
 def range_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

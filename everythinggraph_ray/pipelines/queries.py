@@ -1159,6 +1159,53 @@ def q_events_purchase_window(sf_dir):
     )
 
 
+def q_orders_customer_join(sf_dir):
+    """Distributed hash INNER join (both sides shuffled, no broadcast —
+    the big-side complement of the ray.put join in mktsegment_revenue):
+    attach each order's customer market segment."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    return hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        right_cols=["c_mktsegment"],
+        how="inner",
+    )
+
+
+def q_cust_no_bigorder(sf_dir):
+    """Distributed ANTI join (blocklist-filter shape): customers with no
+    order above 300k total price."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], 300_000.0))
+        return t.select(["o_custkey"])
+
+    return hash_join(
+        cust,
+        orders.map_batches(big, batch_format="pyarrow"),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="anti",
+    )
+
+
 def q_q1_returnflag(sf_dir):
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -1641,6 +1688,15 @@ def _curation_oracles() -> dict[str, str]:
 
 ORACLES.update(_curation_oracles())
 
+ORACLES["orders_customer_join"] = (
+    "SELECT o_orderkey, o_custkey, c_mktsegment "
+    "FROM orders JOIN customer ON o_custkey = c_custkey"
+)
+ORACLES["cust_no_bigorder"] = (
+    "SELECT c_custkey, c_mktsegment FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+)
+
 QUERIES = {
     "rel_edges": q_rel_edges,
     "rel_degree": q_rel_degree,
@@ -1703,6 +1759,8 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_mix_weights": q_docs_mix_weights,
     "events_purchase_window": q_events_purchase_window,
+    "orders_customer_join": q_orders_customer_join,
+    "cust_no_bigorder": q_cust_no_bigorder,
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
 }

@@ -281,3 +281,106 @@ def test_range_join_drops_inverted_intervals():
     ).to_pandas()
     # interval 0 is inverted (60 > 10): silently dropped, never matched
     assert set(zip(got["lid"], got["rid"])) == {(0, 1), (1, 1)}
+
+
+def _join_fixture(seed=17):
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 300, 90
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n_l).astype(np.int64),
+            "s": rng.choice(["x", "y", "z"], n_l),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(20, 60, n_r).astype(np.int64),  # partial overlap
+            "rs": rng.choice(["x", "y", "w"], n_r),
+            "val": rng.integers(0, 10**6, n_r).astype(np.int64),
+        }
+    )
+    return left, right
+
+
+def _run_hash_join(left, right, how, on, right_on, right_cols):
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    return hash_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on=on,
+        right_on=right_on,
+        right_cols=right_cols,
+        how=how,
+        num_buckets=16,
+    ).to_pandas()
+
+
+def test_hash_join_inner_left_match_pandas():
+    left, right = _join_fixture()
+    r2 = right.rename(columns={"rk": "k", "rs": "s"})
+    for how in ("inner", "left"):
+        got = (
+            _run_hash_join(left, right, how, ["k", "s"], ["rk", "rs"], ["val"])
+            .sort_values(["lid", "val"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(r2, on=["k", "s"], how=how)
+            .sort_values(["lid", "val"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        g = got["val"].to_numpy(np.float64, na_value=np.nan)
+        w = want["val"].to_numpy(np.float64, na_value=np.nan)
+        assert np.array_equal(np.isnan(g), np.isnan(w))
+        assert np.array_equal(g[~np.isnan(g)], w[~np.isnan(w)])
+        assert got["lid"].tolist() == want["lid"].tolist()
+    # left keeps every left row at least once
+    got_l = _run_hash_join(left, right, "left", ["k", "s"], ["rk", "rs"], ["val"])
+    assert set(got_l["lid"]) == set(left["lid"])
+
+
+def test_hash_join_semi_anti_partition_left():
+    left, right = _join_fixture(seed=5)
+    semi = _run_hash_join(left, right, "semi", "k", "rk", [])
+    anti = _run_hash_join(left, right, "anti", "k", "rk", [])
+    matched = set(left.loc[left["k"].isin(set(right["rk"])), "lid"])
+    assert set(semi["lid"]) == matched
+    assert set(anti["lid"]) == set(left["lid"]) - matched
+    # semi never multiplies despite duplicate right keys
+    assert len(semi) == len(set(semi["lid"]))
+    assert list(semi.columns) == ["k", "s", "lid"]  # left columns only
+
+
+def test_hash_join_null_keys_sql_semantics():
+    """Null keys never match: inner/semi drop them, left/anti keep them."""
+    left = pd.DataFrame(
+        {"k": pd.array([1, 2, None, 4], dtype="Int64"), "lid": [0, 1, 2, 3]}
+    )
+    right = pd.DataFrame(
+        {"k": pd.array([1, None], dtype="Int64"), "val": [10, 99]}
+    )
+    inner = _run_hash_join(left, right, "inner", "k", "k", ["val"])
+    left_j = _run_hash_join(left, right, "left", "k", "k", ["val"])
+    semi = _run_hash_join(left, right, "semi", "k", "k", [])
+    anti = _run_hash_join(left, right, "anti", "k", "k", [])
+    assert set(inner["lid"]) == {0}
+    assert set(semi["lid"]) == {0}
+    assert set(anti["lid"]) == {1, 2, 3}
+    assert set(left_j["lid"]) == {0, 1, 2, 3}
+    row2 = left_j[left_j["lid"] == 2].iloc[0]
+    assert pd.isna(row2["val"])  # null-key left row kept, unmatched
+
+
+def test_hash_join_rejects_bad_args():
+    import pytest
+
+    left, right = _join_fixture()
+    with pytest.raises(ValueError, match="how"):
+        _run_hash_join(left, right, "outer", "k", "rk", [])
+    with pytest.raises(ValueError, match="left columns"):
+        _run_hash_join(left, right.rename(columns={"val": "lid"}), "inner", "k", "rk", ["lid"])
+    with pytest.raises(ValueError, match="right_cols"):
+        _run_hash_join(left, right, "semi", "k", "rk", ["val"])
