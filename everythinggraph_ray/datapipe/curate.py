@@ -248,3 +248,55 @@ def mix_weights(
     df["n_tokens"] = df["n_tokens"].astype(np.int64)
     df["weight_u"] = df["weight_u"].astype(np.int64)
     return df
+
+
+def shard_assign(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic global shuffle + output sharding: (id, shard, pos)
+    where ``shard = int(md5(str(id))[:8], 16) % num_shards`` and ``pos``
+    is the row's rank within its shard ordered by (md5, id). The
+    hash-order position IS the shuffle — a training run reading shards
+    sequentially sees a deterministic, well-mixed order with no RNG and
+    no global sort, and any failed shard can be regenerated alone (the
+    resumable-output contract).
+
+    Distributed shape: per-row md5 in map_batches, shards co-locate via
+    the bucketed co-group, one vectorized sort + cumcount per bucket.
+    Contract: one shard's ids fit a worker (that is what sharding is
+    for — size num_shards to the corpus)."""
+    S = int(num_shards)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hs = [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+        sh = np.fromiter((int(h[:8], 16) % S for h in hs), np.int64, count=len(hs))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shard": pa.array(sh, pa.int64()),
+                "__h": pa.array(hs, pa.string()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        from everythinggraph_ray.stages.agg import mix64
+
+        return mix64(batch["shard"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def rank(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["shard", "__h", id_col], kind="stable")
+        pos = df.groupby("shard").cumcount().to_numpy(np.int64)
+        return pa.table(
+            {
+                id_col: pa.Array.from_pandas(df[id_col]),
+                "shard": pa.array(df["shard"].to_numpy(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(docs.select_columns([id_col]).map_batches(tag, batch_format="pyarrow"), bucket_of, rank, num_buckets=num_buckets)

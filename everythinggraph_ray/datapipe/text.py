@@ -10,6 +10,8 @@ tests.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -209,3 +211,80 @@ def top_tokens(docs: ray.data.Dataset, k: int = 50, text_col: str = "text") -> r
 
     agg = bucketed_reduce(docs.map_batches(partial, batch_format="pyarrow"), bucket_of, red)
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def inverted_index(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed inverted index: (token, df, postings) where ``df`` is
+    the document frequency and ``postings`` the comma-joined sorted doc
+    ids — the search-engine build step, and (with ``min_df``) the
+    rare-token vocabulary pruning of tokenizer training.
+
+    Shape: per-batch per-doc-DEDUPED (token, doc_id) rows (a doc
+    contributes each token once), tokens co-locate by hash bucket, one
+    vectorized sort + reduceat per bucket builds every posting list —
+    no per-token Python loop, no driver state. Posting lists are strings
+    so the result is a flat, oracle-comparable table; the production
+    sink would keep ``list<int64>`` instead. Contract: one token's
+    postings fit a worker (stopword-scale tokens are exactly the rows a
+    real index shards further or drops via ``max_df``)."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    rx = re.compile(WORD_RE)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for i, t in zip(
+            batch[id_col].to_pylist(), pc.utf8_lower(batch[text_col]).to_pylist()
+        ):
+            seen = sorted(set(rx.findall(t)))
+            ids.extend([i] * len(seen))
+            toks.extend(seen)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        import hashlib
+
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+                for t in batch["token"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["token", id_col], kind="stable")
+        toks = df["token"].to_numpy()
+        ids = df[id_col].to_numpy(np.int64)
+        st = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]]) if len(toks) else np.empty(0, np.int64)
+        cnt = np.diff(np.r_[st, len(toks)])
+        keep = cnt >= min_df
+        id_str = ids.astype(str)
+        postings = [
+            ",".join(id_str[s : s + c]) for s, c, k in zip(st, cnt, keep) if k
+        ]
+        return pa.table(
+            {
+                "token": pa.array(toks[st[keep]], pa.string()),
+                "df": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                "postings": pa.array(postings, pa.string()),
+            }
+        )
+
+    return bucketed_reduce(
+        docs.map_batches(emit, batch_format="pyarrow"), bucket_of, red, num_buckets=num_buckets
+    )

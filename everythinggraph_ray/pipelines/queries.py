@@ -1159,6 +1159,55 @@ def q_events_purchase_window(sf_dir):
     )
 
 
+def q_docs_inverted_index(sf_dir):
+    """Inverted index over the corpus (datapipe/text.py
+    inverted_index): (token, df, comma-joined sorted postings),
+    min_df=2."""
+    from everythinggraph_ray.datapipe.text import inverted_index
+
+    return inverted_index(_docs(sf_dir), min_df=2)
+
+
+def q_docs_shard_assign(sf_dir):
+    """Deterministic global shuffle + output sharding: md5-hash shard +
+    within-shard hash-order position (datapipe/curate.py shard_assign) —
+    the no-RNG training-data shuffle whose shards regenerate
+    independently."""
+    from everythinggraph_ray.datapipe.curate import shard_assign
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return shard_assign(docs, num_shards=16)
+
+
+def q_docs_len_quantiles(sf_dir):
+    """Exact per-language length quantiles (p25/p50/p90/p99) via the
+    distributed value-histogram aggregate (stages/agg.py
+    grouped_quantiles) — shuffle volume is distinct (lang, length)
+    pairs, never a global sort."""
+    from everythinggraph_ray.stages.agg import grouped_quantiles
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return grouped_quantiles(
+        docs.map_batches(with_len, batch_format="pyarrow"),
+        "len",
+        [0.25, 0.5, 0.9, 0.99],
+        group_col="lang",
+    )
+
+
 def q_orders_customer_join(sf_dir):
     """Distributed hash INNER join (both sides shuffled, no broadcast —
     the big-side complement of the ray.put join in mktsegment_revenue):
@@ -1688,6 +1737,30 @@ def _curation_oracles() -> dict[str, str]:
 
 ORACLES.update(_curation_oracles())
 
+ORACLES["docs_inverted_index"] = (
+    r"WITH t AS (SELECT doc_id, "
+    r"unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token "
+    r"FROM documents) "
+    r"SELECT token, CAST(count(*) AS BIGINT) AS df, "
+    r"string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+    r"FROM t GROUP BY token HAVING count(*) >= 2"
+)
+ORACLES["docs_shard_assign"] = (
+    "WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), "
+    "s AS (SELECT doc_id, hx, "
+    "CAST(CAST(concat('0x', substr(hx, 1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard FROM h) "
+    "SELECT doc_id, shard, "
+    "CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos "
+    "FROM s"
+)
+ORACLES["docs_len_quantiles"] = (
+    "SELECT lang, "
+    "CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25, "
+    "CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50, "
+    "CAST(quantile_disc(length(text), 0.90) AS BIGINT) AS p90, "
+    "CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99 "
+    "FROM documents GROUP BY lang"
+)
 ORACLES["orders_customer_join"] = (
     "SELECT o_orderkey, o_custkey, c_mktsegment "
     "FROM orders JOIN customer ON o_custkey = c_custkey"
@@ -1759,6 +1832,9 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_mix_weights": q_docs_mix_weights,
     "events_purchase_window": q_events_purchase_window,
+    "docs_inverted_index": q_docs_inverted_index,
+    "docs_shard_assign": q_docs_shard_assign,
+    "docs_len_quantiles": q_docs_len_quantiles,
     "orders_customer_join": q_orders_customer_join,
     "cust_no_bigorder": q_cust_no_bigorder,
     "q1_returnflag": q_q1_returnflag,

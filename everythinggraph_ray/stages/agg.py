@@ -166,3 +166,75 @@ def sum_by_key(
         return pa.table(cols)
 
     return bucketed_reduce(ds, bucket_of, red, num_buckets=num_buckets)
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+    *,
+    group_col: str | None = None,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """EXACT discrete quantiles (SQL ``quantile_disc``: the element at
+    0-based index ``ceil(q*n)-1`` of the sorted column) of an
+    integer-valued column, optionally per group — via a distributed value
+    HISTOGRAM, never a global sort: per-batch (group, value) partial
+    counts, a group-bucketed co-group (one group's whole histogram
+    co-locates), then a weighted-quantile pick per group.
+
+    Scale contract: shuffle volume is O(distinct (group, value) pairs per
+    batch), not O(rows) — the right shape for bounded-domain signals
+    (lengths, scores, degrees). A group's histogram must fit a worker;
+    for unbounded/continuous values quantize first or use a sketch.
+
+    Output: one row per group with columns ``group_col`` (omitted when
+    None) + ``p{q*100:g}`` per q (e.g. p25, p50, p99, p99.9)."""
+    if not qs or any(not (0 < q <= 1) for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    out_names = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    gcols = [group_col] if group_col else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {c: batch[c].to_pandas() for c in gcols}
+            | {"__v": batch[value_col].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(gcols + ["__v"], as_index=False, dropna=False).size()
+        out = {c: pa.Array.from_pandas(g[c]) for c in gcols}
+        out["__v"] = pa.array(g["__v"].to_numpy(np.int64), pa.int64())
+        out["__n"] = pa.array(g["size"].to_numpy(np.int64), pa.int64())
+        return pa.table(out)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        if not gcols:
+            return np.zeros(batch.num_rows, np.int64)
+        from everythinggraph_ray.datapipe.joins import _key_hash
+
+        return _key_hash(batch, gcols)
+
+    def red(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        rows: dict[str, list] = {c: [] for c in gcols}
+        for on in out_names:
+            rows[on] = []
+        for key, grp in df.groupby(gcols, dropna=False) if gcols else [((), df)]:
+            h = grp.groupby("__v")["__n"].sum().sort_index()
+            vals = h.index.to_numpy(np.int64)
+            cum = h.to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for c, kv in zip(gcols, key if isinstance(key, tuple) else (key,)):
+                rows[c].append(kv)
+            for q, on in zip(qs, out_names):
+                idx = max(int(np.ceil(q * n)), 1) - 1
+                rows[on].append(int(vals[np.searchsorted(cum, idx + 1)]))
+        out = {c: pa.Array.from_pandas(pd.Series(rows[c])) for c in gcols}
+        for on in out_names:
+            out[on] = pa.array(rows[on], pa.int64())
+        return pa.table(out)
+
+    return bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"), bucket_of, red, num_buckets=num_buckets)

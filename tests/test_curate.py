@@ -384,3 +384,95 @@ def test_hash_join_rejects_bad_args():
         _run_hash_join(left, right.rename(columns={"val": "lid"}), "inner", "k", "rk", ["lid"])
     with pytest.raises(ValueError, match="right_cols"):
         _run_hash_join(left, right, "semi", "k", "rk", ["val"])
+
+
+def test_grouped_quantiles_matches_numpy():
+    """grouped_quantiles == the quantile_disc definition (sorted element
+    at index ceil(q*n)-1), per group and globally, across bucket splits."""
+    from everythinggraph_ray.stages.agg import grouped_quantiles
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 2000),
+            "v": rng.integers(0, 300, 2000).astype(np.int64),
+        }
+    )
+    qs = [0.25, 0.5, 0.9, 0.99, 1.0]
+
+    def disc(vals, q):
+        s = np.sort(vals)
+        return int(s[max(int(np.ceil(q * len(s))), 1) - 1])
+
+    got = (
+        grouped_quantiles(ray.data.from_pandas(df), "v", qs, group_col="g", num_buckets=8)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    assert len(got) == 3
+    for g, grp in df.groupby("g"):
+        for q, col in zip(qs, ["p25", "p50", "p90", "p99", "p100"]):
+            assert got.loc[g, col] == disc(grp["v"].to_numpy(), q), (g, q)
+
+    glob = grouped_quantiles(ray.data.from_pandas(df), "v", [0.5]).to_pandas()
+    assert len(glob) == 1 and glob["p50"][0] == disc(df["v"].to_numpy(), 0.5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="qs"):
+        grouped_quantiles(ray.data.from_pandas(df), "v", [0.0])
+
+
+def test_shard_assign_deterministic_and_complete():
+    """shard_assign: every id exactly once, shards balanced-ish, pos is a
+    dense 0..n_s-1 rank in (md5, id) order, stable across runs and
+    independent of input partitioning."""
+    import hashlib as hl
+
+    from everythinggraph_ray.datapipe.curate import shard_assign
+
+    ids = np.arange(700, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    a = shard_assign(ray.data.from_pandas(df), num_shards=8).to_pandas()
+    b = shard_assign(
+        ray.data.from_pandas(df).repartition(13), num_shards=8
+    ).to_pandas()
+    for out in (a, b):
+        assert sorted(out["doc_id"]) == list(ids)
+        hx = {i: hl.md5(str(i).encode()).hexdigest() for i in ids}
+        for s, grp in out.groupby("shard"):
+            grp = grp.sort_values("pos")
+            assert list(grp["pos"]) == list(range(len(grp)))  # dense rank
+            want_order = sorted(grp["doc_id"], key=lambda i: (hx[i], i))
+            assert list(grp["doc_id"]) == want_order
+        assert (out["shard"] == [int(hx[i][:8], 16) % 8 for i in out["doc_id"]]).all()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert a["shard"].nunique() == 8
+
+
+def test_inverted_index_matches_serial():
+    """inverted_index == a serial build: df counts, sorted postings,
+    min_df pruning; doc-level dedup means repeated tokens count once."""
+    from everythinggraph_ray.datapipe.text import inverted_index
+
+    df = _docs_fixture(90, seed=13)
+    got = (
+        inverted_index(ray.data.from_pandas(df), min_df=2, num_buckets=8)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    rx = re.compile(r"[a-z0-9]+")
+    want: dict[str, list[int]] = {}
+    for _, r in df.iterrows():
+        for t in set(rx.findall(r["text"].lower())):
+            want.setdefault(t, []).append(int(r["doc_id"]))
+    want = {t: sorted(v) for t, v in want.items() if len(v) >= 2}
+    assert set(got["token"]) == set(want)
+    for _, r in got.iterrows():
+        assert r["df"] == len(want[r["token"]])
+        assert r["postings"] == ",".join(map(str, want[r["token"]]))
