@@ -137,11 +137,21 @@ def hash_join(
     how: str = "inner",
     right_on: str | list[str] | None = None,
     num_buckets: int = 64,
+    impl: str = "bucketed",
 ) -> ray.data.Dataset:
-    """Distributed hash equi-join — the general shuffle join Ray Data
-    2.49 has no operator for: ``inner`` / ``left`` (attach ``right_cols``),
-    ``semi`` / ``anti`` (filter left by key existence — the
-    blocklist/allowlist filters of corpus curation).
+    """Distributed hash equi-join: ``inner`` / ``left`` (attach
+    ``right_cols``), ``semi`` / ``anti`` (filter left by key existence —
+    the blocklist/allowlist filters of corpus curation).
+
+    ``impl='bucketed'`` (default) is this repo's bucketed co-group;
+    ``impl='native'`` delegates to Ray Data 2.49's experimental
+    ``Dataset.join`` (hash-shuffle aggregator actors) with the same
+    output contract — both are exercised by the equivalence tests, and
+    measured within noise of each other at sf0.1 (BASELINE.md). The
+    bucketed form stays the default because it shares the repo's one
+    partitioning convention (same `mix64` buckets as every other wide
+    op, so joins can co-schedule with adjacent bucketed stages) and has
+    no aggregator-actor warm-up; flip to native as it stabilizes.
 
     Shape (one shuffle, no driver or broadcast state — the BIG-side
     complement of the `ray.put` broadcast join in q_mktsegment_revenue):
@@ -173,6 +183,18 @@ def hash_join(
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
     out_fields = [(c, lschema.field(c).type) for c in left_cols]
     out_fields += [(c, rschema.field(c).type) for c in right_cols]
+
+    if impl == "native":
+        # Dataset.join drops the right key cols when right_on is given and
+        # emits left cols + right value cols — select down to the contract.
+        jt = {"inner": "inner", "left": "left_outer", "semi": "left_semi", "anti": "left_anti"}[how]
+        rsel = right.select_columns(list(dict.fromkeys(r_on + right_cols)))
+        joined = left.join(
+            rsel, jt, num_buckets, on=tuple(on), right_on=tuple(r_on)
+        )
+        return joined.select_columns([c for c, _ in out_fields])
+    if impl != "bucketed":
+        raise ValueError(f"impl must be bucketed/native, got {impl!r}")
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in left_cols}

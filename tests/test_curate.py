@@ -476,3 +476,40 @@ def test_inverted_index_matches_serial():
     for _, r in got.iterrows():
         assert r["df"] == len(want[r["token"]])
         assert r["postings"] == ",".join(map(str, want[r["token"]]))
+
+
+def test_hash_join_native_impl_equivalent():
+    """impl='native' (Ray's experimental Dataset.join) == impl='bucketed'
+    on every join type, including the no-match and duplicate-key paths."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    left, right = _join_fixture(seed=29)
+
+    def run(how, impl, right_cols):
+        return hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            right_on="rk",
+            right_cols=right_cols,
+            how=how,
+            num_buckets=8,
+            impl=impl,
+        ).to_pandas()
+
+    for how, rc in [("inner", ["val"]), ("left", ["val"]), ("semi", []), ("anti", [])]:
+        a = run(how, "bucketed", rc)
+        b = run(how, "native", rc)
+        key = ["lid"] + rc
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert sorted(a.columns) == sorted(b.columns), how
+        assert len(a) == len(b), how
+        for c in a.columns:
+            av = a[c].to_numpy(np.float64, na_value=np.nan) if a[c].dtype.kind in "if" else a[c].to_numpy()
+            bv = b[c].to_numpy(np.float64, na_value=np.nan) if b[c].dtype.kind in "if" else b[c].to_numpy()
+            if av.dtype.kind == "f":
+                assert np.array_equal(np.isnan(av), np.isnan(bv)), (how, c)
+                assert np.array_equal(av[~np.isnan(av)], bv[~np.isnan(bv)]), (how, c)
+            else:
+                assert np.array_equal(av, bv), (how, c)
