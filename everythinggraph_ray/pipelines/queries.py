@@ -1097,6 +1097,60 @@ def q_docs_decontaminate(sf_dir):
     return decontaminate(corpus, bench, ngram=5)
 
 
+def q_docs_mixture_sample(sf_dir):
+    """Composed mixing pipeline: compute per-(lang, source) uniform
+    mixing weights (mix_weights — a #groups-row table), then
+    deterministically sample each group at weight_u/1e6 via the md5
+    threshold rule. All-integer threshold arithmetic
+    (weight_u * 16^8 // 1e6) so the SQL window oracle keeps the
+    identical rows. Result: the token-balanced corpus a uniform-mixture
+    training run would read."""
+    from everythinggraph_ray.datapipe.curate import mix_weights
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "text"],
+    )
+    w = mix_weights(docs)  # #groups rows on the driver by design
+    thresholds = {
+        (r["lang"], r["source"]): format(int(r["weight_u"]) * 16**8 // 10**6, "08x")
+        for _, r in w.iterrows()
+    }
+
+    def samp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["doc_id"].to_pylist()
+        keys = zip(batch["lang"].to_pylist(), batch["source"].to_pylist())
+        keep = [
+            hashlib.md5(str(i).encode("utf-8")).hexdigest() < thresholds[k]
+            for i, k in zip(ids, keys)
+        ]
+        return batch.select(["doc_id", "lang", "source"]).filter(pa.array(keep, pa.bool_()))
+
+    return docs.map_batches(samp, batch_format="pyarrow")
+
+
+def q_docs_gopher_filter(sf_dir):
+    """Composed Gopher-style quality gate over the repetition signals:
+    keep docs with >= 30 words, top-word share <= 10%, and vocabulary
+    >= 40% of length — all integer comparisons (n*10 <= m forms) so the
+    SQL oracle is bit-exact. The gate is an inline numpy mask fused onto
+    repetition_stats' output (no second pass over text)."""
+    from everythinggraph_ray.datapipe.curate import repetition_stats
+
+    stats = repetition_stats(_docs(sf_dir))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"].to_numpy(zero_copy_only=False)
+        nu = batch["n_unique_words"].to_numpy(zero_copy_only=False)
+        tw = batch["top_word_n"].to_numpy(zero_copy_only=False)
+        keep = (nw >= 30) & (tw * 10 <= nw) & (nu * 5 >= nw * 2)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return stats.map_batches(gate, batch_format="pyarrow")
+
+
 def q_docs_mix_weights(sf_dir):
     """Per-(lang, source) corpus stats + uniform-mixing weight
     (integer floor division — bit-exact vs the SQL window oracle)."""
@@ -1710,6 +1764,36 @@ def _curation_oracles() -> dict[str, str]:
             r"CAST(coalesce(tb.m, 0) AS BIGINT) AS top_bigram_n "
             r"FROM wc LEFT JOIN tw ON tw.doc_id = wc.doc_id LEFT JOIN tb ON tb.doc_id = wc.doc_id"
         ),
+        "docs_mixture_sample": (
+            r"WITH s AS (SELECT lang, source, "
+            r"CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens "
+            r"FROM documents GROUP BY lang, source), "
+            r"w AS (SELECT lang, source, "
+            r"(1000000 * (min(n_tokens) OVER ())) // n_tokens AS weight_u FROM s), "
+            r"th AS (SELECT lang, source, "
+            r"printf('%08x', weight_u * 4294967296 // 1000000) AS hx FROM w) "
+            r"SELECT d.doc_id, d.lang, d.source FROM documents d "
+            r"JOIN th ON th.lang = d.lang AND th.source = d.source "
+            r"WHERE md5(CAST(d.doc_id AS VARCHAR)) < th.hx"
+        ),
+        "docs_gopher_filter": (
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents), "
+            r"wc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+            r"CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_words FROM t), "
+            r"u AS (SELECT doc_id, unnest(w) AS word FROM t), "
+            r"tw AS (SELECT doc_id, max(c) AS m FROM "
+            r"(SELECT doc_id, word, count(*) AS c FROM u GROUP BY doc_id, word) GROUP BY doc_id), "
+            r"bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS b FROM t "
+            r"CROSS JOIN unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2), "
+            r"tb AS (SELECT doc_id, max(c) AS m FROM "
+            r"(SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id), "
+            r"s AS (SELECT wc.doc_id, n_words, n_unique_words, "
+            r"CAST(coalesce(tw.m, 0) AS BIGINT) AS top_word_n, "
+            r"CAST(coalesce(tb.m, 0) AS BIGINT) AS top_bigram_n "
+            r"FROM wc LEFT JOIN tw ON tw.doc_id = wc.doc_id LEFT JOIN tb ON tb.doc_id = wc.doc_id) "
+            r"SELECT * FROM s WHERE n_words >= 30 AND top_word_n * 10 <= n_words "
+            r"AND n_unique_words * 5 >= n_words * 2"
+        ),
         "docs_decontaminate": (
             r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents), "
             r"g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM toks "
@@ -1830,6 +1914,8 @@ QUERIES = {
     "docs_sample_stratified": q_docs_sample_stratified,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_mixture_sample": q_docs_mixture_sample,
+    "docs_gopher_filter": q_docs_gopher_filter,
     "docs_mix_weights": q_docs_mix_weights,
     "events_purchase_window": q_events_purchase_window,
     "docs_inverted_index": q_docs_inverted_index,

@@ -513,3 +513,48 @@ def test_hash_join_native_impl_equivalent():
                 assert np.array_equal(av[~np.isnan(av)], bv[~np.isnan(bv)]), (how, c)
             else:
                 assert np.array_equal(av, bv), (how, c)
+
+
+def test_write_sharded_resume_and_readback(tmp_path):
+    """write_sharded: deterministic md5 shards, _SUCCESS-last markers,
+    resume skips completed shards, read_sharded sees only marked dirs."""
+    from everythinggraph_ray.datapipe.sink import (
+        completed_shards,
+        read_sharded,
+        write_sharded,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "v": np.arange(400) * 3})
+    out = str(tmp_path / "sharded")
+    n1 = write_sharded(ray.data.from_pandas(df), out, num_shards=8)
+    assert sum(n1.values()) == 400 and set(n1) == set(range(8))
+    assert completed_shards(out) == set(range(8))
+
+    back = read_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    # simulate a failed run: two shards lose their marker → resume
+    # rewrites exactly those, completed ones are skipped
+    import os
+
+    for s in (2, 5):
+        os.remove(f"{out}/shard={s}/_SUCCESS")
+    n2 = write_sharded(ray.data.from_pandas(df), out, num_shards=8)
+    assert set(n2) == {2, 5}
+    assert completed_shards(out) == set(range(8))
+    back2 = read_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df)
+
+    # a marker-less dir is invisible to readers
+    os.remove(f"{out}/shard=3/_SUCCESS")
+    part = read_sharded(out).to_pandas()
+    assert len(part) == 400 - n1[3]
+    # shard membership matches shard_assign's md5 rule
+    import hashlib as hl
+
+    got3 = set(
+        read_sharded(out, shards=[1])
+        .to_pandas()["doc_id"]
+    )
+    want3 = {i for i in range(400) if int(hl.md5(str(i).encode()).hexdigest()[:8], 16) % 8 == 1}
+    assert got3 == want3
