@@ -1,0 +1,215 @@
+"""CLI for the corpus/data-pipeline layer — the ``ray job submit``
+surface for dedup, curation, text analysis and ANN:
+
+    python -m everythinggraph_ray.datapipe.cli minhash-dedup \
+        --docs /data/documents --out /data/clusters --threshold 0.8
+
+    python -m everythinggraph_ray.datapipe.cli decontaminate \
+        --docs /data/corpus --bench /data/benchmarks --out /data/hits
+
+    python -m everythinggraph_ray.datapipe.cli knn-ivf \
+        --embeddings /data/emb --num-queries 80 --k 10 --out /data/nn
+
+Mirrors the graph CLI (everythinggraph_ray/cli.py), which replaces the
+reference's per-binary getopt drivers (random.c:50-116); the reference
+has no corpus layer, so this surface is the north-rule training-data
+addition. Output is parquet under ``--out``; pass ``--shards N`` to
+write through the resumable sharded sink (datapipe/sink.py) instead of
+a flat ``write_parquet``.
+
+Only this entry point owns the Ray session (guarded init, shutdown on
+exit) — the library functions it calls never call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+OPS = [
+    "stats",
+    "quality",
+    "langid",
+    "fingerprint",
+    "top-tokens",
+    "exact-dedup",
+    "minhash-dedup",
+    "simhash",
+    "simhash-candidates",
+    "pii-redact",
+    "repetition",
+    "decontaminate",
+    "sample",
+    "mix-weights",
+    "shard-assign",
+    "pack",
+    "chunk",
+    "knn",
+    "knn-ivf",
+    "knn-lsh",
+    "emb-near-dup",
+]
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="everythinggraph_ray.datapipe")
+    p.add_argument("op", choices=OPS)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="documents parquet dir (doc_id, text, lang, source, ...)")
+    src.add_argument("--embeddings", help="embeddings parquet dir (vec_id, embedding)")
+    p.add_argument("--out", required=True, help="output directory (parquet)")
+    p.add_argument("--bench", help="benchmark parquet dir (decontaminate)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default=None, help="default: doc_id (docs) / vec_id (embeddings)")
+    p.add_argument("--k", type=int, default=10, help="top-k (knn*, top-tokens)")
+    p.add_argument("--threshold", type=float, default=0.8, help="jaccard/cosine threshold")
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--ngram", type=int, default=5, help="decontaminate n-gram size")
+    p.add_argument("--rate", type=float, default=0.1, help="sample keep rate (all strata)")
+    p.add_argument("--strata-col", default="lang")
+    p.add_argument("--bin-tokens", type=int, default=4096, help="pack bin capacity")
+    p.add_argument("--queries", default=None, help="comma-separated query vec_ids (knn*)")
+    p.add_argument("--num-queries", type=int, default=16, help="knn*: use the N smallest vec_ids")
+    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--n-planes", type=int, default=8)
+    p.add_argument("--shards", type=int, default=0, help=">0: resumable sharded sink with N shards")
+    p.add_argument("--keep-text", action="store_true", help="pii-redact: keep the redacted text column")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        return _run(args)
+    finally:
+        if owns:
+            ray.shutdown()
+
+
+def _run(args) -> int:
+    import ray.data
+
+    from everythinggraph_ray.datapipe import chunk, curate, dedup, knn, pack, text
+
+    if args.op in ("knn", "knn-ivf", "knn-lsh", "emb-near-dup"):
+        if not args.embeddings:
+            print("error: this op needs --embeddings", file=sys.stderr)
+            return 2
+        emb = ray.data.read_parquet(args.embeddings)
+        id_col = args.id_col or "vec_id"
+        if args.op == "emb-near-dup":
+            res = knn.embedding_near_duplicates(
+                emb, threshold=args.threshold, n_planes=args.n_planes, id_col=id_col
+            )
+        else:
+            if args.queries:
+                qids = [int(x) for x in args.queries.split(",")]
+            else:
+                qids = knn.smallest_ids(emb, id_col, args.num_queries)
+            if args.op == "knn":
+                res = knn.knn_bruteforce(emb, qids, k=args.k, id_col=id_col)
+            elif args.op == "knn-ivf":
+                res = knn.knn_ivf(
+                    emb,
+                    qids,
+                    k=args.k,
+                    n_centroids=args.n_centroids,
+                    n_probe=args.n_probe,
+                    id_col=id_col,
+                )
+            else:
+                res = knn.knn_lsh(
+                    emb, qids, k=args.k, n_planes=args.n_planes, id_col=id_col
+                )
+    else:
+        if not args.docs:
+            print("error: this op needs --docs", file=sys.stderr)
+            return 2
+        docs = ray.data.read_parquet(args.docs)
+        tc = args.text_col
+        id_col = args.id_col or "doc_id"
+        if args.op == "stats":
+            res = text.doc_stats(docs, tc)
+        elif args.op == "quality":
+            res = text.quality_score(docs, tc)
+        elif args.op == "langid":
+            res = text.lang_id(docs)
+        elif args.op == "fingerprint":
+            res = text.fingerprint(docs, tc)
+        elif args.op == "top-tokens":
+            res = text.top_tokens(docs, args.k, tc)
+        elif args.op == "exact-dedup":
+            res = dedup.exact_duplicates(docs, tc)
+        elif args.op == "minhash-dedup":
+            res = dedup.minhash_near_duplicates(
+                docs, threshold=args.threshold, num_perm=args.num_perm, bands=args.bands
+            )
+        elif args.op == "simhash":
+            res = dedup.simhash(docs)
+        elif args.op == "simhash-candidates":
+            res = dedup.simhash_candidates(docs)
+        elif args.op == "pii-redact":
+            res = curate.pii_redact(docs, tc, keep_text=args.keep_text)
+        elif args.op == "repetition":
+            res = curate.repetition_stats(docs, tc)
+        elif args.op == "decontaminate":
+            if not args.bench:
+                print("error: decontaminate needs --bench", file=sys.stderr)
+                return 2
+            bench = ray.data.read_parquet(args.bench)
+            res = curate.decontaminate(
+                docs, bench, ngram=args.ngram, text_col=tc, id_col=id_col
+            )
+        elif args.op == "sample":
+            res = curate.stratified_sample(
+                docs, {}, strata_col=args.strata_col, id_col=id_col, default_rate=args.rate
+            )
+        elif args.op == "mix-weights":
+            res = curate.mix_weights(docs, text_col=tc)
+        elif args.op == "shard-assign":
+            res = curate.shard_assign(
+                docs, id_col=id_col, num_shards=max(args.shards, 1) or 16
+            )
+        elif args.op == "pack":
+            res = pack.pack_sequences(docs, bin_tokens=args.bin_tokens, id_col=id_col, text_col=tc)
+        else:  # chunk
+            res = chunk.cdc_chunks(docs, text_col=tc, id_col=id_col)
+
+    n = _write(res, args, id_col)
+    print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
+    return 0
+
+
+def _write(res, args, id_col: str) -> int:
+    """Write a Dataset or small DataFrame result; return the row count."""
+    import pandas as pd
+
+    import ray.data
+
+    if isinstance(res, pd.DataFrame):
+        # small driver-side results (knn frames, mix-weights) — one file
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(res, preserve_index=False), f"{args.out}/part-0.parquet")
+        return len(res)
+    if args.shards > 0 and args.op not in ("mix-weights",):
+        from everythinggraph_ray.datapipe.sink import write_sharded
+
+        sid = id_col if id_col in res.schema().names else res.schema().names[0]
+        written = write_sharded(res, args.out, id_col=sid, num_shards=args.shards)
+        return int(sum(written.values()))
+    res = res.materialize()  # count + write without re-executing the pipeline
+    res.write_parquet(args.out)
+    return res.count()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

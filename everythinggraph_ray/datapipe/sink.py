@@ -122,6 +122,8 @@ def write_sharded(
         write_group,
         num_buckets=num_buckets,
     ).to_pandas()
+    if res.empty:  # full resume / empty input: no groups reach the reducer
+        return {}
     return dict(zip(res["shard"].astype(int), res["rows"].astype(int)))
 
 

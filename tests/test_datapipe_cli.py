@@ -1,0 +1,73 @@
+"""Datapipe CLI smoke tests: the ``python -m everythinggraph_ray.datapipe.cli``
+surface routes each op to the library function and writes parquet the
+user can read back (the reference's getopt-driver parity for the corpus
+layer)."""
+
+import json
+
+import pandas as pd
+import pytest
+import ray.data
+
+from everythinggraph_ray.datapipe.cli import main
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+EMB = f"{SF}/embeddings.parquet"
+
+
+def _run(argv, capsys):
+    rc = main(argv)
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_cli_pii_matches_library(tmp_path, capsys):
+    out = str(tmp_path / "pii")
+    info = _run(["pii-redact", "--docs", DOCS, "--out", out], capsys)
+    assert info["rows"] == 500
+    back = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    from everythinggraph_ray.datapipe.curate import pii_redact
+
+    lib = (
+        pii_redact(ray.data.read_parquet(DOCS))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True), lib.reset_index(drop=True)
+    )
+
+
+def test_cli_knn_and_sharded_sink(tmp_path, capsys):
+    out = str(tmp_path / "knn")
+    info = _run(
+        ["knn", "--embeddings", EMB, "--num-queries", "4", "--k", "3", "--out", out],
+        capsys,
+    )
+    assert info["rows"] == 12  # 4 queries × k=3
+    back = ray.data.read_parquet(out).to_pandas()
+    assert set(back.columns) == {"query_id", "neighbor_id", "rank"}
+
+    out2 = str(tmp_path / "dedup")
+    info2 = _run(
+        ["exact-dedup", "--docs", DOCS, "--out", out2, "--shards", "4"], capsys
+    )
+    assert info2["rows"] == 500
+    from everythinggraph_ray.datapipe.sink import completed_shards, read_sharded
+
+    assert completed_shards(out2) == {0, 1, 2, 3}
+    assert read_sharded(out2).count() == 500
+    # resume: a second run skips every completed shard
+    info3 = _run(
+        ["exact-dedup", "--docs", DOCS, "--out", out2, "--shards", "4"], capsys
+    )
+    assert info3["rows"] == 0
+
+
+def test_cli_arg_errors(tmp_path, capsys):
+    assert main(["decontaminate", "--docs", DOCS, "--out", str(tmp_path)]) == 2
+    assert main(["knn", "--docs", DOCS, "--out", str(tmp_path)]) == 2
+    with pytest.raises(SystemExit):
+        main(["not-an-op", "--docs", DOCS, "--out", str(tmp_path)])
