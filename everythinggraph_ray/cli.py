@@ -27,6 +27,9 @@ def _get_kernel(args):
 
     table = {
         "pagerank": lambda: K.PageRankKernel(damping=args.damping),
+        "ppr": lambda: K.PersonalizedPageRankKernel(
+            args.ppr_seed_mod, args.ppr_n_seeds, damping=args.damping
+        ),
         "wcc": lambda: K.WCCKernel(),
         "labelprop": lambda: K.LabelPropKernel(),
         "bfs": lambda: K.BFSKernel(args.root),
@@ -45,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank",
             "pagerank-pull",
+            "ppr",
             "wcc",
             "labelprop",
             "bfs",
@@ -71,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--synthesize-weights", action="store_true", help="w = src%%10 + dst%%10 (CREATE_WEIGHT)")
     p.add_argument("--root", type=int, default=0, help="bfs/sssp root vid (the reference's -p)")
     p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument(
+        "--ppr-seed-mod",
+        type=int,
+        default=100,
+        help="ppr seed rule: seeds are vertices with vid %% mod == 0",
+    )
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--n-iters", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
@@ -207,6 +217,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+
+    if args.kernel == "ppr":
+        # the kernel needs the GLOBAL seed count up front (a partition
+        # only sees its own vids); counted distributed before the build
+        args.ppr_n_seeds = E.seed_vertex_count(edges, args.ppr_seed_mod)
 
     build_graph(edges, bdir, num_partitions=args.partitions, weighted=weighted)
     eng = GraphEngine(bdir)

@@ -91,6 +91,37 @@ class PageRankKernel(Kernel):
         return new, np.ones(len(old), dtype=bool), delta
 
 
+class PersonalizedPageRankKernel(PageRankKernel):
+    """Personalized PageRank: teleport mass lands only on a seed set
+    instead of uniformly (same scatter/combine as PageRankKernel —
+    pagerank_simple.c:31-36 semantics — different apply). Seeds are
+    ``vid % seed_mod == 0`` so the rule is reproducible everywhere (SQL
+    oracle, resumes, any cluster size) with no shipped seed list;
+    ``n_seeds`` is the GLOBAL seed count (counted by the caller — a
+    partition only sees its own vids). The per-partition teleport vector
+    is stashed in ``init_values`` (each actor deserializes its own kernel
+    copy, so per-partition state on self is safe)."""
+
+    name = "ppr"
+
+    def __init__(self, seed_mod: int, n_seeds: int, damping: float = 0.85):
+        super().__init__(damping)
+        if n_seeds < 1:
+            raise ValueError("personalized PageRank needs at least one seed")
+        self.seed_mod = int(seed_mod)
+        self.n_seeds = int(n_seeds)
+
+    def init_values(self, vids, outdeg, ctx):
+        self._tele = (vids % self.seed_mod == 0).astype(np.float64) / self.n_seeds
+        # r0 = (1-d)*tele: the rank after zero link-follow steps
+        return (1.0 - self.damping) * self._tele
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = (1.0 - self.damping) * self._tele + self.damping * agg
+        delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
+        return new, np.ones(len(old), dtype=bool), delta
+
+
 class WCCKernel(Kernel):
     """Symmetric min-label propagation (wcc.c:211-216): labels init to own
     vid; run on the UNDIRECTED edge table (build with undirect=True) which is

@@ -74,6 +74,31 @@ def pagerank_oracle(
     return vids, prev, it
 
 
+def ppr_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed_mod: int,
+    *,
+    damping: float = 0.85,
+    n_iters: int = 10,
+):
+    """Personalized PageRank serial oracle: teleport vector is uniform
+    over the seed set (vid % seed_mod == 0); r0 = (1-d)*tele. Returns
+    (vids, ranks float64)."""
+    vids, s, d = _index(src, dst)
+    n = len(vids)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    seeds = vids % seed_mod == 0
+    tele = seeds.astype(np.float64) / max(1, int(seeds.sum()))
+    prev = (1.0 - damping) * tele
+    for _ in range(n_iters):
+        contrib = prev[s] / outdeg[s]
+        rank = np.zeros(n, dtype=np.float64)
+        np.add.at(rank, d, contrib)
+        prev = (1.0 - damping) * tele + damping * rank
+    return vids, prev
+
+
 def wcc_oracle(src: np.ndarray, dst: np.ndarray, labels: np.ndarray | None = None):
     """Symmetric min-label propagation to fixpoint. Returns (vids, labels).
 

@@ -149,6 +149,18 @@ def q_rel_top_outdegree(sf_dir):
     return out_degrees(rel_edges(sf_dir)).sort(["outdeg", "vid"], descending=[True, False]).limit(20)
 
 
+NEIGHBOR_SAMPLE_K = 3
+
+
+def q_rel_neighbor_sample(sf_dir):
+    """GraphSAGE-style deterministic k-neighbor sample over the deduped
+    edge table (stages/edges.py:neighbor_sample): md5-order selection is
+    reproducible across runs/resumes and exactly expressible in SQL."""
+    from everythinggraph_ray.stages.edges import neighbor_sample
+
+    return neighbor_sample(dedup_edges(rel_edges(sf_dir)), NEIGHBOR_SAMPLE_K)
+
+
 def q_rel_pagerank10(sf_dir):
     df = _run_engine(_rel_build(sf_dir), PageRankKernel(), n_iters=10)
     # round 7: engine-vs-SQL float differences are ~1e-14, so 1e-7 rounding
@@ -220,6 +232,25 @@ def q_rel_sssp_weighted_pull(sf_dir):
     out = df.rename(columns={"sssp_weighted": "dist"})[["vid", "dist"]]
     out["dist"] = np.round(out["dist"].to_numpy(), 6)
     return out
+
+
+PPR_SEED_MOD = 100  # seeds = vids divisible by this (reproducible, no seed list)
+
+
+def q_rel_ppr(sf_dir):
+    """Personalized PageRank, 10 fixed iterations: teleport mass lands
+    only on the seed set (vid % PPR_SEED_MOD == 0) instead of uniformly.
+    Seed COUNT is computed distributed (per-batch unique combiner → tiny
+    distinct) because init_values needs the global count up front."""
+    from everythinggraph_ray.graph.kernels import PersonalizedPageRankKernel
+    from everythinggraph_ray.stages.edges import seed_vertex_count
+
+    n_seeds = seed_vertex_count(rel_edges(sf_dir), PPR_SEED_MOD)
+    df = _run_engine(
+        _rel_build(sf_dir), PersonalizedPageRankKernel(PPR_SEED_MOD, n_seeds), n_iters=10
+    )
+    df["ppr"] = np.round(df["ppr"].to_numpy(), 9)
+    return df[["vid", "ppr"]]
 
 
 def q_rel_pagerank(sf_dir):
@@ -1415,6 +1446,30 @@ def _pagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
 
 
+def _ppr10_sql() -> str:
+    """Personalized PageRank, 10 iterations: identical recursion to
+    _pagerank10_sql but teleport mass lands on the seed set
+    (vid % PPR_SEED_MOD == 0) weighted 1/n_seeds instead of uniformly."""
+    m = PPR_SEED_MOD
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src)",
+        f"ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts WHERE vid % {m} = 0)",
+        f"tele AS (SELECT vid, CASE WHEN vid % {m} = 0 THEN 1.0 / (SELECT n FROM ns) "
+        "ELSE CAST(0 AS DOUBLE) END AS t FROM verts)",
+        "r0 AS (SELECT vid, 0.15 * t AS r FROM tele)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"r{k} AS (SELECT tele.vid, 0.15 * tele.t + 0.85 * coalesce(s.contrib, 0) AS r "
+            f"FROM tele LEFT JOIN (SELECT e.dst AS vid, sum(p.r / deg.d) AS contrib "
+            f"FROM e JOIN r{k-1} p ON p.vid = e.src JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) s ON s.vid = tele.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 9) AS ppr FROM r10"
+
+
 ORACLES: dict[str, str] = {
     "rel_edges": SQL_REL_EDGES,
     "rel_degree": (
@@ -1431,6 +1486,13 @@ ORACLES: dict[str, str] = {
     "rel_pagerank10": _pagerank10_sql(),
     # pull cross-variant: same rule, same fixed-10 schedule, same rounding
     "rel_pagerank10_pull": _pagerank10_sql(),
+    "rel_ppr": _ppr10_sql(),
+    "rel_neighbor_sample": (
+        f"WITH e AS ({SQL_REL_EDGES}), de AS (SELECT DISTINCT src, dst FROM e), "
+        "h AS (SELECT src, dst, md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) AS hh FROM de), "
+        "r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY hh, dst) AS rnk FROM h) "
+        f"SELECT src, dst, rnk FROM r WHERE rnk <= {NEIGHBOR_SAMPLE_K}"
+    ),
     # pull frontier cross-variants share the push oracles verbatim (same
     # fixpoint by construction; cross-checked mode-by-mode in pytest) —
     # filled in below after the push entries are defined
@@ -1861,6 +1923,8 @@ QUERIES = {
     "rel_top_outdegree": q_rel_top_outdegree,
     "rel_pagerank10": q_rel_pagerank10,
     "rel_pagerank10_pull": q_rel_pagerank10_pull,
+    "rel_ppr": q_rel_ppr,
+    "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
     "rel_wcc_stats": q_rel_wcc_stats,

@@ -129,3 +129,62 @@ def out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
         partial, batch_format="pyarrow", batch_size=256 * 1024
     )
     return sum_by_key(partials, "vid", ["outdeg_partial"], out_names=["outdeg"])
+
+
+def seed_vertex_count(edges: ray.data.Dataset, mod: int) -> int:
+    """Global count of distinct vertices with vid % mod == 0 (the
+    personalized-PageRank seed rule). Per-batch unique shrinks each batch
+    to <= V/mod candidate rows before the distinct, so the shuffle moves
+    near-nothing."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"vid": pa.array([], pa.int64())})
+        v = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"vid": pa.array(v[v % mod == 0], pa.int64())})
+
+    return len(edges.map_batches(partial, batch_format="pyarrow").unique("vid"))
+
+
+def neighbor_sample(edges: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """GraphSAGE-style deterministic neighbor sampling: for each src keep
+    the ``k`` out-neighbors whose ``md5("{src}_{dst}")`` hex digest sorts
+    smallest (ties by dst asc) — a uniform-without-RNG sample whose
+    membership is reproducible across runs, resumes and cluster sizes,
+    the property an RNG draw lacks on a resumable 100 TB job. Input should
+    be deduplicated (``dedup_edges``) so "sample k neighbors" is
+    well-defined. Emits (src, dst, rnk) with 1-based hash-order rank.
+
+    Scale shape: the md5 column rides the edge batch; selection is
+    ``grouped_top_k`` (per-batch partial top-k combiner, so at most
+    k x |srcs-in-batch| rows reach the bucketed shuffle)."""
+    from everythinggraph_ray.stages.agg import grouped_top_k
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # per-row md5 is inherent to hash semantics (shared verbatim with
+        # the DuckDB oracle); numpy-free by necessity, like fingerprinting
+        import hashlib
+
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        h = [
+            hashlib.md5(f"{a}_{b}".encode("utf-8")).hexdigest()
+            for a, b in zip(s.tolist(), d.tolist())
+        ]
+        return batch.append_column("__h", pa.array(h, pa.string()))
+
+    sampled = grouped_top_k(
+        edges.select_columns(["src", "dst"]).map_batches(add_hash, batch_format="pyarrow"),
+        "src",
+        [("__h", True), ("dst", True)],
+        k,
+        rank_col="rnk",
+    )
+    return sampled.select_columns(["src", "dst", "rnk"])

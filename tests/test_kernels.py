@@ -55,6 +55,48 @@ def test_pagerank_fixed10_matches_reference_mode(engine, small_edges):
     np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-12)
 
 
+def test_ppr_matches_numpy_oracle(engine, small_edges):
+    from everythinggraph_ray.graph.kernels import PersonalizedPageRankKernel
+
+    sv, dv = small_edges
+    mod = 7  # url-hash vids: ~1/7 of vertices become seeds
+    verts = np.unique(np.concatenate([sv, dv]))
+    n_seeds = int((verts % mod == 0).sum())
+    assert n_seeds > 0
+    res = engine.run(PersonalizedPageRankKernel(mod, n_seeds), n_iters=10)
+    vids, pr = _vals(res, "ppr")
+    ovids, opr = O.ppr_oracle(sv, dv, mod, n_iters=10)
+    assert np.array_equal(vids, ovids)
+    np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-12)
+    # teleport mass is confined to seeds: non-seeds unreachable from any
+    # seed must hold exactly zero rank
+    seeds = set(verts[verts % mod == 0].tolist())
+    reach = set(seeds)
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in zip(sv.tolist(), dv.tolist()):
+        adj[a].append(b)
+    frontier = list(seeds)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in reach:
+                    reach.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    unreached_mask = np.array([v not in reach for v in vids.tolist()])
+    assert np.all(pr[unreached_mask] == 0.0)
+
+
+def test_ppr_rejects_empty_seed_set():
+    from everythinggraph_ray.graph.kernels import PersonalizedPageRankKernel
+
+    with pytest.raises(ValueError):
+        PersonalizedPageRankKernel(100, 0)
+
+
 def test_hub_split_is_partition_invariant(small_corpus, small_edges, tmp_path):
     """Skew axis: hub-split build (low threshold → many mirrors) must give
     bit-equal-to-tolerance ranks vs the oracle — partial aggregation over

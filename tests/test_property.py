@@ -102,3 +102,27 @@ def test_cli_smoke(tmp_path):
     back = ray.data.read_parquet(f"{out}/data").to_pandas().sort_values("vid")
     _, opr, _ = O.pagerank_oracle(sv, dv, n_iters=5)
     np.testing.assert_allclose(back["pagerank"].to_numpy(), opr, atol=1e-12)
+
+
+def test_cli_ppr_smoke(tmp_path):
+    import json
+
+    from everythinggraph_ray.cli import main
+    from everythinggraph_ray.sources.binary_edges import write_binary_edges
+
+    sv, dv = _rand_graph(11, n_v=100, n_e=400)
+    f = str(tmp_path / "e.bin")
+    write_binary_edges(_ds(sv, dv), f)
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "ppr", "--edges-bin", f, "--out", out, "--partitions", "3",
+            "--n-iters", "10", "--ppr-seed-mod", "7",
+        ]
+    )
+    assert rc == 0
+    m = json.load(open(f"{out}/metrics.json"))
+    assert m["iterations"] == 10
+    back = ray.data.read_parquet(f"{out}/data").to_pandas().sort_values("vid")
+    _, opr = O.ppr_oracle(sv, dv, 7, n_iters=10)
+    np.testing.assert_allclose(back["ppr"].to_numpy(), opr, atol=1e-12)

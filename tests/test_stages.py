@@ -53,6 +53,52 @@ def test_out_degrees_includes_dst_only_vertices():
     assert out["outdeg"].tolist() == [2, 1, 0, 0]
 
 
+def test_neighbor_sample_matches_serial_oracle():
+    import hashlib
+
+    import pandas as pd
+
+    from everythinggraph_ray.stages.edges import neighbor_sample
+
+    rng = np.random.default_rng(7)
+    sv = rng.integers(0, 12, 300)
+    dv = rng.integers(0, 40, 300)
+    k = 3
+    out = (
+        neighbor_sample(dedup_edges(_ds(sv, dv)), k)
+        .to_pandas()
+        .sort_values(["src", "rnk"])
+        .reset_index(drop=True)
+    )
+    # serial oracle: per src, k smallest by (md5("{src}_{dst}"), dst)
+    df = pd.DataFrame({"src": sv, "dst": dv}).drop_duplicates()
+    df["h"] = [
+        hashlib.md5(f"{a}_{b}".encode()).hexdigest() for a, b in zip(df["src"], df["dst"])
+    ]
+    df = df.sort_values(["src", "h", "dst"]).reset_index(drop=True)
+    df["rnk"] = df.groupby("src").cumcount() + 1
+    exp = df[df["rnk"] <= k][["src", "dst", "rnk"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), exp.astype("int64"), check_like=False
+    )
+    # determinism: a second distributed run returns the identical sample
+    out2 = (
+        neighbor_sample(dedup_edges(_ds(sv, dv)), k)
+        .to_pandas()
+        .sort_values(["src", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), out2.astype("int64"))
+
+
+def test_neighbor_sample_keeps_all_when_k_exceeds_degree():
+    from everythinggraph_ray.stages.edges import neighbor_sample
+
+    out = neighbor_sample(_ds([1, 1, 2], [5, 6, 7]), 10).to_pandas()
+    assert len(out) == 3
+    assert sorted(out[out["src"] == 1]["rnk"].tolist()) == [1, 2]
+
+
 def test_empty_and_degenerate_graphs(tmp_path):
     """Empty edge tables, self-loop-only and single-edge graphs must build
     and run without errors."""
