@@ -30,6 +30,7 @@ def _get_kernel(args):
         "ppr": lambda: K.PersonalizedPageRankKernel(
             args.ppr_seed_mod, args.ppr_n_seeds, damping=args.damping
         ),
+        "katz": lambda: K.KatzKernel(alpha=args.katz_alpha, beta=args.katz_beta),
         "wcc": lambda: K.WCCKernel(),
         "labelprop": lambda: K.LabelPropKernel(),
         "bfs": lambda: K.BFSKernel(args.root),
@@ -49,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
             "pagerank",
             "pagerank-pull",
             "ppr",
+            "katz",
             "wcc",
             "labelprop",
             "bfs",
@@ -60,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             "sssp-weighted-pull",
             "spmv",
             "triangles",
+            "kcore",
         ],
     )
     src = p.add_mutually_exclusive_group(required=True)
@@ -75,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--synthesize-weights", action="store_true", help="w = src%%10 + dst%%10 (CREATE_WEIGHT)")
     p.add_argument("--root", type=int, default=0, help="bfs/sssp root vid (the reference's -p)")
     p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--k", type=int, default=10, help="kcore: minimum in-core degree")
+    p.add_argument("--katz-alpha", type=float, default=0.01)
+    p.add_argument("--katz-beta", type=float, default=1.0)
     p.add_argument(
         "--ppr-seed-mod",
         type=int,
@@ -116,6 +122,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.kernel == "triangles":
         n = triangle_count(edges)
         print(json.dumps({"n_triangles": n}))
+        return 0
+
+    if args.kernel == "kcore":
+        import os
+
+        from everythinggraph_ray.graph.kcore import kcore
+
+        core, rounds = kcore(edges, args.k)
+        core.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "kcore", "k": args.k, "rounds": rounds, "out": args.out}))
         return 0
 
     auto_undirect = args.kernel in ("wcc", "labelprop") and not args.undirect

@@ -122,6 +122,30 @@ class PersonalizedPageRankKernel(PageRankKernel):
         return new, np.ones(len(old), dtype=bool), delta
 
 
+class KatzKernel(Kernel):
+    """Katz centrality, x[v] = beta + alpha * sum_{u->v} x[u] per
+    superstep (same gather-scatter as PageRank — pagerank_simple.c:31-36
+    machinery — WITHOUT the outdegree divide, so hub mass amplifies
+    through high-degree paths instead of splitting). x0 = beta. Run
+    fixed-iteration (the reference's -i mode); alpha must be < 1/lambda_max
+    for the open-ended mode to converge."""
+
+    name = "katz"
+    combine = "sum"
+
+    def __init__(self, alpha: float = 0.01, beta: float = 1.0):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+
+    def init_values(self, vids, outdeg, ctx):
+        return np.full(len(vids), self.beta, dtype=np.float64)
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = self.beta + self.alpha * agg
+        delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
+        return new, np.ones(len(old), dtype=bool), delta
+
+
 class WCCKernel(Kernel):
     """Symmetric min-label propagation (wcc.c:211-216): labels init to own
     vid; run on the UNDIRECTED edge table (build with undirect=True) which is

@@ -99,6 +99,26 @@ def ppr_oracle(
     return vids, prev
 
 
+def katz_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    alpha: float = 0.01,
+    beta: float = 1.0,
+    n_iters: int = 10,
+):
+    """Katz centrality serial oracle: x0 = beta; x_k = beta + alpha *
+    A^T x_{k-1} (no outdegree divide). Returns (vids, x float64)."""
+    vids, s, d = _index(src, dst)
+    n = len(vids)
+    prev = np.full(n, beta, dtype=np.float64)
+    for _ in range(n_iters):
+        agg = np.zeros(n, dtype=np.float64)
+        np.add.at(agg, d, prev[s])
+        prev = beta + alpha * agg
+    return vids, prev
+
+
 def wcc_oracle(src: np.ndarray, dst: np.ndarray, labels: np.ndarray | None = None):
     """Symmetric min-label propagation to fixpoint. Returns (vids, labels).
 

@@ -253,6 +253,31 @@ def q_rel_ppr(sf_dir):
     return df[["vid", "ppr"]]
 
 
+KCORE_K = 10
+
+
+def q_rel_kcore(sf_dir):
+    """k-core of the rel graph (k=10): vertices of the maximal subgraph
+    with simple-undirected degree >= 10, with their in-core degree.
+    Distributed peel (graph/kcore.py) — degree pass + two bucketed
+    semi-joins per round, driver holds only counts."""
+    from everythinggraph_ray.graph.kcore import kcore
+
+    core, _rounds = kcore(rel_edges(sf_dir), KCORE_K)
+    return core
+
+
+def q_rel_katz10(sf_dir):
+    """Katz centrality, 10 fixed iterations (alpha=0.01, beta=1): the
+    PageRank machinery without the outdegree divide — same engine, same
+    exchange, different apply (graph/kernels.py KatzKernel)."""
+    from everythinggraph_ray.graph.kernels import KatzKernel
+
+    df = _run_engine(_rel_build(sf_dir), KatzKernel(alpha=0.01, beta=1.0), n_iters=10)
+    df["katz"] = np.round(df["katz"].to_numpy(), 7)
+    return df[["vid", "katz"]]
+
+
 def q_rel_pagerank(sf_dir):
     """To-convergence PageRank (the north-rule mode). No SQL oracle
     (iteration count is data-dependent); matched vs the NumPy oracle in
@@ -1446,6 +1471,53 @@ def _pagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
 
 
+def _kcore_sql(k: int = KCORE_K, rounds: int = 8) -> str:
+    """Unrolled peel: round r keeps vertices whose degree in the
+    surviving simple undirected edge set is >= k. ``rounds`` must exceed
+    the data's true peel-round count (measured 3 at sf0.001, 1 at
+    sf0.01; extra rounds are no-ops at the fixpoint)."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and every round
+    # references the previous one three times (direct + two IN
+    # subqueries) — inlined, the unrolled chain re-expands the base scan
+    # 3^rounds times
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "u0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src <> dst "
+        "UNION SELECT dst AS u, src AS v FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT u AS vid FROM u{r-1} GROUP BY u HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT u, v FROM u{r-1} "
+            f"WHERE u IN (SELECT vid FROM k{r}) AND v IN (SELECT vid FROM k{r}))"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT u AS vid, CAST(count(*) AS BIGINT) AS deg FROM u{rounds} GROUP BY u"
+    )
+
+
+def _katz10_sql() -> str:
+    """Katz, 10 iterations: the PageRank recursion without the degree
+    divide. x0 = beta = 1; x_k = 1 + 0.01 * sum_{u->v} x_{k-1}[u]."""
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "r0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"r{k} AS (SELECT v.vid, 1.0 + 0.01 * coalesce(s.contrib, 0) AS r "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, sum(p.r) AS contrib "
+            f"FROM e JOIN r{k-1} p ON p.vid = e.src "
+            f"GROUP BY e.dst) s ON s.vid = v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS katz FROM r10"
+
+
 def _ppr10_sql() -> str:
     """Personalized PageRank, 10 iterations: identical recursion to
     _pagerank10_sql but teleport mass lands on the seed set
@@ -1487,6 +1559,8 @@ ORACLES: dict[str, str] = {
     # pull cross-variant: same rule, same fixed-10 schedule, same rounding
     "rel_pagerank10_pull": _pagerank10_sql(),
     "rel_ppr": _ppr10_sql(),
+    "rel_katz10": _katz10_sql(),
+    "rel_kcore": _kcore_sql(),
     "rel_neighbor_sample": (
         f"WITH e AS ({SQL_REL_EDGES}), de AS (SELECT DISTINCT src, dst FROM e), "
         "h AS (SELECT src, dst, md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) AS hh FROM de), "
@@ -1924,6 +1998,8 @@ QUERIES = {
     "rel_pagerank10": q_rel_pagerank10,
     "rel_pagerank10_pull": q_rel_pagerank10_pull,
     "rel_ppr": q_rel_ppr,
+    "rel_katz10": q_rel_katz10,
+    "rel_kcore": q_rel_kcore,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,

@@ -90,6 +90,43 @@ def test_ppr_matches_numpy_oracle(engine, small_edges):
     assert np.all(pr[unreached_mask] == 0.0)
 
 
+def test_katz_matches_numpy_oracle(engine, small_edges):
+    from everythinggraph_ray.graph.kernels import KatzKernel
+
+    sv, dv = small_edges
+    res = engine.run(KatzKernel(alpha=0.01, beta=1.0), n_iters=10)
+    vids, x = _vals(res, "katz")
+    ovids, ox = O.katz_oracle(sv, dv, alpha=0.01, beta=1.0, n_iters=10)
+    assert np.array_equal(vids, ovids)
+    np.testing.assert_allclose(x, ox, rtol=0, atol=1e-10)
+
+
+def test_kcore_matches_serial_peel():
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.kcore import kcore, kcore_serial
+
+    rng = np.random.default_rng(3)
+    sv = rng.integers(0, 60, 900)
+    dv = rng.integers(0, 60, 900)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+    )
+    for k in (3, 12, 25, 80):
+        core, rounds = kcore(ds, k)
+        got = {int(r["vid"]): int(r["deg"]) for r in core.take_all()}
+        exp = kcore_serial(sv, dv, k)
+        assert got == exp, (k, rounds)
+        assert rounds >= 1
+    # empty core (k above max degree) and k validation
+    core, _ = kcore(ds, 10_000)
+    assert core.count() == 0
+    with pytest.raises(ValueError):
+        kcore(ds, 0)
+
+
 def test_ppr_rejects_empty_seed_set():
     from everythinggraph_ray.graph.kernels import PersonalizedPageRankKernel
 
