@@ -33,6 +33,8 @@ OPS = [
     "langid",
     "fingerprint",
     "top-tokens",
+    "tfidf",
+    "inverted-index",
     "exact-dedup",
     "minhash-dedup",
     "simhash",
@@ -67,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-perm", type=int, default=64)
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--ngram", type=int, default=5, help="decontaminate n-gram size")
+    p.add_argument("--min-df", type=int, default=1, help="inverted-index: prune tokens with df < N")
     p.add_argument("--rate", type=float, default=0.1, help="sample keep rate (all strata)")
     p.add_argument("--strata-col", default="lang")
     p.add_argument("--bin-tokens", type=int, default=4096, help="pack bin capacity")
@@ -143,6 +146,12 @@ def _run(args) -> int:
             res = text.fingerprint(docs, tc)
         elif args.op == "top-tokens":
             res = text.top_tokens(docs, args.k, tc)
+        elif args.op == "tfidf":
+            res = text.tfidf_top_terms(
+                docs, docs.count(), k=args.k, text_col=tc, id_col=id_col
+            )
+        elif args.op == "inverted-index":
+            res = text.inverted_index(docs, text_col=tc, id_col=id_col, min_df=args.min_df)
         elif args.op == "exact-dedup":
             res = dedup.exact_duplicates(docs, tc)
         elif args.op == "minhash-dedup":

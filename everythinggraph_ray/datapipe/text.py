@@ -213,6 +213,110 @@ def top_tokens(docs: ray.data.Dataset, k: int = 50, text_col: str = "text") -> r
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(
+    docs: ray.data.Dataset,
+    n_docs: int,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-k characteristic terms per document by tf-idf
+    (score = tf * ln(N / df)) — the keyword-extraction / topic-labeling
+    step of corpus curation. Emits (doc_id, token, score, rnk); ranking
+    is on the UNROUNDED score with token-asc ties, score is rounded to
+    6 decimals in the output (the SQL oracle mirrors both).
+
+    Shape: per-batch per-doc term counts (one Counter per doc — regex
+    tokenization is inherently per-doc, same idiom as inverted_index),
+    document frequencies via one bucketed token reduce, df attached
+    back with the bucketed hash_join (token-keyed co-group — no
+    vocabulary broadcast, vocabularies are unbounded at corpus scale),
+    then grouped_top_k's partial combiner caps the final shuffle at
+    k rows per doc. ``n_docs`` is the global document count (callers
+    pass ds.count() — the one driver-side scalar)."""
+    from collections import Counter
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import bucketed_reduce, grouped_top_k
+
+    if n_docs < 1:
+        raise ValueError("tfidf_top_terms needs n_docs >= 1")
+    rx = re.compile(WORD_RE)
+
+    def emit_tf(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for i, t in zip(
+            batch[id_col].to_pylist(), pc.utf8_lower(batch[text_col]).to_pylist()
+        ):
+            cnt = Counter(rx.findall(t))
+            ids.extend([i] * len(cnt))
+            toks.extend(cnt.keys())
+            tfs.extend(cnt.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(emit_tf, batch_format="pyarrow")
+
+    # df = rows per token (tf rows are unique per (doc, token))
+    from hashlib import blake2b
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
+                for t in batch["token"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        d = g.to_pandas().groupby("token", as_index=False).size()
+        return pa.table(
+            {
+                "token": pa.array(d["token"], pa.string()),
+                "df": pa.array(d["size"], pa.int64()),
+            }
+        )
+
+    df = bucketed_reduce(tf.select_columns(["token"]), bucket_of, red)
+
+    scored = hash_join(tf, df, on="token", right_cols=["df"]).map_batches(
+        lambda t: t.append_column(
+            "score",
+            pa.array(
+                t["tf"].to_numpy(zero_copy_only=False)
+                * np.log(float(n_docs) / t["df"].to_numpy(zero_copy_only=False)),
+                pa.float64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_top_k(
+        scored, id_col, [("score", False), ("token", True)], k, rank_col="rnk"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "token": t["token"],
+                "score": pc.round(t["score"], ndigits=6),
+                "rnk": t["rnk"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
 def inverted_index(
     docs: ray.data.Dataset,
     *,

@@ -1278,6 +1278,18 @@ def q_docs_inverted_index(sf_dir):
     return inverted_index(_docs(sf_dir), min_df=2)
 
 
+def q_docs_tfidf(sf_dir):
+    """Top-3 tf-idf terms per document (datapipe/text.py
+    tfidf_top_terms): token-bucketed df reduce + bucketed token join +
+    grouped top-k — no vocabulary broadcast."""
+    from everythinggraph_ray.datapipe.text import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, docs.count(), k=3)
+
+
 def q_docs_shard_assign(sf_dir):
     """Deterministic global shuffle + output sharding: md5-hash shard +
     within-shard hash-order position (datapipe/curate.py shard_assign) —
@@ -1965,6 +1977,18 @@ ORACLES["docs_inverted_index"] = (
     r"string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
     r"FROM t GROUP BY token HAVING count(*) >= 2"
 )
+ORACLES["docs_tfidf"] = (
+    r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+    r"FROM documents), "
+    r"tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), "
+    r"df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+    r"n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents), "
+    r"s AS (SELECT tf.doc_id, tf.token, tf.tf * ln((SELECT nn FROM n) / df.df) AS score "
+    r"FROM tf JOIN df ON tf.token = df.token), "
+    r"r AS (SELECT doc_id, token, score, CAST(row_number() OVER "
+    r"(PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rnk FROM s) "
+    r"SELECT doc_id, token, round(score, 6) AS score, rnk FROM r WHERE rnk <= 3"
+)
 ORACLES["docs_shard_assign"] = (
     "WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), "
     "s AS (SELECT doc_id, hx, "
@@ -2059,6 +2083,7 @@ QUERIES = {
     "docs_mix_weights": q_docs_mix_weights,
     "events_purchase_window": q_events_purchase_window,
     "docs_inverted_index": q_docs_inverted_index,
+    "docs_tfidf": q_docs_tfidf,
     "docs_shard_assign": q_docs_shard_assign,
     "docs_len_quantiles": q_docs_len_quantiles,
     "orders_customer_join": q_orders_customer_join,

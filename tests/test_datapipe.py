@@ -544,3 +544,47 @@ def test_asof_join_duplicate_right_keys_deterministic():
         assert np.array_equal(np.isnan(g), np.isnan(w))
         assert np.array_equal(g[~np.isnan(g)], w[~np.isnan(w)])
     assert np.array_equal(outs[0], outs[1], equal_nan=True)
+
+
+def test_tfidf_top_terms_matches_serial():
+    import math
+    import re
+    from collections import Counter
+
+    from everythinggraph_ray.datapipe.text import WORD_RE, tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "apple date date date egg",
+        "cherry cherry cherry",
+        "fig",  # unique term: highest idf
+        "apple banana cherry date egg fig",
+    ]
+    ds = _docs_ds(texts)
+    n = len(texts)
+    out = (
+        tfidf_top_terms(ds, n, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    # serial oracle
+    rx = re.compile(WORD_RE)
+    tfs = [Counter(rx.findall(t.lower())) for t in texts]
+    dfc = Counter(tok for tf in tfs for tok in tf)
+    rows = []
+    for i, tf in enumerate(tfs):
+        scored = sorted(
+            ((tok, c * math.log(n / dfc[tok])) for tok, c in tf.items()),
+            key=lambda p: (-p[1], p[0]),
+        )[:2]
+        for r, (tok, s) in enumerate(scored, 1):
+            rows.append((i, tok, round(s, 6), r))
+    exp = pd.DataFrame(rows, columns=["doc_id", "token", "score", "rnk"])
+    pd.testing.assert_frame_equal(out, exp)
+    # n_docs validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        tfidf_top_terms(ds, 0)

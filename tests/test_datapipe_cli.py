@@ -71,3 +71,17 @@ def test_cli_arg_errors(tmp_path, capsys):
     assert main(["knn", "--docs", DOCS, "--out", str(tmp_path)]) == 2
     with pytest.raises(SystemExit):
         main(["not-an-op", "--docs", DOCS, "--out", str(tmp_path)])
+
+
+def test_cli_tfidf_and_inverted_index(tmp_path, capsys):
+    out = str(tmp_path / "tfidf")
+    info = _run(["tfidf", "--docs", DOCS, "--out", out, "--k", "2"], capsys)
+    assert info["rows"] == 1000  # 500 docs x 2 terms
+    back = ray.data.read_parquet(out).to_pandas()
+    assert set(back.columns) == {"doc_id", "token", "score", "rnk"}
+    assert back["rnk"].max() == 2
+
+    out2 = str(tmp_path / "inv")
+    info2 = _run(["inverted-index", "--docs", DOCS, "--out", out2, "--min-df", "3"], capsys)
+    back2 = ray.data.read_parquet(out2).to_pandas()
+    assert info2["rows"] == len(back2) and (back2["df"] >= 3).all()
