@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
             "spmv",
             "triangles",
             "kcore",
+            "hits",
         ],
     )
     src = p.add_mutually_exclusive_group(required=True)
@@ -192,6 +193,27 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "kernel": "pagerank-pull",
+                    "iterations": res["iterations"],
+                    "n_vertices": res["n_vertices"],
+                    "n_edges": res["n_edges"],
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.kernel == "hits":
+        from everythinggraph_ray.graph.hits import hits
+
+        if args.checkpoint_dir or args.checkpoint_every or args.resume:
+            p.error("hits is checkpoint-free; rerun fixed iterations instead")
+        build_graph(edges, bdir, num_partitions=args.partitions, partition_edges_by="dst")
+        res = hits(bdir, n_iters=args.n_iters or 10)
+        save_results(res, args.out)
+        print(
+            json.dumps(
+                {
+                    "kernel": "hits",
                     "iterations": res["iterations"],
                     "n_vertices": res["n_vertices"],
                     "n_edges": res["n_edges"],

@@ -278,6 +278,20 @@ def q_rel_katz10(sf_dir):
     return df[["vid", "katz"]]
 
 
+def q_rel_hits10(sf_dir):
+    """HITS hubs & authorities, 10 L2-normalized iterations over the
+    dst-partitioned build (graph/hits.py — auth phase is the pull
+    gather, hub phase reverse-routes local partials along the same need
+    lists; driver holds only the 2P norm partials)."""
+    from everythinggraph_ray.graph.hits import hits
+
+    res = hits(_rel_pull_build(sf_dir), n_iters=10)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    df["auth"] = np.round(df["auth"].to_numpy(), 7)
+    df["hub"] = np.round(df["hub"].to_numpy(), 7)
+    return df[["vid", "auth", "hub"]]
+
+
 def q_rel_pagerank(sf_dir):
     """To-convergence PageRank (the north-rule mode). No SQL oracle
     (iteration count is data-dependent); matched vs the NumPy oracle in
@@ -1483,6 +1497,43 @@ def _pagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
 
 
+def _hits10_sql() -> str:
+    """HITS, 10 iterations: auth_raw = sum of in-neighbor hub, L2
+    normalize, hub_raw = sum of out-neighbor (scaled) auth, L2
+    normalize. MATERIALIZED (each level is referenced twice — once by
+    the next raw step, once by its own norm scalar)."""
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "h0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.vid, coalesce(s.x, 0) AS x FROM verts v "
+            f"LEFT JOIN (SELECT e.dst AS vid, sum(h.x) AS x FROM e "
+            f"JOIN h{k-1} h ON h.vid = e.src GROUP BY e.dst) s ON s.vid = v.vid)"
+        )
+        ctes.append(f"na{k} AS (SELECT sqrt(sum(x*x)) AS n FROM ar{k})")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT vid, x / (SELECT n FROM na{k}) AS x FROM ar{k})"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.vid, coalesce(s.x, 0) AS x FROM verts v "
+            f"LEFT JOIN (SELECT e.src AS vid, sum(a.x) AS x FROM e "
+            f"JOIN a{k} a ON a.vid = e.dst GROUP BY e.src) s ON s.vid = v.vid)"
+        )
+        ctes.append(f"nh{k} AS (SELECT sqrt(sum(x*x)) AS n FROM hr{k})")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT vid, x / (SELECT n FROM nh{k}) AS x FROM hr{k})"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT a10.vid, round(a10.x, 7) AS auth, round(h10.x, 7) AS hub "
+        "FROM a10 JOIN h10 ON h10.vid = a10.vid"
+    )
+
+
 def _kcore_sql(k: int = KCORE_K, rounds: int = 8) -> str:
     """Unrolled peel: round r keeps vertices whose degree in the
     surviving simple undirected edge set is >= k. ``rounds`` must exceed
@@ -1573,6 +1624,7 @@ ORACLES: dict[str, str] = {
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
     "rel_kcore": _kcore_sql(),
+    "rel_hits10": _hits10_sql(),
     "rel_neighbor_sample": (
         f"WITH e AS ({SQL_REL_EDGES}), de AS (SELECT DISTINCT src, dst FROM e), "
         "h AS (SELECT src, dst, md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) AS hh FROM de), "
@@ -2024,6 +2076,7 @@ QUERIES = {
     "rel_ppr": q_rel_ppr,
     "rel_katz10": q_rel_katz10,
     "rel_kcore": q_rel_kcore,
+    "rel_hits10": q_rel_hits10,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,

@@ -101,6 +101,33 @@ def test_katz_matches_numpy_oracle(engine, small_edges):
     np.testing.assert_allclose(x, ox, rtol=0, atol=1e-10)
 
 
+def test_hits_matches_serial(tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.hits import hits, hits_serial
+
+    rng = np.random.default_rng(9)
+    sv = rng.integers(0, 200, 3000).astype(np.int64)
+    dv = rng.integers(0, 200, 3000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+    )
+    bdir = str(tmp_path / "hits_build")
+    build_graph(ds, bdir, num_partitions=4, partition_edges_by="dst")
+    res = hits(bdir, n_iters=10)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, oauth, ohub = hits_serial(sv, dv, n_iters=10)
+    assert np.array_equal(df["vid"].to_numpy(), ovids)
+    np.testing.assert_allclose(df["auth"].to_numpy(), oauth, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(df["hub"].to_numpy(), ohub, rtol=0, atol=1e-12)
+    # L2 norms of the final phases are 1 by construction
+    assert abs(np.dot(df["auth"], df["auth"]) - 1.0) < 1e-9
+    assert abs(np.dot(df["hub"], df["hub"]) - 1.0) < 1e-9
+
+
 def test_kcore_matches_serial_peel():
     import pyarrow as pa
 
