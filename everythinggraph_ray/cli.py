@@ -30,6 +30,7 @@ def _get_kernel(args):
         "ppr": lambda: K.PersonalizedPageRankKernel(
             args.ppr_seed_mod, args.ppr_n_seeds, damping=args.damping
         ),
+        "wpagerank": lambda: K.WeightedPageRankKernel(damping=args.damping),
         "katz": lambda: K.KatzKernel(alpha=args.katz_alpha, beta=args.katz_beta),
         "wcc": lambda: K.WCCKernel(),
         "labelprop": lambda: K.LabelPropKernel(),
@@ -50,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             "pagerank",
             "pagerank-pull",
             "ppr",
+            "wpagerank",
             "katz",
             "wcc",
             "labelprop",
@@ -142,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.synthesize_weights:
         edges = E.synthesize_weights(edges)
         weighted = True
-    if args.kernel in ("sssp-weighted", "sssp-weighted-pull") and not weighted:
+    if args.kernel in ("sssp-weighted", "sssp-weighted-pull", "wpagerank") and not weighted:
         edges = E.synthesize_weights(edges)
         weighted = True
 

@@ -35,6 +35,7 @@ OPS = [
     "top-tokens",
     "tfidf",
     "inverted-index",
+    "vocab-hll",
     "exact-dedup",
     "minhash-dedup",
     "simhash",
@@ -70,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--ngram", type=int, default=5, help="decontaminate n-gram size")
     p.add_argument("--min-df", type=int, default=1, help="inverted-index: prune tokens with df < N")
+    p.add_argument("--hll-p", type=int, default=12, help="vocab-hll: 2^p registers")
     p.add_argument("--rate", type=float, default=0.1, help="sample keep rate (all strata)")
     p.add_argument("--strata-col", default="lang")
     p.add_argument("--bin-tokens", type=int, default=4096, help="pack bin capacity")
@@ -152,6 +154,13 @@ def _run(args) -> int:
             )
         elif args.op == "inverted-index":
             res = text.inverted_index(docs, text_col=tc, id_col=id_col, min_df=args.min_df)
+        elif args.op == "vocab-hll":
+            import pandas as _pd
+
+            from everythinggraph_ray.datapipe.sketch import hll_distinct_tokens
+
+            r = hll_distinct_tokens(docs, text_col=tc, p=args.hll_p)
+            res = _pd.DataFrame([r])
         elif args.op == "exact-dedup":
             res = dedup.exact_duplicates(docs, tc)
         elif args.op == "minhash-dedup":

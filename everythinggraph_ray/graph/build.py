@@ -276,7 +276,15 @@ def build_graph(
     edges = edges.select_columns(cols).materialize()
 
     # --- vertex universe + out-degrees (one combiner groupby) -------------
-    verts = out_degrees(edges)  # (vid, outdeg)
+    if weighted:
+        # weighted builds also carry the per-src SUM of edge weights
+        # (woutdeg) — the divisor for weight-proportional kernels; must
+        # be the GLOBAL sum so hub mirrors see the true weighted degree
+        from everythinggraph_ray.stages.edges import weighted_out_degrees
+
+        verts = weighted_out_degrees(edges)  # (vid, outdeg, woutdeg)
+    else:
+        verts = out_degrees(edges)  # (vid, outdeg)
 
     def add_vpart(batch: pa.Table) -> pa.Table:
         v = batch["vid"].to_numpy(zero_copy_only=False)
@@ -294,6 +302,7 @@ def build_graph(
     # a dst-partitioned (pull) build has no mirrors: skip the hub scan AND
     # the auto-threshold edge count entirely instead of discarding them
     deg_stats = None
+    hub_woutdeg = np.array([], dtype=np.float64)
     if partition_edges_by == "dst":
         hub_threshold = 1 << 62 if hub_threshold is None else hub_threshold
         hub_vids = np.array([], dtype=np.int64)
@@ -328,6 +337,10 @@ def build_graph(
         if len(hub_tbl):
             hub_vids = np.sort(hub_tbl["vid"].to_numpy(dtype=np.int64))
             hub_outdeg = hub_tbl.set_index("vid").loc[hub_vids, "outdeg"].to_numpy(dtype=np.int64)
+            if weighted:
+                hub_woutdeg = (
+                    hub_tbl.set_index("vid").loc[hub_vids, "woutdeg"].to_numpy(dtype=np.float64)
+                )
         else:
             hub_vids = np.array([], dtype=np.int64)
             hub_outdeg = np.array([], dtype=np.int64)
@@ -350,6 +363,7 @@ def build_graph(
         "hub_threshold": int(hub_threshold),
         "hub_vids": [int(x) for x in hub_vids],
         "hub_outdeg": [int(x) for x in hub_outdeg],
+        "hub_woutdeg": [float(x) for x in hub_woutdeg],
         "edge_parts": {int(k): int(v) for k, v in em.items()},
         "vert_parts": {int(k): int(v) for k, v in vm.items()},
     }

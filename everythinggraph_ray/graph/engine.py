@@ -93,8 +93,10 @@ _LAYOUT_ATTRS = (
     "hub_src_idx", "hub_not_self", "hub_red_starts", "hub_dst_pos",
     "hub_dst_all_pos", "owned_hub_pos", "owned_hub_global_idx",
 )
-_LAYOUT_OPTIONAL = ("w_by_src", "hub_w")  # None when unweighted
-_LAYOUT_CACHE_VERSION = "1"
+_LAYOUT_OPTIONAL = (
+    "w_by_src", "hub_w", "owned_woutdeg", "src_woutdeg",
+)  # None when unweighted
+_LAYOUT_CACHE_VERSION = "2"  # v2: weighted out-degree arrays
 
 
 @ray.remote
@@ -138,6 +140,7 @@ class GraphPartition:
         hub_outdeg = np.asarray(meta.get("hub_outdeg", []), dtype=np.int64)
         self.hub_vids = hub_vids
         self.hub_outdeg = hub_outdeg
+        self.hub_woutdeg = np.asarray(meta.get("hub_woutdeg", []), dtype=np.float64)
 
         self._cache_path = os.path.join(
             build_dir, "edges", f"p={pid:05d}", f"layout-v{_LAYOUT_CACHE_VERSION}.npz"
@@ -154,11 +157,19 @@ class GraphPartition:
         if vt is None:
             self.owned_vids = np.empty(0, np.int64)
             self.owned_outdeg = np.empty(0, np.int64)
+            self.owned_woutdeg = (
+                np.empty(0, np.float64) if meta.get("weighted") else None
+            )
         else:
             ov = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             od = vt["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             o = np.argsort(ov)
             self.owned_vids, self.owned_outdeg = ov[o], od[o]
+            self.owned_woutdeg = (
+                vt["woutdeg"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)[o]
+                if "woutdeg" in vt.column_names
+                else None
+            )
 
         # ---- edges of this partition -------------------------------------
         et = _read_part_dir(os.path.join(build_dir, "edges", f"p={pid:05d}"), filesystem)
@@ -206,6 +217,11 @@ class GraphPartition:
         self.src_owned_idx = oi
         self.src_outdeg = (
             self.owned_outdeg[oi] if len(self.owned_vids) else np.empty(0, np.int64)
+        )
+        self.src_woutdeg = (
+            self.owned_woutdeg[oi]
+            if self.owned_woutdeg is not None and len(self.owned_vids)
+            else (np.empty(0, np.float64) if self.owned_woutdeg is not None else None)
         )
 
         # dst-grouping precompute for the all-active fast path: edges in
@@ -369,7 +385,15 @@ class GraphPartition:
         k = self.kernel
         src_vals = self.vals[self.src_owned_idx]
         src_act = self.active[self.src_owned_idx]
-        msgs = k.src_messages2(src_vals, self.src_outdeg, self.usrc)
+        if k.needs_weighted_outdeg:
+            if self.src_woutdeg is None:
+                raise ValueError(
+                    f"kernel '{k.name}' needs a weighted build "
+                    "(build_graph(..., weighted=True))"
+                )
+            msgs = k.src_messages_w(src_vals, self.src_outdeg, self.src_woutdeg)
+        else:
+            msgs = k.src_messages2(src_vals, self.src_outdeg, self.usrc)
 
         # direction adaptivity (the reference's push<->pull switch,
         # bfs_simple.c:191): min-semiring kernels may harmlessly RE-SEND
@@ -449,7 +473,10 @@ class GraphPartition:
 
         # receiver-side hub gather (the NUMA-mirror analogue)
         if n_hub and len(self.hub_src_idx):
-            hub_msgs = k.src_messages2(hub_vals, self.hub_outdeg, self.hub_vids)
+            if k.needs_weighted_outdeg:
+                hub_msgs = k.src_messages_w(hub_vals, self.hub_outdeg, self.hub_woutdeg)
+            else:
+                hub_msgs = k.src_messages2(hub_vals, self.hub_outdeg, self.hub_vids)
             if (not k.frontier or bool(hub_act.all())) and not k.skip_self_loops and not k.needs_weights:
                 v = hub_msgs[self.hub_src_idx]
                 red = np.add.reduceat if k.combine == "sum" else np.minimum.reduceat

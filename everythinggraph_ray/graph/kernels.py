@@ -59,6 +59,17 @@ class Kernel:
         kernels pack them into the message); defaults to src_messages."""
         return self.src_messages(vals, outdeg)
 
+    # set by kernels whose messages divide by the per-src SUM of edge
+    # weights (weight-proportional splitting); the engine then supplies
+    # the build's global woutdeg via src_messages_w and requires a
+    # weighted build
+    needs_weighted_outdeg = False
+
+    def src_messages_w(
+        self, vals: np.ndarray, outdeg: np.ndarray, woutdeg: np.ndarray
+    ) -> np.ndarray:
+        return self.src_messages(vals, outdeg)
+
     def edge_values(self, per_edge: np.ndarray, weights: np.ndarray | None) -> np.ndarray:
         return per_edge
 
@@ -120,6 +131,28 @@ class PersonalizedPageRankKernel(PageRankKernel):
         new = (1.0 - self.damping) * self._tele + self.damping * agg
         delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
         return new, np.ones(len(old), dtype=bool), delta
+
+
+class WeightedPageRankKernel(PageRankKernel):
+    """Weight-proportional PageRank: a src splits its rank over
+    out-edges proportionally to edge weight, rank[v] = (1-d)/N +
+    d * Σ_{u→v} prev[u] * w_uv / wdeg[u] where wdeg is the GLOBAL sum of
+    u's out-edge weights (carried in the weighted build's verts table —
+    a local sum would undercount mirror-split hubs). A src whose weights
+    all sum to 0 contributes nothing (message 0, matching the oracle's
+    wd > 0 filter). Same apply as PageRankKernel."""
+
+    name = "wpagerank"
+    needs_weights = True
+    needs_weighted_outdeg = True
+
+    def src_messages_w(self, vals, outdeg, woutdeg):
+        return np.divide(
+            vals, woutdeg, out=np.zeros_like(vals, dtype=np.float64), where=woutdeg > 0
+        )
+
+    def edge_values(self, per_edge, weights):
+        return per_edge * weights
 
 
 class KatzKernel(Kernel):

@@ -99,6 +99,32 @@ def ppr_oracle(
     return vids, prev
 
 
+def wpagerank_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    *,
+    damping: float = 0.85,
+    n_iters: int = 10,
+):
+    """Weighted PageRank serial oracle: rank splits over out-edges
+    proportionally to weight; zero-weight-sum srcs contribute nothing.
+    Returns (vids, ranks float64)."""
+    vids, s, d = _index(src, dst)
+    n = len(vids)
+    w = weight.astype(np.float64)
+    wdeg = np.zeros(n, dtype=np.float64)
+    np.add.at(wdeg, s, w)
+    prev = np.full(n, 0.15, dtype=np.float64)
+    const = (1.0 - damping) / n
+    for _ in range(n_iters):
+        msgs = np.divide(prev, wdeg, out=np.zeros_like(prev), where=wdeg > 0)
+        rank = np.zeros(n, dtype=np.float64)
+        np.add.at(rank, d, msgs[s] * w)
+        prev = const + damping * rank
+    return vids, prev
+
+
 def katz_oracle(
     src: np.ndarray,
     dst: np.ndarray,

@@ -107,6 +107,24 @@ def _rel_build(sf_dir: str, *, undirect: bool = False, P: int = 8) -> str:
     return bdir
 
 
+def _rel_weighted_build(sf_dir: str) -> str:
+    """Weighted (src%10+dst%10) src-partitioned build, shared by
+    sssp_weighted and wpagerank. Tag 'relw-wd': weighted builds carry
+    woutdeg since layout v2 — the bumped tag orphans pre-woutdeg
+    caches instead of tripping on them."""
+    from everythinggraph_ray.stages.edges import synthesize_weights
+
+    bdir = build_dir_for(f"relw-wd|{sf_dir}", 8)
+    build_graph(
+        synthesize_weights(rel_edges(sf_dir)),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+        weighted=True,
+    )
+    return bdir
+
+
 def _run_engine(bdir: str, kernel, **kw) -> pd.DataFrame:
     eng = GraphEngine(bdir)
     try:
@@ -278,6 +296,18 @@ def q_rel_katz10(sf_dir):
     return df[["vid", "katz"]]
 
 
+def q_rel_wpagerank10(sf_dir):
+    """Weighted PageRank, 10 fixed iterations: rank splits over
+    out-edges proportionally to the synthesized weight (w = src%10 +
+    dst%10), divisor = the build's global per-src weight sum
+    (graph/kernels.py WeightedPageRankKernel)."""
+    from everythinggraph_ray.graph.kernels import WeightedPageRankKernel
+
+    df = _run_engine(_rel_weighted_build(sf_dir), WeightedPageRankKernel(), n_iters=10)
+    df["wpagerank"] = np.round(df["wpagerank"].to_numpy(), 7)
+    return df[["vid", "wpagerank"]]
+
+
 def q_rel_hits10(sf_dir):
     """HITS hubs & authorities, 10 L2-normalized iterations over the
     dst-partitioned build (graph/hits.py — auth phase is the pull
@@ -425,18 +455,8 @@ def q_rel_sssp_weighted(sf_dir):
     (init_all.c:663-666: w = src%10 + dst%10); SQL oracle = bounded relax
     enumeration; also exact vs the NumPy oracle in tests."""
     from everythinggraph_ray.graph.kernels import SSSPWeightedKernel
-    from everythinggraph_ray.stages.edges import synthesize_weights
 
-    tag = f"relw|{sf_dir}"
-    bdir = build_dir_for(tag, 8)
-    build_graph(
-        synthesize_weights(rel_edges(sf_dir)),
-        bdir,
-        num_partitions=8,
-        hub_threshold=10**9,
-        weighted=True,
-    )
-    df = _run_engine(bdir, SSSPWeightedKernel(_rel_root(sf_dir)))
+    df = _run_engine(_rel_weighted_build(sf_dir), SSSPWeightedKernel(_rel_root(sf_dir)))
     out = df.rename(columns={"sssp_weighted": "dist"})[["vid", "dist"]]
     out["dist"] = np.round(out["dist"].to_numpy(), 6)
     return out
@@ -1304,6 +1324,26 @@ def q_docs_tfidf(sf_dir):
     return tfidf_top_terms(docs, docs.count(), k=3)
 
 
+def q_docs_vocab_hll(sf_dir):
+    """Approximate distinct-token count (HyperLogLog p=12,
+    datapipe/sketch.py): the vocabulary-sizing planning estimate. No SQL
+    oracle (blake2b register sketch isn't SQL-expressible); estimate is
+    deterministic and accuracy/merge-invariance are pytest-checked."""
+    from everythinggraph_ray.datapipe.sketch import hll_distinct_tokens
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    r = hll_distinct_tokens(docs)
+    return pa.table(
+        {
+            "estimate": pa.array([round(float(r["estimate"]), 3)], pa.float64()),
+            "registers": pa.array([int(r["registers"])], pa.int64()),
+            "p": pa.array([int(r["p"])], pa.int64()),
+        }
+    )
+
+
 def q_docs_shard_assign(sf_dir):
     """Deterministic global shuffle + output sharding: md5-hash shard +
     within-shard hash-order position (datapipe/curate.py shard_assign) —
@@ -1497,6 +1537,28 @@ def _pagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
 
 
+def _wpagerank10_sql() -> str:
+    """Weighted PageRank, 10 iterations: contribution per edge is
+    (prev / wdeg_src) * w — op order matches the kernel exactly; srcs
+    with wdeg = 0 are filtered (the kernel emits 0 for them)."""
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "ew AS (SELECT src, dst, CAST(src % 10 + dst % 10 AS DOUBLE) AS w FROM e)",
+        "wd AS (SELECT src AS vid, sum(w) AS wd FROM ew GROUP BY src)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"r{k} AS (SELECT v.vid, (SELECT 0.15/n FROM nv) + 0.85 * coalesce(s.contrib, 0) AS r "
+            f"FROM verts v LEFT JOIN (SELECT ew.dst AS vid, sum((p.r / wd.wd) * ew.w) AS contrib "
+            f"FROM ew JOIN r{k-1} p ON p.vid = ew.src JOIN wd ON wd.vid = ew.src "
+            f"WHERE wd.wd > 0 GROUP BY ew.dst) s ON s.vid = v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS wpagerank FROM r10"
+
+
 def _hits10_sql() -> str:
     """HITS, 10 iterations: auth_raw = sum of in-neighbor hub, L2
     normalize, hub_raw = sum of out-neighbor (scaled) auth, L2
@@ -1625,6 +1687,7 @@ ORACLES: dict[str, str] = {
     "rel_katz10": _katz10_sql(),
     "rel_kcore": _kcore_sql(),
     "rel_hits10": _hits10_sql(),
+    "rel_wpagerank10": _wpagerank10_sql(),
     "rel_neighbor_sample": (
         f"WITH e AS ({SQL_REL_EDGES}), de AS (SELECT DISTINCT src, dst FROM e), "
         "h AS (SELECT src, dst, md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) AS hh FROM de), "
@@ -2077,6 +2140,7 @@ QUERIES = {
     "rel_katz10": q_rel_katz10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,
+    "rel_wpagerank10": q_rel_wpagerank10,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
@@ -2137,6 +2201,7 @@ QUERIES = {
     "events_purchase_window": q_events_purchase_window,
     "docs_inverted_index": q_docs_inverted_index,
     "docs_tfidf": q_docs_tfidf,
+    "docs_vocab_hll": q_docs_vocab_hll,
     "docs_shard_assign": q_docs_shard_assign,
     "docs_len_quantiles": q_docs_len_quantiles,
     "orders_customer_join": q_orders_customer_join,

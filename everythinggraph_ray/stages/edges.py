@@ -131,6 +131,47 @@ def out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
     return sum_by_key(partials, "vid", ["outdeg_partial"], out_names=["outdeg"])
 
 
+def weighted_out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(vid, outdeg, woutdeg) — out_degrees plus the per-src SUM of edge
+    weights (0.0 for dst-only vertices), the divisor of weight-
+    proportional rank splitting. Same combiner + bucketed-sum shape as
+    out_degrees; GLOBAL per-vertex sums, so hub mirrors see the true
+    weighted degree (a local sum would undercount split hubs)."""
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        o = np.argsort(s, kind="stable")
+        ss, ws = s[o], w[o]
+        st = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]]) if len(ss) else np.empty(0, np.int64)
+        su = ss[st] if len(ss) else ss
+        sc = np.diff(np.r_[st, len(ss)]) if len(ss) else np.empty(0, np.int64)
+        sw = np.add.reduceat(ws, st) if len(st) else ws[:0]
+        du = np.unique(d)
+        vid = np.concatenate([su, du])
+        cnt = np.concatenate([sc.astype(np.int64), np.zeros(len(du), np.int64)])
+        wsum = np.concatenate([sw, np.zeros(len(du), np.float64)])
+        return pa.table(
+            {
+                "vid": pa.array(vid, pa.int64()),
+                "outdeg_partial": pa.array(cnt, pa.int64()),
+                "woutdeg_partial": pa.array(wsum, pa.float64()),
+            }
+        )
+
+    partials = edges.select_columns(["src", "dst", "weight"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=256 * 1024
+    )
+    return sum_by_key(
+        partials,
+        "vid",
+        ["outdeg_partial", "woutdeg_partial"],
+        out_names=["outdeg", "woutdeg"],
+    )
+
+
 def seed_vertex_count(edges: ray.data.Dataset, mod: int) -> int:
     """Global count of distinct vertices with vid % mod == 0 (the
     personalized-PageRank seed rule). Per-batch unique shrinks each batch

@@ -588,3 +588,38 @@ def test_tfidf_top_terms_matches_serial():
 
     with pytest.raises(ValueError):
         tfidf_top_terms(ds, 0)
+
+
+def test_hll_distinct_accuracy_and_determinism():
+    from everythinggraph_ray.datapipe.sketch import hll_distinct, hll_distinct_tokens
+
+    rng = np.random.default_rng(4)
+    true_n = 5000
+    vals = rng.permutation(np.arange(true_n).repeat(4))
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    est = hll_distinct(ds, "v")
+    assert abs(est["estimate"] - true_n) / true_n < 0.05
+    # merge-invariance: partitioning must not change the registers
+    est8 = hll_distinct(ds.repartition(8), "v")
+    assert est8["estimate"] == est["estimate"]
+    assert est8["registers"] == est["registers"]
+    # duplicates never move the estimate
+    dup = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.concatenate([vals, vals[:1000]]), pa.int64())})
+    )
+    assert hll_distinct(dup, "v")["estimate"] == est["estimate"]
+    # token estimator vs exact vocabulary on a small corpus
+    import re
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    texts = [f"tok{i} tok{i % 50} shared common" for i in range(400)]
+    docs = _docs_ds(texts)
+    exact = len({w for t in texts for w in re.findall(WORD_RE, t.lower())})
+    tok_est = hll_distinct_tokens(docs)
+    assert abs(tok_est["estimate"] - exact) / exact < 0.1
+    # p validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        hll_distinct(ds, "v", p=2)

@@ -85,3 +85,11 @@ def test_cli_tfidf_and_inverted_index(tmp_path, capsys):
     info2 = _run(["inverted-index", "--docs", DOCS, "--out", out2, "--min-df", "3"], capsys)
     back2 = ray.data.read_parquet(out2).to_pandas()
     assert info2["rows"] == len(back2) and (back2["df"] >= 3).all()
+
+
+def test_cli_vocab_hll(tmp_path, capsys):
+    out = str(tmp_path / "hll")
+    info = _run(["vocab-hll", "--docs", DOCS, "--out", out], capsys)
+    assert info["rows"] == 1
+    back = ray.data.read_parquet(out).to_pandas()
+    assert back["estimate"].iloc[0] > 0 and back["p"].iloc[0] == 12

@@ -101,6 +101,49 @@ def test_katz_matches_numpy_oracle(engine, small_edges):
     np.testing.assert_allclose(x, ox, rtol=0, atol=1e-10)
 
 
+def test_wpagerank_matches_oracle_with_hub_split(tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import WeightedPageRankKernel
+
+    rng = np.random.default_rng(13)
+    sv = rng.integers(0, 120, 4000).astype(np.int64)
+    # vertex 7 is a forced hub (degree >> threshold)
+    sv[:800] = 7
+    dv = rng.integers(0, 120, 4000).astype(np.int64)
+    wv = (sv % 10 + dv % 10).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(sv, pa.int64()),
+                "dst": pa.array(dv, pa.int64()),
+                "weight": pa.array(wv, pa.float64()),
+            }
+        )
+    )
+    bdir = str(tmp_path / "wpr_build")
+    build_graph(ds, bdir, num_partitions=4, weighted=True, hub_threshold=100)
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(WeightedPageRankKernel(), n_iters=10)
+    finally:
+        eng.shutdown()
+    vids, pr = _vals(res, "wpagerank")
+    ovids, opr = O.wpagerank_oracle(sv, dv, wv, n_iters=10)
+    assert np.array_equal(vids, ovids)
+    np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-12)
+
+
+def test_wpagerank_requires_weighted_build(engine):
+    from everythinggraph_ray.graph.kernels import WeightedPageRankKernel
+
+    with pytest.raises(Exception, match="weighted"):
+        engine.run(WeightedPageRankKernel(), n_iters=1)
+
+
 def test_hits_matches_serial(tmp_path):
     import pyarrow as pa
 
