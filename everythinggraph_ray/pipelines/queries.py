@@ -1324,6 +1324,73 @@ def q_docs_tfidf(sf_dir):
     return tfidf_top_terms(docs, docs.count(), k=3)
 
 
+def q_docs_above_median_len(sf_dir):
+    """Composed percentile-gate pipeline: per-language median length via
+    the distributed value-histogram quantile, then a broadcast-threshold
+    filter + per-lang count — the 'drop the short tail per language'
+    curation gate. The per-lang threshold table is #langs rows on the
+    driver (the mix_weights contract)."""
+    from everythinggraph_ray.stages.agg import grouped_quantiles, sum_by_key
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    lens = docs.map_batches(with_len, batch_format="pyarrow")
+    med = grouped_quantiles(lens, "len", [0.5], group_col="lang").to_pandas()
+    thr = dict(zip(med["lang"], med["p50"]))  # #langs rows by design
+
+    def count_above(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        ln = batch["len"].to_numpy(zero_copy_only=False)
+        t = np.fromiter((thr[x] for x in langs), dtype=np.int64, count=len(langs))
+        keep = ln >= t
+        if not keep.any():
+            return pa.table({"lang": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        import pandas as _pd
+
+        g = _pd.Series(1, index=_pd.Index([l for l, k in zip(langs, keep) if k])).groupby(level=0).sum()
+        return pa.table(
+            {"lang": pa.array(g.index.astype(str), pa.string()), "c": pa.array(g.to_numpy(np.int64), pa.int64())}
+        )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+    from hashlib import blake2b
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(str(x).encode(), digest_size=4).digest(), "little")
+                for x in batch["lang"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        d = g.to_pandas().groupby("lang", as_index=False)["c"].sum()
+        return pa.table(
+            {
+                "lang": pa.array(d["lang"], pa.string()),
+                "n_above": pa.array(d["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = bucketed_reduce(
+        lens.map_batches(count_above, batch_format="pyarrow"), bucket_of, red
+    ).to_pandas()
+    out = med.rename(columns={"p50": "median_len"}).merge(counts, on="lang")
+    return out.sort_values("lang").reset_index(drop=True)[["lang", "median_len", "n_above"]]
+
+
 def q_docs_vocab_hll(sf_dir):
     """Approximate distinct-token count (HyperLogLog p=12,
     datapipe/sketch.py): the vocabulary-sizing planning estimate. No SQL
@@ -2092,6 +2159,14 @@ ORACLES["docs_inverted_index"] = (
     r"string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
     r"FROM t GROUP BY token HAVING count(*) >= 2"
 )
+ORACLES["docs_above_median_len"] = (
+    "WITH l AS (SELECT lang, length(text) AS len FROM documents), "
+    "m AS (SELECT lang, CAST(quantile_disc(len, 0.5) AS BIGINT) AS median_len "
+    "FROM l GROUP BY lang) "
+    "SELECT m.lang, m.median_len, "
+    "CAST(count(*) FILTER (WHERE l.len >= m.median_len) AS BIGINT) AS n_above "
+    "FROM m JOIN l ON l.lang = m.lang GROUP BY m.lang, m.median_len"
+)
 ORACLES["docs_tfidf"] = (
     r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
     r"FROM documents), "
@@ -2202,6 +2277,7 @@ QUERIES = {
     "docs_inverted_index": q_docs_inverted_index,
     "docs_tfidf": q_docs_tfidf,
     "docs_vocab_hll": q_docs_vocab_hll,
+    "docs_above_median_len": q_docs_above_median_len,
     "docs_shard_assign": q_docs_shard_assign,
     "docs_len_quantiles": q_docs_len_quantiles,
     "orders_customer_join": q_orders_customer_join,

@@ -623,3 +623,30 @@ def test_hll_distinct_accuracy_and_determinism():
 
     with pytest.raises(ValueError):
         hll_distinct(ds, "v", p=2)
+
+
+def test_above_median_len_matches_pandas(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from everythinggraph_ray.pipelines.queries import q_docs_above_median_len
+
+    rng = np.random.default_rng(6)
+    langs = rng.choice(["en", "de", "fr"], 300)
+    texts = ["x" * int(n) for n in rng.integers(1, 400, 300)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"lang": pa.array(langs), "text": pa.array(texts)}),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = q_docs_above_median_len(d)
+    df = pd.DataFrame({"lang": langs, "len": [len(t) for t in texts]})
+    exp_rows = []
+    for lang, g in df.groupby("lang"):
+        v = np.sort(g["len"].to_numpy())
+        med = int(v[max(int(np.ceil(0.5 * len(v))), 1) - 1])  # quantile_disc
+        exp_rows.append((lang, med, int((g["len"] >= med).sum())))
+    exp = pd.DataFrame(exp_rows, columns=["lang", "median_len", "n_above"])
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
