@@ -225,10 +225,28 @@ def hash_join(
         return _key_hash(batch, on)
 
     def join(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        lf = df[df["__role"] == 0][left_cols]
-        rf = df[df["__role"] == 1][on + right_cols].dropna(subset=on)
+        # split by role in ARROW first: the role-tagged union holds nulls
+        # in the OTHER side's columns, and a whole-table to_pandas would
+        # coerce those int64 columns to float64 — silently corrupting
+        # values above 2^53 (e.g. 63-bit url-hash vids). Each side's own
+        # columns are null-free, so per-side conversion keeps exact int64.
+        role = g["__role"]
+        lf = g.filter(pc.equal(role, 0)).select(left_cols).to_pandas()
+        rf = (
+            g.filter(pc.equal(role, 1))
+            .select(list(dict.fromkeys(on + right_cols)))
+            .to_pandas()
+            .dropna(subset=on)
+        )
         if how in ("inner", "left"):
+            if how == "left":
+                # unmatched left rows put NA into right cols after the
+                # merge — pre-cast int64 right cols to pandas nullable
+                # Int64 so that NA doesn't float64-coerce (and corrupt)
+                # large matched values
+                for c in right_cols:
+                    if pa.types.is_integer(rschema.field(c).type):
+                        rf[c] = rf[c].astype("Int64")
             m = lf.merge(rf, on=on, how=how)
         else:
             keys = rf[on].drop_duplicates()

@@ -29,6 +29,7 @@ self-loops are normalized away here (degree counts DISTINCT neighbors).
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
@@ -80,6 +81,9 @@ def kcore(
         ).materialize()
     else:
         raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    if keep.count() == 0:  # keep a stable (vid, deg) schema when empty
+        empty = pa.table({"vid": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty), r
     return (
         keep.map_batches(
             lambda t: t.select(["vid", "outdeg"]).rename_columns(["vid", "deg"]),

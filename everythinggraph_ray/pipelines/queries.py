@@ -612,6 +612,37 @@ def q_web_top_per_domain(sf_dir):
     )
 
 
+def q_web_hits(sf_dir):
+    """HITS over the url web graph (rows-only: url-hash vids aren't
+    SQL-expressible; the HITS machinery itself is hash-checked via
+    rel_hits10 and oracle-tested in pytest)."""
+    from everythinggraph_ray.graph.hits import hits
+
+    corpus = _corpus_for(sf_dir)
+    bdir = build_dir_for(f"webpull|{corpus}", 8)
+    build_graph(
+        pages_to_edges(ray.data.read_parquet(corpus)),
+        bdir,
+        num_partitions=8,
+        partition_edges_by="dst",
+    )
+    res = hits(bdir, n_iters=10)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    df["auth"] = np.round(df["auth"].to_numpy(), 7)
+    df["hub"] = np.round(df["hub"].to_numpy(), 7)
+    return df[["vid", "auth", "hub"]]
+
+
+def q_web_kcore(sf_dir):
+    """k-core of the url web graph (k=3): the spam/leaf-tail filter on
+    the power-law link graph (rows-only; peel machinery hash-checked via
+    rel_kcore)."""
+    from everythinggraph_ray.graph.kcore import kcore
+
+    core, _rounds = kcore(pages_to_edges(ray.data.read_parquet(_corpus_for(sf_dir))), 3)
+    return core
+
+
 def q_web_wcc(sf_dir):
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"webund|{corpus}", 8)
@@ -2238,6 +2269,8 @@ QUERIES = {
     "web_pagerank": q_web_pagerank,
     "web_top10": q_web_top10,
     "web_wcc": q_web_wcc,
+    "web_hits": q_web_hits,
+    "web_kcore": q_web_kcore,
     "web_top_per_domain": q_web_top_per_domain,
     "web_curation": q_web_curation,
     "doc_stats": q_doc_stats,

@@ -558,3 +558,49 @@ def test_write_sharded_resume_and_readback(tmp_path):
     )
     want3 = {i for i in range(400) if int(hl.md5(str(i).encode()).hexdigest()[:8], 16) % 8 == 1}
     assert got3 == want3
+
+
+def test_hash_join_exact_at_63bit_keys():
+    """Regression: the bucketed join used to to_pandas the role-tagged
+    UNION, whose injected nulls float64-coerced int64 columns — silently
+    corrupting values above 2^53 (url-hash vids). All four modes must be
+    exact at 63-bit keys and 63-bit carried values."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(1 << 60, 1 << 62, 200).astype(np.int64)
+    left = pd.DataFrame(
+        {
+            "k": base,
+            "other": base + 1,  # non-key 63-bit column must survive intact
+            "lid": np.arange(200),
+        }
+    )
+    right = pd.DataFrame({"rk": base[::2], "val": base[::2] * 2 + 1})
+    kset = set(right["rk"])
+    semi = _run_hash_join(left, right, "semi", "k", "rk", [])
+    assert set(semi["k"]) == kset and set(semi["other"]) == {k + 1 for k in kset}
+    anti = _run_hash_join(left, right, "anti", "k", "rk", [])
+    assert set(anti["k"]) == set(base) - kset
+    inner = _run_hash_join(left, right, "inner", "k", "rk", ["val"])
+    assert set(inner["k"]) == kset
+    assert all(v == k * 2 + 1 for k, v in zip(inner["k"], inner["val"]))
+    # left join: unmatched rows put nulls in val, so check via ARROW —
+    # the operator emits exact int64+nulls; a driver-side to_pandas view
+    # of nullable int64 float-coerces by pandas' own semantics
+    import pyarrow as pa
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    ds = hash_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k",
+        right_on="rk",
+        right_cols=["val"],
+        how="left",
+        num_buckets=16,
+    )
+    t = pa.concat_tables(ray.get(ds.to_arrow_refs())).to_pydict()
+    assert t and pa.concat_tables(ray.get(ds.to_arrow_refs()))["val"].type == pa.int64()
+    assert set(t["k"]) == set(base)
+    assert all(v is None or v == k * 2 + 1 for k, v in zip(t["k"], t["val"]))
+    assert sum(v is not None for v in t["val"]) == len(kset)
