@@ -48,6 +48,7 @@ OPS = [
     "shard-assign",
     "pack",
     "chunk",
+    "kmeans",
     "knn",
     "knn-ivf",
     "knn-lsh",
@@ -100,6 +101,20 @@ def _run(args) -> int:
     import ray.data
 
     from everythinggraph_ray.datapipe import chunk, curate, dedup, knn, pack, text
+
+    if args.op == "kmeans":
+        if not args.embeddings:
+            print("error: kmeans needs --embeddings", file=sys.stderr)
+            return 2
+        from everythinggraph_ray.datapipe.cluster import emb_kmeans
+
+        emb = ray.data.read_parquet(args.embeddings)
+        res = emb_kmeans(
+            emb, n_clusters=args.n_centroids, id_col=args.id_col or "vec_id"
+        )["assignments"]
+        n = _write(res, args, args.id_col or "vec_id")
+        print(json.dumps({"op": "kmeans", "out": args.out, "rows": n}))
+        return 0
 
     if args.op in ("knn", "knn-ivf", "knn-lsh", "emb-near-dup"):
         if not args.embeddings:

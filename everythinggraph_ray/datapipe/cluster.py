@@ -1,0 +1,169 @@
+"""Embedding clustering: distributed spherical k-means (full Lloyd).
+
+knn.py's IVF trains on a bounded SAMPLE (enough for routing); this is
+the full-corpus refinement for when the clusters themselves are the
+product (topic buckets, dedup prefilters, curriculum tiers):
+
+    init:    deterministic sample k-means (the IVF recipe — vec_id-hash
+             subsample, seeded choice) on the driver;
+    iterate: each Lloyd step is ONE streaming pass — per batch, assign
+             rows to the nearest centroid (broadcast k×d matrix) and
+             emit <= k partial rows (cluster, count, sum-vector); the
+             driver reduces k×d floats, never rows;
+    output:  one final assignment pass → (vec_id, cluster) Dataset,
+             plus the centroid matrix.
+
+Driver state per iteration is k×(d+1) floats — the broadcast-side
+contract, independent of corpus size. Partial sums are reduced in
+arrival order, so centroid bits can differ across runs at ~1e-16; the
+ASSIGNMENT is stable whenever clusters are separated by more than that
+(tests use separated fixtures; ties were already init-dependent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from everythinggraph_ray.datapipe.knn import _normalize
+
+
+def emb_kmeans(
+    embeddings: ray.data.Dataset,
+    *,
+    n_clusters: int = 8,
+    n_iters: int = 10,
+    sample_cap: int = 4096,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Returns {"assignments": Dataset(vec_id, cluster), "centroids":
+    ndarray[k, d], "sizes": ndarray[k]}."""
+    from everythinggraph_ray.stages.agg import mix64
+
+    total = embeddings.count()
+    if total == 0:
+        return {
+            "assignments": ray.data.from_arrow(
+                pa.table({id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+            ),
+            "centroids": np.zeros((0, 0)),
+            "sizes": np.zeros(0, np.int64),
+        }
+    mod = max(1, total // sample_cap)
+
+    def grab_sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(mix64(ids) % np.uint64(mod) == 0))
+
+    # sort by id: Ray block order is scheduling-dependent (preserve_order
+    # defaults off), and the seeded init must see ONE canonical sample
+    # order to be deterministic across runs and cluster sizes
+    sm = (
+        embeddings.map_batches(grab_sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    X = _normalize(np.stack(sm[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
+    for _ in range(4):  # short sample warm-start
+        a = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = a == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-30)
+
+    k, d = cents.shape
+
+    def partials_fn(cref):
+        def partials(batch: pa.Table) -> pa.Table:
+            C = ray.get(cref)  # zero-copy from plasma, shared per node
+            V = _normalize(
+                np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            a = np.argmax(V @ C.T, axis=1).astype(np.int64)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                rows_c.append(int(c))
+                rows_n.append(int(m.sum()))
+                rows_s.append(V[m].sum(axis=0))
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_c, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "s": pa.array([x.tolist() for x in rows_s], pa.list_(pa.float64())),
+                }
+            )
+
+        return partials
+
+    sizes = np.zeros(k, np.int64)
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+        part = embeddings.map_batches(partials_fn(cref), batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, d), np.float64)
+        sizes = np.zeros(k, np.int64)
+        for c, n, s in zip(part["cluster"], part["n"], part["s"]):
+            sums[c] += np.asarray(s)
+            sizes[c] += n
+        nz = sizes > 0
+        newc = cents.copy()
+        newc[nz] = sums[nz] / np.maximum(
+            np.linalg.norm(sums[nz], axis=1, keepdims=True), 1e-30
+        )
+        cents = newc
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        V = _normalize(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(np.argmax(V @ C.T, axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return {
+        "assignments": embeddings.map_batches(assign, batch_format="pyarrow"),
+        "centroids": cents,
+        "sizes": sizes,
+    }
+
+
+def kmeans_serial(X: np.ndarray, ids: np.ndarray, *, n_clusters: int, n_iters: int, seed: int, sample_mask: np.ndarray):
+    """Serial oracle mirroring emb_kmeans: same sample warm-start, full
+    Lloyd steps. Returns (assignment per row of X, centroids)."""
+    Xn = _normalize(X.astype(np.float64))
+    o = np.argsort(ids[sample_mask])  # canonical id-sorted sample order
+    S = Xn[sample_mask][o]
+    rng = np.random.default_rng(seed)
+    cents = S[rng.choice(len(S), size=min(n_clusters, len(S)), replace=False)].copy()
+    for _ in range(4):
+        a = np.argmax(S @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = a == c
+            if m.any():
+                v = S[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-30)
+    for _ in range(n_iters):
+        a = np.argmax(Xn @ cents.T, axis=1)
+        newc = cents.copy()
+        for c in range(len(cents)):
+            m = a == c
+            if m.any():
+                v = Xn[m].sum(axis=0)
+                newc[c] = v / max(np.linalg.norm(v), 1e-30)
+        cents = newc
+    return np.argmax(Xn @ cents.T, axis=1), cents

@@ -391,6 +391,32 @@ def q_rel_sssp_maxdist(sf_dir):
     )
 
 
+def q_rel_diameter_est(sf_dir):
+    """Diameter lower bound by double-sweep BFS (the standard iFUB
+    seed): hop-BFS from the min vid on the UNDIRECTED graph, then a
+    second BFS from the farthest reached vertex (ties → min vid); its
+    eccentricity is the estimate. Two engine runs; only 3 scalars
+    surface."""
+    from everythinggraph_ray.graph.kernels import UNREACHED
+
+    bdir = _rel_build(sf_dir, undirect=True)
+    root = _rel_root(sf_dir)
+    d1 = _run_engine(bdir, SSSPHopsKernel(root))
+    reach = d1[d1["sssp_hops"] != UNREACHED]
+    far = int(
+        reach.sort_values(["sssp_hops", "vid"], ascending=[False, True]).iloc[0]["vid"]
+    )
+    d2 = _run_engine(bdir, SSSPHopsKernel(far))
+    reach2 = d2[d2["sssp_hops"] != UNREACHED]
+    return pa.table(
+        {
+            "start": pa.array([root], pa.int64()),
+            "far_vid": pa.array([far], pa.int64()),
+            "est_diameter": pa.array([int(reach2["sssp_hops"].max())], pa.int64()),
+        }
+    )
+
+
 def q_rel_labelprop_seeded(sf_dir):
     """Label propagation with REAL seeds (vids 0..9 carry negative labels
     -vid, which win every min-combine): exercises the seed-injection path
@@ -1422,6 +1448,18 @@ def q_docs_above_median_len(sf_dir):
     return out.sort_values("lang").reset_index(drop=True)[["lang", "median_len", "n_above"]]
 
 
+def q_emb_kmeans(sf_dir):
+    """Full-corpus spherical k-means over the embeddings table
+    (datapipe/cluster.py): each Lloyd step is one streaming pass whose
+    partials reduce to k×(d+1) driver floats. Rows-only (hash-seeded
+    init isn't SQL-expressible); exact-vs-serial in pytest."""
+    from everythinggraph_ray.datapipe.cluster import emb_kmeans
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = emb_kmeans(emb, n_clusters=8, n_iters=6)
+    return res["assignments"].to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def q_docs_vocab_hll(sf_dir):
     """Approximate distinct-token count (HyperLogLog p=12,
     datapipe/sketch.py): the vocabulary-sizing planning estimate. No SQL
@@ -1822,6 +1860,20 @@ ORACLES: dict[str, str] = {
         ", m AS (SELECT vid, min(d) AS d FROM r GROUP BY vid) "
         "SELECT CAST(max(d) AS BIGINT) AS max_dist, "
         "CAST(count(*) AS BIGINT) AS n_reached FROM m"
+    ),
+    "rel_diameter_est": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(undirect=True)
+        + ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r1(vid, d) AS (SELECT rv, CAST(0 AS BIGINT) FROM root UNION "
+        "SELECT und.v, r1.d + 1 FROM r1 JOIN und ON und.u = r1.vid WHERE r1.d < 64)"
+        ", m1 AS (SELECT vid, min(d) AS d FROM r1 GROUP BY vid)"
+        ", far AS (SELECT vid AS fv FROM m1 ORDER BY d DESC, vid LIMIT 1)"
+        ", r2(vid, d) AS (SELECT fv, CAST(0 AS BIGINT) FROM far UNION "
+        "SELECT und.v, r2.d + 1 FROM r2 JOIN und ON und.u = r2.vid WHERE r2.d < 64)"
+        ", m2 AS (SELECT vid, min(d) AS d FROM r2 GROUP BY vid) "
+        "SELECT (SELECT rv FROM root) AS start, (SELECT fv FROM far) AS far_vid, "
+        "CAST(max(d) AS BIGINT) AS est_diameter FROM m2"
     ),
     "rel_bfs": (
         "WITH RECURSIVE "
@@ -2252,6 +2304,7 @@ QUERIES = {
     "rel_wcc": q_rel_wcc,
     "rel_wcc_stats": q_rel_wcc_stats,
     "rel_sssp_maxdist": q_rel_sssp_maxdist,
+    "rel_diameter_est": q_rel_diameter_est,
     "rel_labelprop": q_rel_labelprop,
     "rel_labelprop_seeded": q_rel_labelprop_seeded,
     "rel_bfs": q_rel_bfs,
@@ -2311,6 +2364,7 @@ QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "docs_vocab_hll": q_docs_vocab_hll,
     "docs_above_median_len": q_docs_above_median_len,
+    "emb_kmeans": q_emb_kmeans,
     "docs_shard_assign": q_docs_shard_assign,
     "docs_len_quantiles": q_docs_len_quantiles,
     "orders_customer_join": q_orders_customer_join,

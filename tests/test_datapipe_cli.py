@@ -93,3 +93,11 @@ def test_cli_vocab_hll(tmp_path, capsys):
     assert info["rows"] == 1
     back = ray.data.read_parquet(out).to_pandas()
     assert back["estimate"].iloc[0] > 0 and back["p"].iloc[0] == 12
+
+
+def test_cli_kmeans(tmp_path, capsys):
+    out = str(tmp_path / "km")
+    info = _run(["kmeans", "--embeddings", EMB, "--out", out, "--n-centroids", "4"], capsys)
+    assert info["rows"] == 500
+    back = ray.data.read_parquet(out).to_pandas()
+    assert set(back.columns) == {"vec_id", "cluster"} and back["cluster"].nunique() <= 4

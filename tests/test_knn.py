@@ -133,3 +133,47 @@ def test_emb_near_dup_query_recovers_planted_pairs():
     for i in ids:
         assert (i, i + NEARDUP_ID_OFFSET) in pairs
     assert (out["cos"] > 0.99).all()
+
+
+def test_emb_kmeans_matches_serial():
+    import pandas as pd
+    import pyarrow as pa
+
+    from everythinggraph_ray.datapipe.cluster import emb_kmeans, kmeans_serial
+    from everythinggraph_ray.stages.agg import mix64
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 5  # well-separated blobs
+    X = np.concatenate([c + rng.normal(size=(200, 16)) * 0.2 for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    perm = rng.permutation(len(X))
+    X, ids = X[perm], ids[perm]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(6)
+    res = emb_kmeans(ds, n_clusters=4, n_iters=6, sample_cap=100)
+    got = res["assignments"].to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mod = max(1, len(X) // 100)
+    mask = mix64(ids) % np.uint64(mod) == 0
+    exp_a, exp_c = kmeans_serial(
+        X, ids, n_clusters=4, n_iters=6, seed=17, sample_mask=mask
+    )
+    exp = (
+        pd.DataFrame({"vec_id": ids, "cluster": exp_a})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got["cluster"].to_numpy() == exp["cluster"].to_numpy()).all()
+    np.testing.assert_allclose(res["centroids"], exp_c, rtol=0, atol=1e-9)
+    assert int(res["sizes"].sum()) == len(X)
+    # empty input keeps a stable schema
+    empty = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float64()))})
+    )
+    r0 = emb_kmeans(empty, n_clusters=4)
+    assert r0["assignments"].count() == 0
