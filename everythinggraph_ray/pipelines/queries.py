@@ -1260,8 +1260,8 @@ def q_docs_mixture_sample(sf_dir):
     )
     w = mix_weights(docs)  # #groups rows on the driver by design
     thresholds = {
-        (r["lang"], r["source"]): format(int(r["weight_u"]) * 16**8 // 10**6, "08x")
-        for _, r in w.iterrows()
+        (l, s): format(int(wu) * 16**8 // 10**6, "08x")
+        for l, s, wu in zip(w["lang"], w["source"], w["weight_u"])
     }
 
     def samp(batch: pa.Table) -> pa.Table:
