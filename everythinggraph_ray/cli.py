@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             "spmv",
             "triangles",
             "kcore",
+            "scc",
             "hits",
         ],
     )
@@ -135,6 +136,16 @@ def main(argv: list[str] | None = None) -> int:
         core, rounds = kcore(edges, args.k)
         core.write_parquet(os.path.join(args.out, "data"))
         print(json.dumps({"kernel": "kcore", "k": args.k, "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "scc":
+        import os
+
+        from everythinggraph_ray.graph.scc import scc
+
+        comps, rounds = scc(edges, num_partitions=args.partitions)
+        comps.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "scc", "rounds": rounds, "out": args.out}))
         return 0
 
     auto_undirect = args.kernel in ("wcc", "labelprop") and not args.undirect

@@ -285,6 +285,18 @@ def q_rel_kcore(sf_dir):
     return core
 
 
+def q_rel_scc(sf_dir):
+    """Strongly connected components of the DIRECTED rel graph: (vid,
+    scc) with scc = the component's min vid — the directed counterpart
+    of rel_wcc (the web bowtie decomposition). Distributed min-label
+    F/B peel (graph/scc.py): trim + forward/backward WCCKernel rounds,
+    bucketed semi-joins carry the shrinking edge set."""
+    from everythinggraph_ray.graph.scc import scc
+
+    comps, _rounds = scc(rel_edges(sf_dir))
+    return comps
+
+
 def q_rel_katz10(sf_dir):
     """Katz centrality, 10 fixed iterations (alpha=0.01, beta=1): the
     PageRank machinery without the outdegree divide — same engine, same
@@ -1841,6 +1853,20 @@ ORACLES: dict[str, str] = {
         "SELECT v.vid, m.c AS component FROM verts v "
         "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
     ),
+    # directed mutual reachability: scc(v) = min vid u with paths v->u
+    # and u->v (self included). Closure both ways over the deduped,
+    # self-loop-free edge set; the vertex universe keeps every endpoint.
+    "rel_scc": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(no_self=True)
+        + ", e3 AS (SELECT DISTINCT src, dst FROM e2)"
+        ", r(s, d) AS (SELECT src, dst FROM e3 UNION "
+        "SELECT r.s, e3.dst FROM r JOIN e3 ON e3.src = r.d)"
+        ", m AS (SELECT r1.s AS v, r1.d AS u FROM r r1 "
+        "JOIN r r2 ON r2.s = r1.d AND r2.d = r1.s) "
+        "SELECT v.vid, CAST(least(v.vid, coalesce(min(m.u), v.vid)) AS BIGINT) AS scc "
+        "FROM verts v LEFT JOIN m ON m.v = v.vid GROUP BY v.vid"
+    ),
     "rel_wcc_stats": (
         "WITH RECURSIVE "
         + _sql_graph_prelude(undirect=True)
@@ -2302,6 +2328,7 @@ QUERIES = {
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
+    "rel_scc": q_rel_scc,
     "rel_wcc_stats": q_rel_wcc_stats,
     "rel_sssp_maxdist": q_rel_sssp_maxdist,
     "rel_diameter_est": q_rel_diameter_est,

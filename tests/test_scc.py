@@ -1,0 +1,91 @@
+"""SCC (graph/scc.py) vs the serial Tarjan oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(src, dst):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(src, np.int64), pa.int64()),
+                "dst": pa.array(np.asarray(dst, np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+def _run(src, dst, **kw):
+    from everythinggraph_ray.graph.scc import scc
+
+    out, rounds = scc(_ds(src, dst), num_partitions=4, **kw)
+    return {int(r["vid"]): int(r["scc"]) for r in out.take_all()}, rounds
+
+
+def test_scc_random_matches_tarjan():
+    from everythinggraph_ray.graph.scc import scc_serial
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 40, 120)
+    dst = rng.integers(0, 40, 120)
+    got, _ = _run(src, dst)
+    assert got == scc_serial(src, dst)
+
+
+def test_scc_sparse_random_matches_tarjan():
+    # sparse: many small SCCs + DAG tendrils (exercises trim + multi-round)
+    from everythinggraph_ray.graph.scc import scc_serial
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 24, 30)
+    dst = rng.integers(0, 24, 30)
+    got, rounds = _run(src, dst)
+    assert got == scc_serial(src, dst)
+    assert rounds >= 1  # must exercise the F/B path, not just trim
+
+
+def test_scc_chain_is_all_singletons_via_trim():
+    # a pure DAG chain dissolves entirely in the iterated trim: zero F/B
+    # engine rounds, every vertex its own component
+    n = 12
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    got, rounds = _run(src, dst)
+    assert rounds == 0
+    assert got == {v: v for v in range(n)}
+
+
+def test_scc_two_cycles_linked_takes_two_rounds():
+    # cycle B {1,2,3} -> cycle A {10,11,12}: A's F label is polluted by
+    # 1 until B is assigned and removed, so A lands in round 2
+    src = [1, 2, 3, 10, 11, 12, 1]
+    dst = [2, 3, 1, 11, 12, 10, 10]
+    got, rounds = _run(src, dst)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    assert rounds == 2
+
+
+def test_scc_self_loop_only_vertex_is_singleton():
+    got, _ = _run([5, 0, 1], [5, 1, 0])
+    assert got == {5: 5, 0: 0, 1: 0}
+
+
+def test_scc_one_big_cycle():
+    n = 9
+    src = np.arange(n)
+    dst = (np.arange(n) + 1) % n
+    got, rounds = _run(src, dst)
+    assert got == {v: 0 for v in range(n)}
+    assert rounds == 1
+
+
+def test_scc_round_cap_raises():
+    # two independent 2-cycles assign in ONE round (both have F==B);
+    # force the cap with max_rounds=0 on a graph needing >=1 round
+    with pytest.raises(RuntimeError):
+        _run([0, 1], [1, 0], max_rounds=0)
