@@ -107,10 +107,12 @@ def _attach_degree(
 BROADCAST_V_THRESHOLD = 5_000_000  # deg-table rows; ~80 MB broadcast ceiling
 
 
-def triangle_count(
-    edges: ray.data.Dataset, *, broadcast_threshold: int = BROADCAST_V_THRESHOLD
-) -> int:
-    """Exact triangle count of the (deduped, undirected, loop-free) graph."""
+def _oriented_with_degrees(
+    edges: ray.data.Dataset, broadcast_threshold: int
+) -> tuple[ray.data.Dataset | None, ray.data.Dataset, bool]:
+    """Shared head of the triangle family: canonical undirected edges →
+    distributed degree table → degree-orientation. Returns ``(oriented,
+    deg, packed)``; ``oriented`` is None when the graph is empty."""
     und = _canonical_undirected(edges).materialize()
 
     # undirected degree table (distributed, never collected)
@@ -128,7 +130,7 @@ def triangle_count(
     ).materialize()
     n_v = deg.count()
     if n_v == 0:
-        return 0
+        return None, deg, True
 
     # cost-based degree attach (the broadcast-join-threshold rule): a
     # small vertex set rides along as one ray.put lookup (two shuffles
@@ -184,6 +186,16 @@ def triangle_count(
     # Arbitrary 63-bit vids (the web corpus) → exact two-column match via
     # per-bucket lexsort densification. Same counts either way (tested).
     packed = int(deg.max("vid")) < (1 << 31)
+    return oriented, deg, packed
+
+
+def triangle_count(
+    edges: ray.data.Dataset, *, broadcast_threshold: int = BROADCAST_V_THRESHOLD
+) -> int:
+    """Exact triangle count of the (deduped, undirected, loop-free) graph."""
+    oriented, deg, packed = _oriented_with_degrees(edges, broadcast_threshold)
+    if oriented is None:
+        return 0
 
     # ---- wedges: orientation-ordered pairs within each N+(u) -------------
     def wedge_bucket(batch: pa.Table) -> np.ndarray:
@@ -327,3 +339,162 @@ def triangle_count(
     per_bucket = bucketed_reduce(tagged, close_bucket, count_matches)
     total = per_bucket.sum("tri")
     return int(total) if total is not None else 0
+
+
+def local_clustering(
+    edges: ray.data.Dataset, *, broadcast_threshold: int = BROADCAST_V_THRESHOLD
+) -> ray.data.Dataset:
+    """Per-vertex triangle counts + local clustering coefficient over the
+    simple undirected graph: one row per vertex with degree >= 1 —
+    (vid, deg, tri, lcc) where lcc = tri / (deg·(deg−1)/2) (0.0 for
+    deg 1). Same wedge/close machinery as ``triangle_count`` but each
+    wedge KEEPS its center u, and every closed wedge credits all three
+    corners — so the close shuffle carries raw (distinct) wedges instead
+    of (pair, multiplicity) combines: per-vertex attribution is the
+    output granularity, the multiplicities can't be pre-merged. Credits
+    flow through one bucketed sum; the degree join is the same
+    role-tagged co-group as everything else."""
+    oriented, deg, packed = _oriented_with_degrees(edges, broadcast_threshold)
+    empty = pa.table(
+        {
+            "vid": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+            "tri": pa.array([], pa.int64()),
+            "lcc": pa.array([], pa.float64()),
+        }
+    )
+    if oriented is None:
+        return ray.data.from_arrow(empty)
+
+    def wedge_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["u"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    # wedge rows (a, b, center); distinct by construction within one u
+    def make_wedges(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        dv = g["dv"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, dv, u))
+        u, v = u[o], v[o]
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(u) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(u)] if len(st) else st
+        a_out, b_out, c_out = [], [], []
+        for s, e in zip(st, ends):
+            nb = v[s:e]
+            if len(nb) >= 2:
+                i, j = np.triu_indices(len(nb), k=1)
+                a_out.append(nb[i])
+                b_out.append(nb[j])
+                c_out.append(np.full(len(i), u[s], np.int64))
+        if not a_out:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "ctr": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out), pa.int64()),
+                "b": pa.array(np.concatenate(b_out), pa.int64()),
+                "ctr": pa.array(np.concatenate(c_out), pa.int64()),
+            }
+        )
+
+    wedges = bucketed_reduce(oriented, wedge_bucket, make_wedges)
+
+    # edge rows carry ctr = -1 (vids are non-negative)
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["u"],
+                "b": batch["v"],
+                "ctr": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = wedges.union(
+        oriented.select_columns(["u", "v"]).map_batches(tag_edges, batch_format="pyarrow")
+    )
+
+    def close_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+
+    # per bucket: wedges whose (a, b) is an edge are triangles {ctr, a, b};
+    # emit one +1 credit per corner (partial-summed within the bucket)
+    def credit_matches(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        ctr = g["ctr"].to_numpy(zero_copy_only=False)
+        if not len(a):
+            return pa.table({"vid": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        gid_sorted = np.r_[0, np.cumsum((sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]))]
+        ids = np.empty(len(a), np.int64)
+        ids[order] = gid_sorted
+        edge_mask = ctr < 0
+        is_edge = np.zeros(int(gid_sorted[-1]) + 1, dtype=bool)
+        is_edge[ids[edge_mask]] = True
+        hit = (~edge_mask) & is_edge[ids]
+        if not hit.any():
+            return pa.table({"vid": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        corners = np.concatenate([ctr[hit], a[hit], b[hit]])
+        vid, cnt = np.unique(corners, return_counts=True)
+        return pa.table({"vid": pa.array(vid, pa.int64()), "c": pa.array(cnt, pa.int64())})
+
+    credits = bucketed_reduce(tagged, close_bucket, credit_matches)
+
+    # join tri credits onto the degree table: role-tagged union + one
+    # bucketed sum (deg rows carry tri=0, credit rows deg=0)
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch["vid"],
+                "d": batch["deg"],
+                "t": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def credit_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch["vid"],
+                "d": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                "t": batch["c"],
+            }
+        )
+
+    both = sum_by_key(
+        deg.map_batches(deg_rows, batch_format="pyarrow").union(
+            credits.map_batches(credit_rows, batch_format="pyarrow")
+        ),
+        "vid",
+        ["d", "t"],
+        out_names=["deg", "tri"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        t = batch["tri"].to_numpy(zero_copy_only=False)
+        wedges_v = d * (d - 1) // 2
+        lcc = np.divide(
+            t.astype(np.float64),
+            wedges_v.astype(np.float64),
+            out=np.zeros(len(d), np.float64),
+            where=wedges_v > 0,
+        )
+        return pa.table(
+            {
+                "vid": batch["vid"],
+                "deg": batch["deg"],
+                "tri": batch["tri"],
+                "lcc": pa.array(lcc, pa.float64()),
+            }
+        )
+
+    return both.map_batches(finish, batch_format="pyarrow")

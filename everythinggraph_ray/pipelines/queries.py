@@ -474,6 +474,18 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_rel_lcc(sf_dir):
+    """Per-vertex triangle counts + local clustering coefficient on the
+    simple undirected rel graph: (vid, deg, tri, lcc). Same wedge/close
+    shuffle as rel_triangles but wedges keep their center and every
+    closed wedge credits all three corners (graph/triangles.py
+    local_clustering). lcc = tri / (deg·(deg−1)/2) — ONE int64÷int64
+    IEEE division on both sides, so the driver hash is exact."""
+    from everythinggraph_ray.graph.triangles import local_clustering
+
+    return local_clustering(rel_edges(sf_dir))
+
+
 def q_rel_spmv_edgecentric(sf_dir):
     """Reference edge-centric SpMV asymmetry (spmv.c:130-136): y[u] =
     sum_{u->v} x[v] without the 0.001 factor — run on the REVERSED edge
@@ -2007,6 +2019,24 @@ ORACLES: dict[str, str] = {
         "SELECT count(*) AS n_triangles FROM und a "
         "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v"
     ),
+    # per-vertex triangles: each x<y<z triangle credits its 3 corners;
+    # lcc = tri / (deg*(deg-1)//2) is one int/int IEEE division (exact
+    # on both sides — no rounding needed)
+    "rel_lcc": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e "
+        "WHERE src <> dst), "
+        "deg AS (SELECT v AS vid, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY v), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1 "
+        "JOIN ed e2 ON e2.a = e1.b JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "cr AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+        "tc AS (SELECT vid, CAST(count(*) AS BIGINT) AS tri FROM cr GROUP BY vid) "
+        "SELECT d.vid, d.deg, coalesce(t.tri, 0) AS tri, "
+        "CASE WHEN d.deg > 1 THEN CAST(coalesce(t.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1) // 2) "
+        "ELSE 0.0 END AS lcc "
+        "FROM deg d LEFT JOIN tc t ON t.vid = d.vid"
+    ),
     "doc_stats": (
         r"SELECT doc_id, length(text) AS n_chars_calc, "
         r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
@@ -2344,6 +2374,7 @@ QUERIES = {
     "rel_spmv_edgecentric": q_rel_spmv_edgecentric,
     "rel_sssp_weighted": q_rel_sssp_weighted,
     "rel_triangles": q_rel_triangles,
+    "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,
     "web_edges": q_web_edges,
     "web_pagerank": q_web_pagerank,

@@ -39,6 +39,64 @@ def test_web_corpus_triangles(small_edges):
     assert got == want
 
 
+def _lcc_brute(sv, dv):
+    from itertools import combinations
+
+    und = {(min(a, b), max(a, b)) for a, b in zip(sv.tolist(), dv.tolist()) if a != b}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for v, ns in nbrs.items():
+        t = sum(1 for x, y in combinations(sorted(ns), 2) if (x, y) in und)
+        d = len(ns)
+        w = d * (d - 1) // 2
+        want[int(v)] = (d, t, (t / w if w else 0.0))
+    return want
+
+
+def test_local_clustering_matches_bruteforce():
+    from everythinggraph_ray.graph.triangles import local_clustering
+
+    rng = np.random.default_rng(5)
+    sv = rng.integers(0, 25, 120)
+    dv = rng.integers(0, 25, 120)
+    got = {
+        int(r["vid"]): (int(r["deg"]), int(r["tri"]), float(r["lcc"]))
+        for r in local_clustering(_edges_ds(sv, dv)).take_all()
+    }
+    assert got == _lcc_brute(sv, dv)
+
+
+def test_local_clustering_consistent_with_global_count():
+    # sum(tri) over vertices == 3 * triangle_count, and the partitioned
+    # degree attach (broadcast_threshold=0) agrees with the broadcast path
+    from everythinggraph_ray.graph.triangles import local_clustering
+
+    rng = np.random.default_rng(12)
+    sv = rng.integers(0, 80, 600)
+    dv = rng.integers(0, 80, 600)
+    lcc = local_clustering(_edges_ds(sv, dv)).take_all()
+    total = sum(r["tri"] for r in lcc)
+    assert total == 3 * triangle_count(_edges_ds(sv, dv)) > 0
+    part = local_clustering(_edges_ds(sv, dv), broadcast_threshold=0).take_all()
+    assert sorted((r["vid"], r["deg"], r["tri"], r["lcc"]) for r in part) == sorted(
+        (r["vid"], r["deg"], r["tri"], r["lcc"]) for r in lcc
+    )
+
+
+def test_local_clustering_empty():
+    import pyarrow as pa
+
+    from everythinggraph_ray.graph.triangles import local_clustering
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert local_clustering(empty).count() == 0
+
+
 def test_triangles_63bit_vids_and_partitioned_attach():
     """The general path: 63-bit vids (two-column close match) with the
     partitioned degree attach (broadcast_threshold=0) must count exactly
