@@ -35,6 +35,9 @@ def _get_kernel(args):
         "wcc": lambda: K.WCCKernel(),
         "labelprop": lambda: K.LabelPropKernel(),
         "bfs": lambda: K.BFSKernel(args.root),
+        "msbfs": lambda: K.MultiSourceBFSKernel(
+            [int(s) for s in args.sources.split(",")] if args.sources else [args.root]
+        ),
         "sssp": lambda: K.SSSPHopsKernel(args.root),
         "sssp-parent": lambda: K.ParentSSSPHopsKernel(args.root),
         "sssp-weighted": lambda: K.SSSPWeightedKernel(args.root),
@@ -57,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
             "labelprop",
             "bfs",
             "bfs-pull",
+            "msbfs",
             "sssp",
             "sssp-pull",
             "sssp-parent",
@@ -81,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--synthesize-weights", action="store_true", help="w = src%%10 + dst%%10 (CREATE_WEIGHT)")
     p.add_argument("--root", type=int, default=0, help="bfs/sssp root vid (the reference's -p)")
+    p.add_argument(
+        "--sources",
+        default=None,
+        help="msbfs: comma-separated source vids (<= 63; default: --root alone)",
+    )
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--k", type=int, default=10, help="kcore: minimum in-core degree")
     p.add_argument("--katz-alpha", type=float, default=0.01)

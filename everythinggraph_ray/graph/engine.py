@@ -70,6 +70,19 @@ from everythinggraph_ray.state.fs import (
 )
 
 
+# combine semirings the scatter/apply machinery supports: the reference's
+# atomic write_add / writeMin (pagerank_simple.c:31-36, wcc.c:21-27) plus
+# bitwise OR for bit-parallel frontier kernels (MS-BFS masks — idempotent
+# and monotone like min, so resend-safe kernels may use it)
+_COMBINE_UFUNC = {"sum": np.add, "min": np.minimum, "or": np.bitwise_or}
+
+
+def _combine_identity(combine: str, dtype) -> float | int:
+    if combine == "min":
+        return np.inf if dtype == np.float64 else np.iinfo(np.int64).max
+    return 0  # sum / or
+
+
 def _read_part_dir(path: str, filesystem=None) -> pa.Table | None:
     """Read one partition dir through its manifest (build.py publishes one
     listing only successful-attempt chunk files; orphans from retried
@@ -407,12 +420,10 @@ class GraphPartition:
                 np.ones(len(src_act), dtype=bool) if m is None else (m | src_act)
             )
         all_active = (not k.frontier) or bool(send_from.all())
+        uf = _COMBINE_UFUNC[k.combine]
         if all_active and not k.skip_self_loops and not k.needs_weights:
             v = msgs[self.src_idx_dst_sorted]
-            if k.combine == "sum":
-                agg = np.add.reduceat(v, self.red_starts) if len(self.red_starts) else v[:0]
-            else:
-                agg = np.minimum.reduceat(v, self.red_starts) if len(self.red_starts) else v[:0]
+            agg = uf.reduceat(v, self.red_starts) if len(self.red_starts) else v[:0]
             return self.uniq_packed, agg[self.pack_perm], self.pack_offsets
         per_edge = np.repeat(msgs, self.out_counts)
         if k.needs_weights:
@@ -427,7 +438,7 @@ class GraphPartition:
             d, v = d[o], v[o]
             st = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
             uniq = d[st]
-            agg = np.add.reduceat(v, st) if k.combine == "sum" else np.minimum.reduceat(v, st)
+            agg = uf.reduceat(v, st)
         else:
             uniq = np.empty(0, np.int64)
             agg = v[:0]
@@ -441,14 +452,9 @@ class GraphPartition:
         the receiver-side hub gather, then kernel.apply."""
         k = self.kernel
         n_hub = len(self.hub_vids)
-        agg_full = (
-            np.zeros(len(self.owned_vids), dtype=k.dtype)
-            if k.combine == "sum"
-            else np.full(
-                len(self.owned_vids),
-                np.inf if k.dtype == np.float64 else np.iinfo(np.int64).max,
-                dtype=k.dtype,
-            )
+        uf = _COMBINE_UFUNC[k.combine]
+        agg_full = np.full(
+            len(self.owned_vids), _combine_identity(k.combine, k.dtype), dtype=k.dtype
         )
         has_msg = np.zeros(len(self.owned_vids), dtype=bool)
         n_msgs = 0
@@ -460,10 +466,9 @@ class GraphPartition:
             if hi > lo:
                 dvid, dval = uniq[lo:hi], agg[lo:hi]
                 pos = np.searchsorted(self.owned_vids, dvid)
-                if k.combine == "sum":
-                    agg_full[pos] += dval
-                else:
-                    np.minimum.at(agg_full, pos, dval)
+                # dsts are unique within one sender's pre-aggregated slice,
+                # so the fancy-indexed combine is exact (and vectorized)
+                agg_full[pos] = uf(agg_full[pos], dval)
                 has_msg[pos] = True
                 n_msgs += hi - lo
             if hub_snap is not None:
@@ -479,12 +484,9 @@ class GraphPartition:
                 hub_msgs = k.src_messages2(hub_vals, self.hub_outdeg, self.hub_vids)
             if (not k.frontier or bool(hub_act.all())) and not k.skip_self_loops and not k.needs_weights:
                 v = hub_msgs[self.hub_src_idx]
-                red = np.add.reduceat if k.combine == "sum" else np.minimum.reduceat
-                h_agg = red(v, self.hub_red_starts)
-                if k.combine == "sum":
-                    agg_full[self.hub_dst_pos] += h_agg
-                else:
-                    np.minimum.at(agg_full, self.hub_dst_pos, h_agg)
+                h_agg = uf.reduceat(v, self.hub_red_starts)
+                # hub_dst_pos entries are unique (one per distinct dst)
+                agg_full[self.hub_dst_pos] = uf(agg_full[self.hub_dst_pos], h_agg)
                 has_msg[self.hub_dst_pos] = True
                 n_msgs += len(self.hub_src_idx)
             else:
@@ -497,17 +499,19 @@ class GraphPartition:
                 if emask.any():
                     pos = self.hub_dst_all_pos[emask]
                     v = per_edge[emask]
-                    if k.combine == "sum":
-                        np.add.at(agg_full, pos, v)
-                    else:
-                        np.minimum.at(agg_full, pos, v)
+                    uf.at(agg_full, pos, v)  # pos has duplicates: ufunc.at
                     has_msg[pos] = True
                     n_msgs += int(emask.sum())
 
-        new, changed, delta = k.apply(self.vals, agg_full, has_msg, self.ctx)
+        old = self.vals
+        new, changed, delta = k.apply(old, agg_full, has_msg, self.ctx)
         self.vals = new
         self.active = changed if k.frontier else np.ones(len(self.owned_vids), dtype=bool)
-        return float(delta), int(changed.sum()), int(n_msgs)
+        # optional per-superstep kernel aggregate (e.g. MS-BFS per-source
+        # newly-reached counts) — a SMALL fixed-size vector per partition,
+        # summed by the driver into the superstep's metrics entry
+        extra = k.extra_stats(old, new, changed, self.ctx) if k.has_extra_stats else None
+        return float(delta), int(changed.sum()), int(n_msgs), extra
 
     # ------------------------------------------------------------------
     def step(self, prev_refs=None):
@@ -708,6 +712,9 @@ class GraphEngine:
             and not checkpoint_dir
             and start_iter == 0
             and limit > start_iter
+            # extra-stats kernels need the stepwise loop: the pipelined
+            # path only sees the FINAL round's stats
+            and not kernel.has_extra_stats
         ):
             return self._run_pipelined(kernel, limit)
 
@@ -735,17 +742,20 @@ class GraphEngine:
             delta = max(s[0] for s in stats)
             changed = sum(s[1] for s in stats)
             n_msgs = sum(s[2] for s in stats)
+            extras = [s[3] for s in stats if s[3] is not None]
             it += 1
-            metrics.append(
-                {
-                    "superstep": it,
-                    "wall_sec": round(time.perf_counter() - t_round, 6),
-                    "messages": n_msgs,
-                    "changed": changed,
-                    "delta": delta if delta != float("inf") else None,
-                    "edges": self.meta["n_edges"],
-                }
-            )
+            entry = {
+                "superstep": it,
+                "wall_sec": round(time.perf_counter() - t_round, 6),
+                "messages": n_msgs,
+                "changed": changed,
+                "delta": delta if delta != float("inf") else None,
+                "edges": self.meta["n_edges"],
+            }
+            if extras:
+                # elementwise sum across partitions; ints for JSON lineage
+                entry["extra"] = [int(x) for x in np.sum(extras, axis=0)]
+            metrics.append(entry)
             t_round = time.perf_counter()
             if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
                 self._checkpoint(checkpoint_dir, it, kernel, metrics)

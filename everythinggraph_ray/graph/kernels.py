@@ -45,6 +45,15 @@ class Kernel:
         (None = all). E.g. BFS must not send from unvisited vertices."""
         return None
 
+    # kernels that need a small per-superstep aggregate beyond the
+    # engine's (delta, changed, messages) — e.g. MS-BFS per-source level
+    # counts — set has_extra_stats and return a fixed-size int vector;
+    # the driver sums it across partitions into metrics[i]["extra"]
+    has_extra_stats = False
+
+    def extra_stats(self, old: np.ndarray, new: np.ndarray, changed: np.ndarray, ctx: dict):
+        return None
+
     def init_values(self, vids: np.ndarray, outdeg: np.ndarray, ctx: dict) -> np.ndarray:
         raise NotImplementedError
 
@@ -259,6 +268,66 @@ class BFSKernel(Kernel):
         touch = has_msg & (old == 0)
         new[touch] = agg[touch]
         return new, touch, 0.0
+
+
+class MultiSourceBFSKernel(Kernel):
+    """Bit-parallel multi-source BFS (MS-BFS, Then et al. VLDB'14): the
+    vertex state is an int64 BITMASK of sources that have reached it, and
+    the combine semiring is bitwise OR — idempotent and monotone like
+    writeMin, so the engine's dense-resend direction switch applies
+    unchanged (bfs_simple.c:191 semantics, 63 BFS frontiers per pass).
+    Bit i of the mask belongs to ``sources[i]`` (sorted, <= 63 of them so
+    the int64 sign bit stays clear); a bit arrives at vertex v exactly at
+    superstep dist(source_i, v) — the per-superstep ``extra_stats``
+    vector (newly-reached count per source) therefore gives the full
+    per-source level histogram, from which closeness/harmonic centrality
+    of the sources follows without per-vertex distance storage."""
+
+    name = "msbfs"
+    combine = "or"
+    frontier = True
+    dtype = np.int64
+    resend_safe = True
+    has_extra_stats = True
+
+    def __init__(self, sources):
+        srcs = sorted({int(s) for s in sources})
+        if not 1 <= len(srcs) <= 63:
+            raise ValueError(f"msbfs needs 1..63 distinct sources, got {len(srcs)}")
+        self.sources = srcs
+
+    def send_mask(self, vals):
+        return vals != 0
+
+    def _seed(self, vids: np.ndarray) -> np.ndarray:
+        v = np.zeros(len(vids), dtype=np.int64)
+        if len(vids):
+            svids = np.asarray(self.sources, dtype=np.int64)
+            idx = np.searchsorted(vids, svids)
+            ok = (idx < len(vids)) & (vids[np.minimum(idx, len(vids) - 1)] == svids)
+            bits = np.int64(1) << np.arange(len(svids), dtype=np.int64)
+            np.bitwise_or.at(v, idx[ok], bits[ok])
+        return v
+
+    def init_values(self, vids, outdeg, ctx):
+        return self._seed(vids)
+
+    def init_active(self, vids, ctx):
+        return self._seed(vids) != 0
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old | np.where(has_msg, agg, np.int64(0))
+        return new, new != old, 0.0
+
+    def extra_stats(self, old, new, changed, ctx):
+        """Newly-set bit count per source this superstep (len(sources)
+        ints). Loop over the <=63 bits, not a V x 63 matrix — bounded
+        transient memory at any partition size."""
+        diff = new & ~old
+        return np.array(
+            [int(np.count_nonzero(diff & (np.int64(1) << np.int64(i)))) for i in range(len(self.sources))],
+            dtype=np.int64,
+        )
 
 
 class SSSPHopsKernel(Kernel):

@@ -148,6 +148,31 @@ def _rel_root(sf_dir: str) -> int:
     return int(rel_edges(sf_dir).map_batches(mins, batch_format="pyarrow").min("m"))
 
 
+def _rel_sources(sf_dir: str, k: int) -> list[int]:
+    """The k smallest distinct vids of the universe without an O(V)
+    driver pull: each block emits its own k smallest distinct values
+    (any globally-smallest value is, in every block containing it, also
+    locally among the k smallest, so the partials are a superset), then
+    ONE single-block reduce over the tiny partial set is exact."""
+
+    def partial(cols: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return pa.table({"m": pa.array([], pa.int64())})
+            u = np.unique(
+                np.concatenate(
+                    [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+                )
+            )
+            return pa.table({"m": pa.array(u[:k], pa.int64())})
+
+        return f
+
+    small = rel_edges(sf_dir).map_batches(partial(["src", "dst"]), batch_format="pyarrow")
+    rows = small.repartition(1).map_batches(partial(["m"]), batch_format="pyarrow").take(k)
+    return [int(r["m"]) for r in rows]
+
+
 # ----------------------------------------------------------------------
 # graph queries
 # ----------------------------------------------------------------------
@@ -443,6 +468,54 @@ def q_rel_labelprop_seeded(sf_dir):
 def q_rel_bfs(sf_dir):
     df = _run_engine(_rel_build(sf_dir), BFSKernel(_rel_root(sf_dir)))
     return df.rename(columns={"bfs": "dist"})[["vid", "dist"]]
+
+
+MSBFS_SOURCES = 8  # bit i of the mask = i-th smallest source vid
+
+
+def _msbfs_run(sf_dir):
+    from everythinggraph_ray.graph.kernels import MultiSourceBFSKernel
+
+    kernel = MultiSourceBFSKernel(_rel_sources(sf_dir, MSBFS_SOURCES))
+    eng = GraphEngine(_rel_build(sf_dir))
+    try:
+        return kernel, eng.run(kernel)
+    finally:
+        eng.shutdown()
+
+
+def q_rel_msbfs(sf_dir):
+    """Bit-parallel multi-source BFS (MS-BFS, Then et al. VLDB'14) from
+    the 8 smallest vids: ONE frontier pass carries all 8 searches as an
+    int64 bitmask per vertex under the bitwise-OR semiring (idempotent +
+    monotone like the reference's writeMin, bfs_simple.c:191 semantics,
+    so the dense-resend direction switch applies unchanged). Returns
+    (vid, mask): bit i set iff the i-th smallest source reaches vid."""
+    _, res = _msbfs_run(sf_dir)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    return df.rename(columns={"msbfs": "mask"})[["vid", "mask"]]
+
+
+def q_rel_msbfs_levels(sf_dir):
+    """Per-source BFS level histogram from the SAME single MS-BFS pass:
+    superstep t's extra-stats vector counts, per source, the vertices
+    whose bit was newly set — i.e. first reached at hop distance t. One
+    row (source, level, reached) per non-empty level; the whole
+    closeness/harmonic-centrality family of the sources follows from
+    this without per-(source, vertex) distance storage."""
+    kernel, res = _msbfs_run(sf_dir)
+    rows = [
+        (kernel.sources[i], m["superstep"], c)
+        for m in res["metrics"]
+        for i, c in enumerate(m.get("extra", []))
+        if c
+    ]
+    return (
+        pd.DataFrame(rows, columns=["source", "level", "reached"])
+        .astype("int64")
+        .sort_values(["source", "level"])
+        .reset_index(drop=True)
+    )
 
 
 def q_rel_sssp_hops(sf_dir):
@@ -1922,6 +1995,33 @@ ORACLES: dict[str, str] = {
         "SELECT v.vid, coalesce(m.d, 0) AS dist FROM verts v "
         "LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m ON m.vid = v.vid"
     ),
+    # MS-BFS reachability mask: seed (i, vid) per source, saturate the
+    # distinct (i, vid) reach set, sum 2^i per vid (each i once: UNION
+    # is distinct). No depth cap needed — reachability, not distance.
+    "rel_msbfs": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", srcs AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS i "
+        "FROM (SELECT vid FROM verts ORDER BY vid LIMIT 8))"
+        ", r(i, vid) AS (SELECT i, vid FROM srcs UNION "
+        "SELECT r.i, e.dst FROM r JOIN e ON e.src = r.vid) "
+        "SELECT v.vid, coalesce(m.mask, 0) AS mask FROM verts v LEFT JOIN "
+        "(SELECT vid, CAST(sum(CAST(1 AS BIGINT) << i) AS BIGINT) AS mask "
+        "FROM r GROUP BY vid) m ON m.vid = v.vid"
+    ),
+    # per-source BFS level histogram (levels > 0; level = hop distance,
+    # same 64-hop safety cap as rel_bfs)
+    "rel_msbfs_levels": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", srcs AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS i "
+        "FROM (SELECT vid FROM verts ORDER BY vid LIMIT 8))"
+        ", r(i, vid, d) AS (SELECT i, vid, CAST(0 AS BIGINT) FROM srcs UNION "
+        "SELECT r.i, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.vid WHERE r.d < 64)"
+        ", m AS (SELECT i, vid, min(d) AS d FROM r GROUP BY i, vid) "
+        "SELECT s.vid AS source, m.d AS level, CAST(count(*) AS BIGINT) AS reached "
+        "FROM m JOIN srcs s ON s.i = m.i WHERE m.d > 0 GROUP BY s.vid, m.d"
+    ),
     "rel_sssp_hops": (
         "WITH RECURSIVE "
         + _sql_graph_prelude(no_self=True)
@@ -2366,6 +2466,8 @@ QUERIES = {
     "rel_labelprop_seeded": q_rel_labelprop_seeded,
     "rel_bfs": q_rel_bfs,
     "rel_bfs_pull": q_rel_bfs_pull,
+    "rel_msbfs": q_rel_msbfs,
+    "rel_msbfs_levels": q_rel_msbfs_levels,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
     "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,

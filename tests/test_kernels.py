@@ -260,6 +260,33 @@ def test_bfs_exact(engine, small_edges):
     assert np.array_equal(dist, od)
 
 
+def test_msbfs_mask_and_levels_match_per_source_bfs(engine, small_edges):
+    """MS-BFS (bitwise-OR semiring): the per-vertex source bitmask must
+    equal the union of 5 independent BFS reachability sets, and the
+    per-superstep extra-stats vector must equal each source's BFS level
+    histogram (newly-reached count at every depth)."""
+    from everythinggraph_ray.graph.kernels import MultiSourceBFSKernel
+
+    sv, dv = small_edges
+    verts = O.vertex_universe(sv, dv)
+    sources = [int(v) for v in verts[:5]]
+    res = engine.run(MultiSourceBFSKernel(sources))
+    vids, mask = _vals(res, "msbfs")
+
+    exp = np.zeros(len(vids), dtype=np.int64)
+    dists = []  # bfs_oracle convention: dist[root]=1, hop h -> h+1, unreached 0
+    for i, s in enumerate(sorted(sources)):
+        _, od = O.bfs_oracle(sv, dv, s)
+        dists.append(od)
+        exp |= (od != 0).astype(np.int64) << np.int64(i)
+    assert np.array_equal(mask, exp)
+
+    for m in res["metrics"]:
+        t = m["superstep"]  # bit first set at superstep h == hop distance h
+        want = [int(np.count_nonzero(od == t + 1)) for od in dists]
+        assert m["extra"] == want
+
+
 def test_sssp_hops_exact(engine, small_edges):
     sv, dv = small_edges
     root = int(O.vertex_universe(sv, dv)[0])
