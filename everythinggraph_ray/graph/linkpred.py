@@ -1,0 +1,149 @@
+"""Common-neighbor link prediction (web-graph / training-data addition,
+absent in the reference — the classic unsupervised link-prediction score
+of Liben-Nowell & Kleinberg CIKM'03).
+
+For every NON-adjacent vertex pair (a, b) of the simple undirected graph,
+score(a, b) = |N(a) ∩ N(b)| — computed by wedge enumeration, the same
+shuffle shape as triangle counting (graph/triangles.py) with one crucial
+difference: triangles can degree-orient the adjacency (each triangle has
+exactly one orientation-source, killing the hub blow-up by construction),
+but common-neighbor counting needs EVERY wedge a–u–b, so the per-center
+cost is inherently Σ deg(u)·(deg(u)−1)/2. ``center_cap`` bounds that at
+web scale by skipping centers above a degree ceiling (a documented recall
+trade — hubs like "google.com" connect everything to everything and score
+mass, not signal); the default (None) is exact.
+
+Stages (all bucketed, no driver or O(V) single-node state):
+1. canonical undirected dedup (shared with triangles)
+2. adjacency both directions, bucketed by CENTER hash → per bucket emit
+   canonical neighbor pairs (a < b) with a partial count combine
+3. pair rows union edge rows (cnt = −1 tag), bucketed by PAIR hash →
+   per bucket sum counts, DROP pairs that are edges (the anti-join),
+   keep the bucket-local top-k (a superset of the global top-k)
+4. exact global top-k: sort (cnt desc, a, b) + limit
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair
+from everythinggraph_ray.graph.triangles import _canonical_undirected
+
+_EMPTY = pa.table(
+    {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    }
+)
+
+
+def common_neighbors_topk(
+    edges: ray.data.Dataset, k: int = 20, *, center_cap: int | None = None
+) -> ray.data.Dataset:
+    """Top-k non-adjacent pairs by common-neighbor count, ties broken by
+    (a, b) ascending — fully deterministic. Returns (a, b, cnt)."""
+    und = _canonical_undirected(edges).materialize()  # consumed twice: wedges + anti-join
+
+    def both_dir(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([s, d]), pa.int64()),
+                "v": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    adj = und.map_batches(both_dir, batch_format="pyarrow")
+
+    def center_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["u"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(u) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(u)] if len(st) else st
+        a_out, b_out = [], []
+        for s, e in zip(st, ends):
+            nb = v[s:e]  # ascending + distinct (simple graph) ⇒ pairs canonical
+            if len(nb) < 2 or (center_cap is not None and len(nb) > center_cap):
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            a_out.append(nb[i])
+            b_out.append(nb[j])
+        if not a_out:
+            return _EMPTY
+        wa = np.concatenate(a_out)
+        wb = np.concatenate(b_out)
+        # combine identical pairs before the pair shuffle
+        o2 = np.lexsort((wb, wa))
+        wa, wb = wa[o2], wb[o2]
+        starts = np.flatnonzero(np.r_[True, (wa[1:] != wa[:-1]) | (wb[1:] != wb[:-1])])
+        cnt = np.diff(np.r_[starts, len(wa)])
+        return pa.table(
+            {
+                "a": pa.array(wa[starts], pa.int64()),
+                "b": pa.array(wb[starts], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    pairs = bucketed_reduce(adj, center_bucket, emit_pairs)
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["src"],
+                "b": batch["dst"],
+                "cnt": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = pairs.union(und.map_batches(tag_edges, batch_format="pyarrow"))
+
+    def pair_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        if not len(a):
+            return _EMPTY
+        order = np.lexsort((b, a))
+        sa, sb, sc = a[order], b[order], cnt[order]
+        new = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        gid = np.cumsum(new) - 1
+        n_g = int(gid[-1]) + 1
+        total = np.zeros(n_g, np.int64)
+        np.add.at(total, gid, np.maximum(sc, 0))  # edge tags add 0
+        is_edge = np.zeros(n_g, dtype=bool)
+        is_edge[gid[sc < 0]] = True
+        starts = np.flatnonzero(new)
+        keep = (~is_edge) & (total > 0)
+        if not keep.any():
+            return _EMPTY
+        ka, kb, kc = sa[starts][keep], sb[starts][keep], total[keep]
+        # bucket-local top-k (global top-k is a subset of these)
+        o3 = np.lexsort((kb, ka, -kc))[:k]
+        return pa.table(
+            {
+                "a": pa.array(ka[o3], pa.int64()),
+                "b": pa.array(kb[o3], pa.int64()),
+                "cnt": pa.array(kc[o3], pa.int64()),
+            }
+        )
+
+    top_parts = bucketed_reduce(tagged, pair_bucket, reduce_pairs)
+    return top_parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)

@@ -23,6 +23,7 @@ get the driver's rows-only check.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -518,6 +519,30 @@ def q_rel_msbfs_levels(sf_dir):
     )
 
 
+def q_rel_closeness(sf_dir):
+    """Closeness centrality of the 8 MS-BFS sources, derived from the
+    single MS-BFS pass's level histograms: n_reached = Σ reached,
+    total_dist = Σ level·reached (both exact int64), closeness =
+    n_reached / total_dist — ONE int64÷int64 IEEE division on both
+    sides, so the driver hash is exact (same device as rel_lcc)."""
+    kernel, res = _msbfs_run(sf_dir)
+    n = np.zeros(len(kernel.sources), dtype=np.int64)
+    td = np.zeros(len(kernel.sources), dtype=np.int64)
+    for m in res["metrics"]:
+        ex = np.asarray(m.get("extra", []), dtype=np.int64)
+        if len(ex):
+            n += ex
+            td += ex * m["superstep"]
+    return pd.DataFrame(
+        {
+            "source": np.asarray(kernel.sources, dtype=np.int64),
+            "n_reached": n,
+            "total_dist": td,
+            "closeness": np.where(td > 0, n / np.maximum(td, 1), 0.0),
+        }
+    ).sort_values("source").reset_index(drop=True)
+
+
 def q_rel_sssp_hops(sf_dir):
     df = _run_engine(_rel_build(sf_dir), SSSPHopsKernel(_rel_root(sf_dir)))
     return df.rename(columns={"sssp_hops": "dist"})[["vid", "dist"]]
@@ -536,6 +561,54 @@ def q_rel_sssp_parent(sf_dir):
     return pd.DataFrame({"vid": df["vid"].astype("int64"), "dist": dist, "parent": parent})
 
 
+def q_rel_assortativity(sf_dir):
+    """Directed out–in degree assortativity (Newman 2002): Pearson
+    correlation over edges (u,v) of x = outdeg(u), y = indeg(v). The
+    moment sums are exact int64 (hash-safe); r is built from them by a
+    float expression MIRRORED operation-for-operation in the SQL oracle
+    (same IEEE tree ⇒ identical double, the rel_lcc device). Degrees
+    attach via two bucketed hash_joins — no V-sized driver state."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.edges import out_degrees, reverse_edges
+
+    edges = rel_edges(sf_dir)
+
+    def rename(col):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["vid", col])
+
+        return f
+
+    od = out_degrees(edges).map_batches(rename("x"), batch_format="pyarrow")
+    ideg = out_degrees(reverse_edges(edges)).map_batches(rename("y"), batch_format="pyarrow")
+    e2 = hash_join(edges, od, on="src", right_on="vid", right_cols=["x"])
+    e3 = hash_join(e2, ideg, on="dst", right_on="vid", right_cols=["y"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        vals = [len(x), x.sum(), y.sum(), (x * y).sum(), (x * x).sum(), (y * y).sum()]
+        return pa.table({f"c{i}": pa.array([int(v)], pa.int64()) for i, v in enumerate(vals)})
+
+    p = e3.map_batches(partial, batch_format="pyarrow")
+    n, sx, sy, sxy, sx2, sy2 = (int(p.sum(f"c{i}")) for i in range(6))
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    vx = float(n) * float(sx2) - float(sx) * float(sx)
+    vy = float(n) * float(sy2) - float(sy) * float(sy)
+    r = num / (math.sqrt(vx) * math.sqrt(vy)) if vx > 0 and vy > 0 else 0.0
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "sum_x2": pa.array([sx2], pa.int64()),
+            "sum_y2": pa.array([sy2], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
 def q_rel_spmv(sf_dir):
     df = _run_engine(_rel_build(sf_dir), SpMVKernel())
     df["y"] = np.round(df["spmv"].to_numpy(), 6)
@@ -545,6 +618,16 @@ def q_rel_spmv(sf_dir):
 def q_rel_triangles(sf_dir):
     n = triangle_count(rel_edges(sf_dir))
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def q_rel_link_predict(sf_dir):
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg '03):
+    top-20 NON-adjacent pairs of the simple undirected rel graph by
+    |N(a) ∩ N(b)|, ties by (a, b). Wedge-enumeration shuffle (see
+    graph/linkpred.py for the hub-cost note vs triangles)."""
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    return common_neighbors_topk(rel_edges(sf_dir), k=20)
 
 
 def q_rel_lcc(sf_dir):
@@ -2022,6 +2105,24 @@ ORACLES: dict[str, str] = {
         "SELECT s.vid AS source, m.d AS level, CAST(count(*) AS BIGINT) AS reached "
         "FROM m JOIN srcs s ON s.i = m.i WHERE m.d > 0 GROUP BY s.vid, m.d"
     ),
+    # closeness of the MS-BFS sources from the same level histogram;
+    # closeness = n_reached / total_dist is ONE int64/int64 division
+    "rel_closeness": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", srcs AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS i "
+        "FROM (SELECT vid FROM verts ORDER BY vid LIMIT 8))"
+        ", r(i, vid, d) AS (SELECT i, vid, CAST(0 AS BIGINT) FROM srcs UNION "
+        "SELECT r.i, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.vid WHERE r.d < 64)"
+        ", m AS (SELECT i, vid, min(d) AS d FROM r GROUP BY i, vid) "
+        "SELECT s.vid AS source, "
+        "CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 1 END), 0) AS BIGINT) AS n_reached, "
+        "CAST(coalesce(sum(m.d), 0) AS BIGINT) AS total_dist, "
+        "CASE WHEN coalesce(sum(m.d), 0) > 0 THEN "
+        "CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 1 END), 0) AS DOUBLE) / CAST(sum(m.d) AS DOUBLE) "
+        "ELSE 0.0 END AS closeness "
+        "FROM srcs s LEFT JOIN m ON m.i = s.i GROUP BY s.vid ORDER BY s.vid"
+    ),
     "rel_sssp_hops": (
         "WITH RECURSIVE "
         + _sql_graph_prelude(no_self=True)
@@ -2047,6 +2148,40 @@ ORACLES: dict[str, str] = {
         "CASE WHEN v.vid = (SELECT rv FROM root) THEN v.vid "
         "WHEN m.d IS NULL THEN -1 ELSE p.parent END AS parent "
         "FROM verts v LEFT JOIN m ON m.vid = v.vid LEFT JOIN par p ON p.vid = v.vid"
+    ),
+    # common neighbors over the distinct undirected adjacency; the
+    # NOT EXISTS is linkpred's in-bucket anti-join
+    "rel_link_predict": (
+        "WITH "
+        + _sql_graph_prelude(undirect=True)
+        + ", cedge AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst)"
+        ", w AS (SELECT n1.v AS a, n2.v AS b, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM und n1 JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v GROUP BY n1.v, n2.v) "
+        "SELECT a, b, cnt FROM w WHERE NOT EXISTS "
+        "(SELECT 1 FROM cedge WHERE cedge.a = w.a AND cedge.b = w.b) "
+        "ORDER BY cnt DESC, a, b LIMIT 20"
+    ),
+    # float expression mirrors q_rel_assortativity op-for-op (same IEEE
+    # tree): n*sxy - sx*sy over sqrt(n*sx2 - sx^2)*sqrt(n*sy2 - sy^2)
+    "rel_assortativity": (
+        "WITH "
+        + _sql_graph_prelude()
+        + ", od AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src)"
+        ", ideg AS (SELECT dst AS vid, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY dst)"
+        ", j AS (SELECT o.d AS x, i.d AS y FROM e "
+        "JOIN od o ON o.vid = e.src JOIN ideg i ON i.vid = e.dst)"
+        ", s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, "
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy, "
+        "CAST(sum(x*x) AS BIGINT) AS sx2, CAST(sum(y*y) AS BIGINT) AS sy2 FROM j) "
+        "SELECT n AS n_edges, sx AS sum_x, sy AS sum_y, sxy AS sum_xy, "
+        "sx2 AS sum_x2, sy2 AS sum_y2, "
+        "CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 "
+        "AND (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 "
+        "THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+        "ELSE 0.0 END AS assortativity FROM s"
     ),
     "rel_spmv": (
         "WITH "
@@ -2468,6 +2603,9 @@ QUERIES = {
     "rel_bfs_pull": q_rel_bfs_pull,
     "rel_msbfs": q_rel_msbfs,
     "rel_msbfs_levels": q_rel_msbfs_levels,
+    "rel_closeness": q_rel_closeness,
+    "rel_assortativity": q_rel_assortativity,
+    "rel_link_predict": q_rel_link_predict,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
     "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,

@@ -121,3 +121,69 @@ def test_triangles_63bit_vids_and_partitioned_attach():
     shift = np.int64(1) << np.int64(40)  # vids >= 2^31 → two-column path
     big = triangle_count(ds_of(src + shift, dst + shift), broadcast_threshold=0)
     assert small == big > 0
+
+
+def _cn_bruteforce(sv, dv, k):
+    """Serial common-neighbor top-k over non-adjacent pairs."""
+    import collections
+
+    edges = set()
+    adj = collections.defaultdict(set)
+    for a, b in zip(sv.tolist(), dv.tolist()):
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        edges.add((lo, hi))
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    cnt = collections.Counter()
+    for u, nb in adj.items():
+        ns = sorted(nb)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in edges:
+                    cnt[p] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(a, b, c) for (a, b), c in ranked]
+
+
+def test_link_predict_matches_bruteforce():
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    rng = np.random.default_rng(11)
+    sv = rng.integers(0, 60, 400).astype(np.int64)
+    dv = rng.integers(0, 60, 400).astype(np.int64)
+    got = (
+        common_neighbors_topk(_edges_ds(sv, dv), k=15)
+        .to_pandas()
+        .itertuples(index=False)
+    )
+    assert [(int(a), int(b), int(c)) for a, b, c in got] == _cn_bruteforce(sv, dv, 15)
+
+
+def test_link_predict_center_cap_drops_hub_wedges():
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    # star around 0 (degree 5) plus one wedge through low-degree center 9
+    sv = np.array([0, 0, 0, 0, 0, 9, 9], dtype=np.int64)
+    dv = np.array([1, 2, 3, 4, 5, 1, 2], dtype=np.int64)
+    full = common_neighbors_topk(_edges_ds(sv, dv), k=50).to_pandas()
+    # C(5,2) leaf pairs via center 0, plus (0,9) via centers 1 and 2
+    assert len(full) == 11
+    assert int(full[(full["a"] == 1) & (full["b"] == 2)]["cnt"].iloc[0]) == 2
+    assert int(full[(full["a"] == 0) & (full["b"] == 9)]["cnt"].iloc[0]) == 2
+    capped = common_neighbors_topk(_edges_ds(sv, dv), k=50, center_cap=3).to_pandas()
+    # hub center 0 (degree 5) skipped; only degree-2 centers 1, 2, 9 emit
+    assert [(int(r.a), int(r.b), int(r.cnt)) for r in capped.itertuples()] == [
+        (0, 9, 2),
+        (1, 2, 1),
+    ]
+
+
+def test_link_predict_empty_graph():
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    sv = np.array([3], dtype=np.int64)  # a single self-loop: no simple edges
+    dv = np.array([3], dtype=np.int64)
+    assert common_neighbors_topk(_edges_ds(sv, dv), k=5).count() == 0
