@@ -620,6 +620,40 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+WALK_LEN = 5
+WALK_SEED_MOD = 50  # walkers start at every vid % 50 == 0
+
+
+def q_rel_walks(sf_dir):
+    """Deterministic DeepWalk-style walks (stages/walk.py): one walker per
+    vid % 50 == 0, 5 steps, successor = out-neighbor minimizing
+    md5(f"{step}:{u}:{v}") — the repo's no-RNG rule, shared verbatim with
+    the DuckDB oracle. Returns (walk, step, vid) path rows."""
+    from everythinggraph_ray.stages.agg import sum_by_key
+    from everythinggraph_ray.stages.walk import deterministic_walks
+
+    edges = rel_edges(sf_dir)
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    b["src"].to_numpy(zero_copy_only=False),
+                    b["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        u = u[u % WALK_SEED_MOD == 0]
+        return pa.table(
+            {"vid": pa.array(u, pa.int64()), "one": pa.array(np.ones(len(u), np.int64), pa.int64())}
+        )
+
+    seeds = sum_by_key(
+        edges.map_batches(seed_partial, batch_format="pyarrow"), "vid", ["one"]
+    ).select_columns(["vid"])
+    return deterministic_walks(edges, seeds, WALK_LEN).sort(["walk", "step"])
+
+
 def q_rel_link_predict(sf_dir):
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg '03):
     top-20 NON-adjacent pairs of the simple undirected rel graph by
@@ -1835,6 +1869,31 @@ def _sql_graph_prelude(*, undirect: bool = False, no_self: bool = False) -> str:
     return ", ".join(parts)
 
 
+def _walks_sql(length: int = WALK_LEN) -> str:
+    """Unrolled deterministic-walk oracle: per step t a successor CTE
+    (row_number over md5(f'{t}:{src}:{dst}'), ties by dst — the exact
+    rule of stages/walk.py), then a chain of frontier joins."""
+    parts = [
+        _sql_graph_prelude(),
+        "ed AS (SELECT DISTINCT src, dst FROM e)",
+        f"s0 AS (SELECT vid AS walk, CAST(0 AS BIGINT) AS step, vid "
+        f"FROM verts WHERE vid % {WALK_SEED_MOD} = 0)",
+    ]
+    for t in range(length):
+        parts.append(
+            f"n{t} AS (SELECT src, dst AS nxt FROM ("
+            f"SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY "
+            f"md5('{t}:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), dst) AS rn "
+            f"FROM ed) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{t + 1} AS (SELECT s{t}.walk, CAST({t + 1} AS BIGINT) AS step, n{t}.nxt AS vid "
+            f"FROM s{t} JOIN n{t} ON n{t}.src = s{t}.vid)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(length + 1))
+    return "WITH " + ", ".join(parts) + f" SELECT walk, step, vid FROM ({union})"
+
+
 def _pagerank10_sql() -> str:
     ctes = [
         f"e AS ({SQL_REL_EDGES})",
@@ -2149,6 +2208,9 @@ ORACLES: dict[str, str] = {
         "WHEN m.d IS NULL THEN -1 ELSE p.parent END AS parent "
         "FROM verts v LEFT JOIN m ON m.vid = v.vid LEFT JOIN par p ON p.vid = v.vid"
     ),
+    # deterministic walks: unrolled per-step successor CTEs sharing the
+    # md5(f"{step}:{u}:{v}") rule verbatim with stages/walk.py
+    "rel_walks": _walks_sql(),
     # common neighbors over the distinct undirected adjacency; the
     # NOT EXISTS is linkpred's in-bucket anti-join
     "rel_link_predict": (
@@ -2606,6 +2668,7 @@ QUERIES = {
     "rel_closeness": q_rel_closeness,
     "rel_assortativity": q_rel_assortativity,
     "rel_link_predict": q_rel_link_predict,
+    "rel_walks": q_rel_walks,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
     "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,

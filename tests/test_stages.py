@@ -168,3 +168,64 @@ def test_grouped_top_k():
         b = want[want["grp"] == grp]
         assert a["id"].tolist() == b["id"].tolist()
         assert a["rk"].tolist() == [1, 2, 3]
+
+
+def test_deterministic_walks_match_serial_replay():
+    """Distributed walks == a serial replay of the identical md5 rule."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from everythinggraph_ray.stages.walk import deterministic_walks
+
+    rng = np.random.default_rng(3)
+    sv = rng.integers(0, 40, 300).astype(np.int64)
+    dv = rng.integers(0, 40, 300).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+    )
+    seed_vids = [0, 7, 13]
+    seeds = ray.data.from_arrow(pa.table({"vid": pa.array(seed_vids, pa.int64())}))
+    L = 4
+    got = (
+        deterministic_walks(edges, seeds, L)
+        .to_pandas()
+        .sort_values(["walk", "step"])
+        .reset_index(drop=True)
+    )
+
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(sv.tolist(), dv.tolist()):
+        adj.setdefault(a, []).append(b)
+    want = []
+    for w in seed_vids:
+        cur = w
+        want.append((w, 0, cur))
+        for t in range(L):
+            nbs = adj.get(cur)
+            if not nbs:
+                break
+            cur = min(nbs, key=lambda v: (hashlib.md5(f"{t}:{cur}:{v}".encode()).hexdigest(), v))
+            want.append((w, t + 1, cur))
+    want_df = (
+        pd.DataFrame(want, columns=["walk", "step", "vid"])
+        .sort_values(["walk", "step"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want_df.astype("int64"))
+
+
+def test_deterministic_walks_stop_at_sink():
+    import pyarrow as pa
+
+    from everythinggraph_ray.stages.walk import deterministic_walks
+
+    # 0 -> 1 -> 2, and 2 is a sink
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())})
+    )
+    seeds = ray.data.from_arrow(pa.table({"vid": pa.array([0], pa.int64())}))
+    got = deterministic_walks(edges, seeds, 5).to_pandas().sort_values("step")
+    assert got["vid"].tolist() == [0, 1, 2]
+    assert got["step"].tolist() == [0, 1, 2]
