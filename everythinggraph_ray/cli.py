@@ -38,6 +38,8 @@ def _get_kernel(args):
         "msbfs": lambda: K.MultiSourceBFSKernel(
             [int(s) for s in args.sources.split(",")] if args.sources else [args.root]
         ),
+        # per-superstep N(h) histograms land in metrics.json ("extra")
+        "anf": lambda: K.ANFKernel(),
         "sssp": lambda: K.SSSPHopsKernel(args.root),
         "sssp-parent": lambda: K.ParentSSSPHopsKernel(args.root),
         "sssp-weighted": lambda: K.SSSPWeightedKernel(args.root),
@@ -58,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
             "katz",
             "wcc",
             "labelprop",
+            "anf",
             "bfs",
             "bfs-pull",
             "msbfs",

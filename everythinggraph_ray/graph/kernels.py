@@ -330,6 +330,113 @@ class MultiSourceBFSKernel(Kernel):
         )
 
 
+def _lsb0_16_lut() -> np.ndarray:
+    """Position of the lowest ZERO bit for every 16-bit value (0..16)."""
+    x = np.arange(1 << 16, dtype=np.uint32)
+    out = np.full(len(x), 16, dtype=np.int64)
+    for p in range(15, -1, -1):  # descending so the lowest position wins
+        out[(x >> p) & 1 == 0] = p
+    return out
+
+
+class ANFKernel(Kernel):
+    """Approximate Neighborhood Function (ANF, Palmer et al. KDD'02 —
+    the HyperANF/WebGraph effective-diameter lineage): each vertex packs
+    ``n_trials`` Flajolet–Martin bitmask sketches into its single int64
+    (16 bits per trial), initialized deterministically from
+    splitmix64(vid ^ trial-salt) — no RNG, resume/cluster-size stable.
+    The combine semiring is bitwise OR (idempotent + monotone, the
+    MS-BFS machinery), so after superstep h vertex v's sketch is the
+    FM-union over every u with dist(u→v) <= h, and Σ_v |ball(v,h)| — the
+    aggregate N(h) — is direction-agnostic (in-balls and out-balls count
+    the same (u,v) pairs).
+
+    The per-superstep ``extra_stats`` vector is the 64-bin histogram of
+    Σ_t lsb0(sketch_t(v)) across owned vertices; the driver recovers
+    N(h) = Σ_bins cnt[b] · 2^(b/k) / 0.77351 — per-vertex geometric
+    averaging over trials exactly as the ANF paper, with no per-vertex
+    state ever leaving the actors.
+
+    Scale note: 16-bit sketches saturate near ball sizes ~2^15/0.77, so
+    per-ball estimates cap there (aggregate N(h) then undercounts on
+    larger graphs — widen to 2 trials x 32 bits via ``bits=32`` for
+    billion-vertex runs; error grows as ~0.78/sqrt(k))."""
+
+    name = "anf"
+    combine = "or"
+    frontier = True
+    dtype = np.int64
+    resend_safe = True
+    has_extra_stats = True
+    PHI = 0.77351
+
+    def __init__(self, n_trials: int = 4, bits: int = 16):
+        if n_trials * bits != 64:
+            raise ValueError("n_trials * bits must pack exactly into int64")
+        if bits not in (16, 32):
+            raise ValueError("bits must be 16 or 32")
+        self.k = int(n_trials)
+        self.bits = int(bits)
+        self._lut = None  # built lazily inside each actor, not pickled
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_lut"] = None
+        return d
+
+    def send_mask(self, vals):
+        return vals != 0
+
+    def _seed_masks(self, vids: np.ndarray) -> np.ndarray:
+        from everythinggraph_ray.stages.agg import mix64
+
+        cap = self.bits - 2  # keep headroom: lsb0 fits the lane
+        m = np.zeros(len(vids), dtype=np.uint64)
+        for t in range(self.k):
+            salt = np.uint64((0x9E3779B97F4A7C15 * (t + 1)) & 0xFFFFFFFFFFFFFFFF)
+            h = mix64(vids.astype(np.uint64) ^ salt)
+            low = h & (~h + np.uint64(1))  # lowest set bit (power of two)
+            # exact for powers of two (exactly representable in float64)
+            r = np.where(
+                low == 0, cap, np.log2(np.maximum(low, 1).astype(np.float64)).astype(np.int64)
+            )
+            r = np.minimum(r, cap)
+            m |= np.uint64(1) << (r + t * self.bits).astype(np.uint64)
+        return m.astype(np.int64)
+
+    def init_values(self, vids, outdeg, ctx):
+        return self._seed_masks(vids)
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old | np.where(has_msg, agg, np.int64(0))
+        return new, new != old, 0.0
+
+    def sum_lsb0(self, masks: np.ndarray) -> np.ndarray:
+        """Per vertex: Σ over trials of the lowest-zero-bit position of
+        its lane — LUT over 16-bit chunks (no per-row Python)."""
+        if self._lut is None:
+            self._lut = _lsb0_16_lut()
+        u = masks.astype(np.uint64)
+        out = np.zeros(len(masks), dtype=np.int64)
+        for t in range(self.k):
+            lane = (u >> np.uint64(t * self.bits)) & np.uint64((1 << self.bits) - 1)
+            lo = self._lut[(lane & np.uint64(0xFFFF)).astype(np.int64)]
+            if self.bits == 32:
+                hi = self._lut[((lane >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+                lo = np.where(lo == 16, 16 + hi, lo)
+            out += lo
+        return out
+
+    def extra_stats(self, old, new, changed, ctx):
+        return np.bincount(self.sum_lsb0(new), minlength=64)[:64].astype(np.int64)
+
+    def estimate(self, hist: np.ndarray | list) -> float:
+        """N(h) from one superstep's 64-bin histogram."""
+        h = np.asarray(hist, dtype=np.float64)
+        b = np.arange(len(h), dtype=np.float64)
+        return float((h * np.exp2(b / self.k)).sum() / self.PHI)
+
+
 class SSSPHopsKernel(Kernel):
     """Reference push SSSP (sssp_pushpull.c:39-56): relax +1 hop, self-loops
     skipped, dist init 'infinity', root 0."""

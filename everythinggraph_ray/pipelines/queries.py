@@ -620,6 +620,48 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def _anf_run(sf_dir):
+    from everythinggraph_ray.graph.kernels import ANFKernel
+
+    kernel = ANFKernel()
+    eng = GraphEngine(_rel_build(sf_dir))
+    try:
+        res = eng.run(kernel)
+    finally:
+        eng.shutdown()
+    ests = [kernel.estimate(m["extra"]) for m in res["metrics"]]
+    return ests
+
+
+def q_rel_anf(sf_dir):
+    """Approximate neighborhood function (ANF, Palmer et al. KDD'02):
+    N(h) = estimated #vertex pairs within distance h, from deterministic
+    packed FM sketches OR-propagated by the engine (ANFKernel). Rows-only
+    (a sketch estimate has no SQL form); the kernel math is pytest-exact
+    vs a serial replay and accuracy-banded vs exact reachability."""
+    ests = _anf_run(sf_dir)
+    return pa.table(
+        {
+            "h": pa.array(np.arange(1, len(ests) + 1, dtype=np.int64), pa.int64()),
+            "est_pairs": pa.array(np.round(np.asarray(ests), 6), pa.float64()),
+        }
+    )
+
+
+def q_rel_effective_diameter(sf_dir):
+    """Effective diameter at 90%: smallest h with N(h) >= 0.9 * N(max)
+    (the HyperANF/WebGraph headline metric), from the same ANF run."""
+    ests = _anf_run(sf_dir)
+    final = ests[-1] if ests else 0.0
+    eff = next((h + 1 for h, e in enumerate(ests) if e >= 0.9 * final), 0)
+    return pa.table(
+        {
+            "eff_diameter_90": pa.array([eff], pa.int64()),
+            "est_pairs_final": pa.array([round(final, 6)], pa.float64()),
+        }
+    )
+
+
 WALK_LEN = 5
 WALK_SEED_MOD = 50  # walkers start at every vid % 50 == 0
 
@@ -2669,6 +2711,8 @@ QUERIES = {
     "rel_assortativity": q_rel_assortativity,
     "rel_link_predict": q_rel_link_predict,
     "rel_walks": q_rel_walks,
+    "rel_anf": q_rel_anf,
+    "rel_effective_diameter": q_rel_effective_diameter,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
     "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,

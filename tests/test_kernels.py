@@ -287,6 +287,72 @@ def test_msbfs_mask_and_levels_match_per_source_bfs(engine, small_edges):
         assert m["extra"] == want
 
 
+def test_anf_engine_matches_serial_replay(engine, small_edges):
+    """The engine's per-superstep ANF histograms equal a serial replay of
+    the identical deterministic FM-sketch OR-propagation."""
+    from everythinggraph_ray.graph.kernels import ANFKernel
+
+    sv, dv = small_edges
+    k = ANFKernel()
+    res = engine.run(k)
+    got = [m["extra"] for m in res["metrics"]]
+
+    vids = O.vertex_universe(sv, dv)
+    s = np.searchsorted(vids, sv)
+    d = np.searchsorted(vids, dv)
+    cur = k._seed_masks(vids)
+    want = []
+    while True:
+        nxt = cur.copy()
+        np.bitwise_or.at(nxt, d, cur[s])
+        want.append(np.bincount(k.sum_lsb0(nxt), minlength=64)[:64].tolist())
+        if np.array_equal(nxt, cur):
+            break
+        cur = nxt
+    assert got == want
+
+
+def test_anf_estimate_tracks_exact_neighborhood_function():
+    """ANF estimates of N(h) = #pairs within distance h stay within a
+    [0.4, 2.2]x band of truth on a 300-vertex random graph and are
+    monotone nondecreasing in h (serial replay of the kernel math)."""
+    from everythinggraph_ray.graph.kernels import ANFKernel
+
+    rng = np.random.default_rng(17)
+    n = 300
+    sv = rng.integers(0, n, 900).astype(np.int64)
+    dv = rng.integers(0, n, 900).astype(np.int64)
+    vids = O.vertex_universe(sv, dv)
+    s = np.searchsorted(vids, sv)
+    d = np.searchsorted(vids, dv)
+    V = len(vids)
+
+    # exact reachability-within-h via boolean matrix closure
+    adj = np.zeros((V, V), dtype=bool)
+    adj[s, d] = True
+    reach = np.eye(V, dtype=bool)
+    exact = []
+    for _ in range(40):
+        new = reach | (reach.astype(np.int32) @ adj.astype(np.int32) > 0)
+        exact.append(int(new.sum()))
+        if np.array_equal(new, reach):
+            break
+        reach = new
+
+    k = ANFKernel()
+    cur = k._seed_masks(vids)
+    ests = []
+    for _ in range(len(exact)):
+        nxt = cur.copy()
+        np.bitwise_or.at(nxt, d, cur[s])
+        hist = np.bincount(k.sum_lsb0(nxt), minlength=64)[:64]
+        ests.append(k.estimate(hist))
+        cur = nxt
+    for e, x in zip(ests, exact):
+        assert 0.4 * x <= e <= 2.2 * x
+    assert all(b >= a for a, b in zip(ests, ests[1:]))
+
+
 def test_sssp_hops_exact(engine, small_edges):
     sv, dv = small_edges
     root = int(O.vertex_universe(sv, dv)[0])
