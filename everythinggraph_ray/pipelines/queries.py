@@ -567,8 +567,12 @@ def q_rel_assortativity(sf_dir):
     moment sums are exact int64 (hash-safe); r is built from them by a
     float expression MIRRORED operation-for-operation in the SQL oracle
     (same IEEE tree ⇒ identical double, the rel_lcc device). Degrees
-    attach via two bucketed hash_joins — no V-sized driver state."""
+    attach cost-based (the triangles device): a small degree table rides
+    as ONE ray.put broadcast lookup; a huge one goes through two
+    bucketed hash_joins — no V-sized driver/single-node state either
+    way."""
     from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.graph.triangles import BROADCAST_V_THRESHOLD
     from everythinggraph_ray.stages.edges import out_degrees, reverse_edges
 
     edges = rel_edges(sf_dir)
@@ -579,10 +583,37 @@ def q_rel_assortativity(sf_dir):
 
         return f
 
-    od = out_degrees(edges).map_batches(rename("x"), batch_format="pyarrow")
+    od = out_degrees(edges).map_batches(rename("x"), batch_format="pyarrow").materialize()
     ideg = out_degrees(reverse_edges(edges)).map_batches(rename("y"), batch_format="pyarrow")
-    e2 = hash_join(edges, od, on="src", right_on="vid", right_cols=["x"])
-    e3 = hash_join(e2, ideg, on="dst", right_on="vid", right_cols=["y"])
+    if od.count() <= BROADCAST_V_THRESHOLD:
+        import ray as _ray
+
+        odf, idf = od.to_pandas(), ideg.to_pandas()
+        oo, io = np.argsort(odf["vid"].to_numpy()), np.argsort(idf["vid"].to_numpy())
+        ref = _ray.put(
+            (
+                odf["vid"].to_numpy(np.int64)[oo],
+                odf["x"].to_numpy(np.int64)[oo],
+                idf["vid"].to_numpy(np.int64)[io],
+                idf["y"].to_numpy(np.int64)[io],
+            )
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ov, ox, iv, iy = _ray.get(ref)
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "x": pa.array(ox[np.searchsorted(ov, s)], pa.int64()),
+                    "y": pa.array(iy[np.searchsorted(iv, d)], pa.int64()),
+                }
+            )
+
+        e3 = edges.map_batches(attach, batch_format="pyarrow")
+    else:
+        e2 = hash_join(edges, od, on="src", right_on="vid", right_cols=["x"])
+        e3 = hash_join(e2, ideg, on="dst", right_on="vid", right_cols=["y"])
 
     def partial(b: pa.Table) -> pa.Table:
         x = b["x"].to_numpy(zero_copy_only=False)
@@ -694,6 +725,20 @@ def q_rel_walks(sf_dir):
         edges.map_batches(seed_partial, batch_format="pyarrow"), "vid", ["one"]
     ).select_columns(["vid"])
     return deterministic_walks(edges, seeds, WALK_LEN).sort(["walk", "step"])
+
+
+def q_rel_mis(sf_dir):
+    """Deterministic maximal independent set (fixed-priority Luby ==
+    the greedy MIS in md5-key order — graph/mis.py): (vid, in_mis) per
+    vertex of the universe, hash-checked against an unrolled round
+    oracle."""
+    from everythinggraph_ray.graph.mis import maximal_independent_set
+
+    # tail_threshold pinned SMALL here so the correctness gate exercises
+    # the distributed rounds before the serial tail; the library default
+    # (1M) is the production driver-memory bound
+    res, _rounds = maximal_independent_set(rel_edges(sf_dir), tail_threshold=512)
+    return res.sort("vid")
 
 
 def q_rel_link_predict(sf_dir):
@@ -2013,6 +2058,57 @@ def _hits10_sql() -> str:
     )
 
 
+def _mis_key_sql(col: str) -> str:
+    return f"md5(CAST({col} AS VARCHAR)) || lpad(CAST({col} AS VARCHAR), 20, '0')"
+
+
+def _mis_sql(rounds: int = 12) -> str:
+    """Unrolled deterministic-Luby MIS: round r's winners are active
+    vertices whose md5 key beats every active neighbor's (or with no
+    active neighbor); winners' neighbors drop out. ``rounds`` must exceed
+    the data's true round count (measured 4 at sf0.01; extra rounds run
+    on empty sets). Leftover actives after the unroll are deliberately
+    NOT included, so an insufficient unroll mismatches loudly instead of
+    silently accepting undecided vertices."""
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "u0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src <> dst "
+        "UNION SELECT dst AS u, src AS v FROM e WHERE src <> dst)",
+        "a0 AS MATERIALIZED (SELECT vid FROM verts)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"nm{r} AS MATERIALIZED (SELECT u, min({_mis_key_sql('v')}) AS mk "
+            f"FROM u{r} GROUP BY u)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT a.vid FROM a{r} a LEFT JOIN nm{r} n ON n.u = a.vid "
+            f"WHERE n.mk IS NULL OR {_mis_key_sql('a.vid')} < n.mk)"
+        )
+        ctes.append(
+            f"x{r} AS MATERIALIZED (SELECT DISTINCT uu.v AS vid FROM u{r} uu "
+            f"JOIN w{r} w ON uu.u = w.vid)"
+        )
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT vid FROM a{r} WHERE "
+            f"vid NOT IN (SELECT vid FROM w{r}) AND vid NOT IN (SELECT vid FROM x{r}))"
+        )
+        ctes.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT u, v FROM u{r} "
+            f"WHERE u IN (SELECT vid FROM a{r + 1}) AND v IN (SELECT vid FROM a{r + 1}))"
+        )
+    mis_union = " UNION ".join(f"SELECT vid FROM w{r}" for r in range(rounds))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", mis AS ({mis_union}) "
+        "SELECT v.vid, CAST(CASE WHEN m.vid IS NULL THEN 0 ELSE 1 END AS TINYINT) AS in_mis "
+        "FROM verts v LEFT JOIN mis m ON m.vid = v.vid"
+    )
+
+
 def _kcore_sql(k: int = KCORE_K, rounds: int = 8) -> str:
     """Unrolled peel: round r keeps vertices whose degree in the
     surviving simple undirected edge set is >= k. ``rounds`` must exceed
@@ -2250,6 +2346,9 @@ ORACLES: dict[str, str] = {
         "WHEN m.d IS NULL THEN -1 ELSE p.parent END AS parent "
         "FROM verts v LEFT JOIN m ON m.vid = v.vid LEFT JOIN par p ON p.vid = v.vid"
     ),
+    # deterministic-Luby MIS, unrolled rounds (md5-key rule shared
+    # verbatim with graph/mis.py)
+    "rel_mis": _mis_sql(),
     # deterministic walks: unrolled per-step successor CTEs sharing the
     # md5(f"{step}:{u}:{v}") rule verbatim with stages/walk.py
     "rel_walks": _walks_sql(),
@@ -2713,6 +2812,7 @@ QUERIES = {
     "rel_walks": q_rel_walks,
     "rel_anf": q_rel_anf,
     "rel_effective_diameter": q_rel_effective_diameter,
+    "rel_mis": q_rel_mis,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
     "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,

@@ -89,3 +89,66 @@ def test_scc_round_cap_raises():
     # force the cap with max_rounds=0 on a graph needing >=1 round
     with pytest.raises(RuntimeError):
         _run([0, 1], [1, 0], max_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (graph/mis.py) — shares this file's Dataset-
+# iteration test style
+def _mis_df(sv, dv, **kw):
+    from everythinggraph_ray.graph.mis import maximal_independent_set
+
+    # tail_threshold=0 by default in tests: exercise the fully
+    # distributed rounds, no serial tail
+    kw.setdefault("tail_threshold", 0)
+    res, rounds = maximal_independent_set(_ds(sv, dv), **kw)
+    return res.to_pandas().sort_values("vid").reset_index(drop=True), rounds
+
+
+def test_mis_distributed_matches_greedy_serial_oracle():
+    """ONE fully-distributed run checked for oracle equality AND the
+    independence + maximality invariants (sparse graph ⇒ several Luby
+    rounds; the per-round shuffles make extra runs expensive)."""
+    from everythinggraph_ray.graph.mis import mis_serial
+
+    rng = np.random.default_rng(23)
+    sv = rng.integers(0, 50, 140).astype(np.int64)
+    dv = rng.integers(0, 50, 140).astype(np.int64)
+    got, rounds = _mis_df(sv, dv)
+    want = mis_serial(sv, dv)
+    assert dict(zip(got["vid"].tolist(), got["in_mis"].tolist())) == want
+    assert rounds >= 2  # must exercise multi-round shrink
+    in_mis = set(got[got["in_mis"] == 1]["vid"].tolist())
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(sv.tolist(), dv.tolist()):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for v in in_mis:  # independence
+        assert not (adj.get(v, set()) & in_mis)
+    for v in got[got["in_mis"] == 0]["vid"].tolist():  # maximality
+        assert adj.get(v, set()) & in_mis, v
+
+
+def test_mis_isolated_and_self_loop_vertices_join():
+    # 0-1 edge, 2 self-loop only, 3-4 edge: 2 must join (no real nbrs);
+    # semantics-only check ⇒ default (serial-tail) path is fine and fast
+    from everythinggraph_ray.graph.mis import maximal_independent_set
+
+    sv = np.array([0, 2, 3], dtype=np.int64)
+    dv = np.array([1, 2, 4], dtype=np.int64)
+    res, _ = maximal_independent_set(_ds(sv, dv))
+    got = res.to_pandas()
+    m = dict(zip(got["vid"].tolist(), got["in_mis"].tolist()))
+    assert m[2] == 1
+    assert m[0] + m[1] == 1 and m[3] + m[4] == 1
+
+
+def test_mis_serial_tail_path_matches_fully_distributed():
+    """Mixed path (distributed rounds + serial tail) == tail-free run."""
+    rng = np.random.default_rng(31)
+    sv = rng.integers(0, 40, 110).astype(np.int64)
+    dv = rng.integers(0, 40, 110).astype(np.int64)
+    full, _ = _mis_df(sv, dv)  # tail_threshold=0
+    mixed, r_mixed = _mis_df(sv, dv, tail_threshold=20)
+    assert r_mixed >= 2  # at least one distributed round before the tail
+    assert full.equals(mixed)
