@@ -43,10 +43,21 @@ _EMPTY = pa.table(
 
 
 def common_neighbors_topk(
-    edges: ray.data.Dataset, k: int = 20, *, center_cap: int | None = None
+    edges: ray.data.Dataset,
+    k: int = 20,
+    *,
+    center_cap: int | None = None,
+    score: str = "common",
 ) -> ray.data.Dataset:
-    """Top-k non-adjacent pairs by common-neighbor count, ties broken by
-    (a, b) ascending — fully deterministic. Returns (a, b, cnt)."""
+    """Top-k non-adjacent pairs, ties broken by (a, b) ascending — fully
+    deterministic. ``score='common'`` ranks by |N(a) ∩ N(b)| and returns
+    (a, b, cnt); ``score='jaccard'`` ranks by the neighborhood Jaccard
+    cnt / (deg(a) + deg(b) − cnt) and returns (a, b, cnt, jaccard) —
+    ONE int64÷int64 IEEE division, so it hash-matches a SQL oracle.
+    Jaccard needs degrees on every candidate pair BEFORE the top-k, so
+    it pays two extra degree-attach co-groups over the candidate set."""
+    if score not in ("common", "jaccard"):
+        raise ValueError(f"score must be common/jaccard, got {score!r}")
     und = _canonical_undirected(edges).materialize()  # consumed twice: wedges + anti-join
 
     def both_dir(batch: pa.Table) -> pa.Table:
@@ -135,8 +146,12 @@ def common_neighbors_topk(
         if not keep.any():
             return _EMPTY
         ka, kb, kc = sa[starts][keep], sb[starts][keep], total[keep]
-        # bucket-local top-k (global top-k is a subset of these)
-        o3 = np.lexsort((kb, ka, -kc))[:k]
+        if score == "jaccard":
+            # ranking needs degrees: emit every kept pair, trim later
+            o3 = slice(None)
+        else:
+            # bucket-local top-k (global top-k is a subset of these)
+            o3 = np.lexsort((kb, ka, -kc))[:k]
         return pa.table(
             {
                 "a": pa.array(ka[o3], pa.int64()),
@@ -146,4 +161,47 @@ def common_neighbors_topk(
         )
 
     top_parts = bucketed_reduce(tagged, pair_bucket, reduce_pairs)
-    return top_parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)
+    if score == "common":
+        return top_parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)
+
+    # jaccard: attach deg(a), deg(b) via the triangles degree co-group
+    # (distributed — the degree table never leaves the cluster), then the
+    # one-division score and a per-batch partial top-k before the global
+    from everythinggraph_ray.stages.agg import sum_by_key
+    from everythinggraph_ray.graph.triangles import _attach_degree
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        vid, cnt = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({"vid": pa.array(vid, pa.int64()), "c": pa.array(cnt, pa.int64())})
+
+    deg = sum_by_key(
+        und.map_batches(deg_partial, batch_format="pyarrow"), "vid", ["c"], out_names=["deg"]
+    )
+    with_da = _attach_degree(top_parts, deg, "a", "da")
+    with_db = _attach_degree(with_da, deg, "b", "db")
+
+    def jaccard_topk(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        union = batch["da"].to_numpy(zero_copy_only=False) + batch["db"].to_numpy(
+            zero_copy_only=False
+        ) - c
+        jac = c.astype(np.float64) / union.astype(np.float64)
+        o = np.lexsort((b, a, -jac))[:k]
+        return pa.table(
+            {
+                "a": pa.array(a[o], pa.int64()),
+                "b": pa.array(b[o], pa.int64()),
+                "cnt": pa.array(c[o], pa.int64()),
+                "jaccard": pa.array(jac[o], pa.float64()),
+            }
+        )
+
+    return (
+        with_db.map_batches(jaccard_topk, batch_format="pyarrow")
+        .sort(["jaccard", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )

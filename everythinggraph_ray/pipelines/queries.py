@@ -751,6 +751,15 @@ def q_rel_link_predict(sf_dir):
     return common_neighbors_topk(rel_edges(sf_dir), k=20)
 
 
+def q_rel_link_predict_jaccard(sf_dir):
+    """Neighborhood-Jaccard link prediction: top-20 non-adjacent pairs
+    by cnt / (deg(a) + deg(b) − cnt) — exact int64 inputs, ONE IEEE
+    division (hash-safe), degrees attached by distributed co-groups."""
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    return common_neighbors_topk(rel_edges(sf_dir), k=20, score="jaccard")
+
+
 def q_rel_lcc(sf_dir):
     """Per-vertex triangle counts + local clustering coefficient on the
     simple undirected rel graph: (vid, deg, tri, lcc). Same wedge/close
@@ -2365,6 +2374,20 @@ ORACLES: dict[str, str] = {
         "(SELECT 1 FROM cedge WHERE cedge.a = w.a AND cedge.b = w.b) "
         "ORDER BY cnt DESC, a, b LIMIT 20"
     ),
+    "rel_link_predict_jaccard": (
+        "WITH "
+        + _sql_graph_prelude(undirect=True)
+        + ", cedge AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst)"
+        ", degt AS (SELECT u AS vid, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u)"
+        ", w AS (SELECT n1.v AS a, n2.v AS b, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM und n1 JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v GROUP BY n1.v, n2.v)"
+        ", j AS (SELECT w.a, w.b, w.cnt, "
+        "CAST(w.cnt AS DOUBLE) / CAST(da.deg + db.deg - w.cnt AS DOUBLE) AS jaccard "
+        "FROM w JOIN degt da ON da.vid = w.a JOIN degt db ON db.vid = w.b "
+        "WHERE NOT EXISTS (SELECT 1 FROM cedge WHERE cedge.a = w.a AND cedge.b = w.b)) "
+        "SELECT a, b, cnt, jaccard FROM j ORDER BY jaccard DESC, a, b LIMIT 20"
+    ),
     # float expression mirrors q_rel_assortativity op-for-op (same IEEE
     # tree): n*sxy - sx*sy over sqrt(n*sx2 - sx^2)*sqrt(n*sy2 - sy^2)
     "rel_assortativity": (
@@ -2809,6 +2832,7 @@ QUERIES = {
     "rel_closeness": q_rel_closeness,
     "rel_assortativity": q_rel_assortativity,
     "rel_link_predict": q_rel_link_predict,
+    "rel_link_predict_jaccard": q_rel_link_predict_jaccard,
     "rel_walks": q_rel_walks,
     "rel_anf": q_rel_anf,
     "rel_effective_diameter": q_rel_effective_diameter,

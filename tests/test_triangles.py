@@ -187,3 +187,39 @@ def test_link_predict_empty_graph():
     sv = np.array([3], dtype=np.int64)  # a single self-loop: no simple edges
     dv = np.array([3], dtype=np.int64)
     assert common_neighbors_topk(_edges_ds(sv, dv), k=5).count() == 0
+
+
+def test_link_predict_jaccard_matches_bruteforce():
+    import collections
+
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    rng = np.random.default_rng(13)
+    sv = rng.integers(0, 50, 300).astype(np.int64)
+    dv = rng.integers(0, 50, 300).astype(np.int64)
+    got = common_neighbors_topk(_edges_ds(sv, dv), k=12, score="jaccard").to_pandas()
+
+    edges, adj = set(), collections.defaultdict(set)
+    for a, b in zip(sv.tolist(), dv.tolist()):
+        if a != b:
+            lo, hi = min(a, b), max(a, b)
+            edges.add((lo, hi))
+            adj[lo].add(hi)
+            adj[hi].add(lo)
+    scored = []
+    for u, nb in adj.items():
+        ns = sorted(nb)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in edges:
+                    scored.append(p)
+    rows = {}
+    for a, b in set(scored):
+        c = len(adj[a] & adj[b])
+        rows[(a, b)] = (c, c / (len(adj[a]) + len(adj[b]) - c))
+    want = sorted(rows.items(), key=lambda kv: (-kv[1][1], kv[0]))[:12]
+    got_t = [
+        (int(r.a), int(r.b), int(r.cnt), float(r.jaccard)) for r in got.itertuples()
+    ]
+    assert got_t == [(a, b, c, j) for (a, b), (c, j) in want]
