@@ -660,3 +660,39 @@ def test_validate_components_distributed(tmp_path):
     df.loc[df["vid"] == victim, "component"] = -99
     bad = validate_components(ray.data.from_pandas(df), und)
     assert bad["violations"] > 0
+
+
+def test_anf_lane_math_pure_numpy():
+    """No-Ray checks of the ANF sketch math: seed masks land exactly one
+    bit per lane, sum_lsb0 agrees with a per-row Python reference for
+    both lane widths, and the wide config's estimator is sane."""
+    from everythinggraph_ray.graph.kernels import ANFKernel
+
+    def lsb0_ref(x: int, bits: int) -> int:
+        for p in range(bits):
+            if not (x >> p) & 1:
+                return p
+        return bits
+
+    rng = np.random.default_rng(41)
+    vids = rng.integers(0, 1 << 40, 500).astype(np.int64)
+    for k_trials, bits in ((4, 16), (2, 32)):
+        k = ANFKernel(k_trials, bits)
+        seeds = k._seed_masks(vids)
+        for m in seeds.tolist():
+            u = m & 0xFFFFFFFFFFFFFFFF
+            for t in range(k_trials):
+                lane = (u >> (t * bits)) & ((1 << bits) - 1)
+                assert lane != 0 and lane & (lane - 1) == 0  # exactly one bit
+        masks = rng.integers(0, 1 << 62, 300).astype(np.int64)
+        got = k.sum_lsb0(masks)
+        want = [
+            sum(
+                lsb0_ref(((m & 0xFFFFFFFFFFFFFFFF) >> (t * bits)) & ((1 << bits) - 1), bits)
+                for t in range(k_trials)
+            )
+            for m in masks.tolist()
+        ]
+        assert got.tolist() == want
+    with np.testing.assert_raises(ValueError):
+        ANFKernel(3, 16)
