@@ -442,3 +442,89 @@ def simhash_candidates(
         )
     )
     return bucketed_reduce(cand, bucket_of, red).union(empty)
+
+
+# ---------------------------------------------------------------------------
+# md5-parity MinHash signatures — the one minhash variant a SQL engine can
+# reproduce bit-for-bit (DuckDB md5_number_lower == bytes [8:16] of the md5
+# digest, little-endian; verified empirically). 8 affine permutations over
+# that 64-bit base hash, arithmetic mod 2^64 (numpy uint64 wraparound ==
+# HUGEINT % 2^64 in SQL), then >> 3 so the result fits BIGINT.
+# ---------------------------------------------------------------------------
+
+MD5_MINHASH_SEEDS: list[tuple[int, int]] = [
+    # (a, b): a odd < 2^32 so a*h stays within HUGEINT in the SQL oracle
+    (0x9E3779B1, 0x0123456789ABCDEF),
+    (0x85EBCA77, 0x0F1E2D3C4B5A6978),
+    (0xC2B2AE3D, 0x243F6A8885A308D3),
+    (0x27D4EB2F, 0x13198A2E03707344),
+    (0x165667B1, 0xA4093822299F31D0),
+    (0xD3A2646D, 0x082EFA98EC4E6C89),
+    (0xFD7046C5, 0x452821E638D01377),
+    (0xB55A4F09, 0xBE5466CF34E90C6C),
+]
+
+
+def minhash_signatures_md5(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document MinHash signature with FULL SQL parity: tokens =
+    ``[a-z0-9]+`` over the lowered text (the repo-wide RE2/DuckDB-parity
+    tokenizer), shingles = ``k``-token runs joined with '_', base hash =
+    md5 bytes[8:16] little-endian (DuckDB ``md5_number_lower``), one
+    affine permutation per seed mod 2^64, min per (doc, seed), shifted
+    ``>> 3`` into BIGINT range. Documents with fewer than ``k`` tokens
+    are omitted (mirroring the oracle's empty-shingle-list semantics).
+
+    Long output (doc_id, seed, minhash) — 8 rows per doc. Streaming
+    map_batches, no shuffle: every doc's shingles stay inside its batch,
+    the per-doc min is computed locally. The per-shingle md5 loop is the
+    inherent cost of hashing text (same shape as exact_duplicates); the
+    8-permutation spread is one vectorized uint64 outer product.
+    """
+    A = np.array([a for a, _ in MD5_MINHASH_SEEDS], dtype=np.uint64)
+    B = np.array([b for _, b in MD5_MINHASH_SEEDS], dtype=np.uint64)
+    n_seeds = len(MD5_MINHASH_SEEDS)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        out_id = np.empty(len(ids) * n_seeds, dtype=np.int64)
+        out_seed = np.empty(len(ids) * n_seeds, dtype=np.int64)
+        out_mh = np.empty(len(ids) * n_seeds, dtype=np.int64)
+        n = 0
+        for did, text in zip(ids, texts):
+            toks = _SHINGLE_RE.findall((text or "").lower())
+            if len(toks) < k:
+                continue
+            sh = {"_".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            v = (A[:, None] * h[None, :] + B[:, None]) >> np.uint64(3)
+            mh = v.min(axis=1).astype(np.int64)
+            sl = slice(n, n + n_seeds)
+            out_id[sl] = did
+            out_seed[sl] = np.arange(n_seeds, dtype=np.int64)
+            out_mh[sl] = mh
+            n += n_seeds
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id[:n], pa.int64()),
+                "seed": pa.array(out_seed[:n], pa.int64()),
+                "minhash": pa.array(out_mh[:n], pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        sigs, batch_format="pyarrow"
+    )

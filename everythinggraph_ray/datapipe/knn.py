@@ -442,3 +442,59 @@ def embedding_near_duplicates(
         lambda t, _th=threshold: t.filter(pc.greater_equal(t["cos"], _th)),
         batch_format="pyarrow",
     )
+
+
+def allpairs_similarity(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine similarity above ``threshold`` — the
+    brute-force baseline the LSH path (embedding_near_duplicates) is
+    measured against, and the only embedding-similarity query with full
+    DuckDB parity (``list_cosine_similarity`` over ``DOUBLE[]``).
+
+    Shape: the whole corpus matrix is L2-normalized ONCE on the driver
+    and broadcast (``ray.put``); each batch then does one float64 matmul
+    against it and emits only the pairs over the threshold with
+    ``a < b`` (each unordered pair is produced exactly once, by the
+    batch holding the smaller id; self-pairs drop out of the strict
+    inequality). Returns (a, b, sim_milli) with ``sim_milli =
+    floor(cos * 1000)`` — an integer grid so the driver's value hash is
+    immune to the ~1e-15 summation-order difference between numpy's
+    pairwise-sum dot and DuckDB's sequential one.
+
+    Scale contract: exact all-pairs is inherently quadratic and the
+    broadcast side must fit in worker memory (64-dim float64 at 10M rows
+    is ~5 GB — beyond that, use embedding_near_duplicates: LSH buckets +
+    co-group verify, which never holds the corpus anywhere). This is the
+    verification/baseline path, not the 100 TB path.
+    """
+    rows = embeddings.select_columns([id_col, emb_col]).to_pandas()
+    ids = rows[id_col].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = _normalize(np.stack(rows[emb_col].to_numpy())[order].astype(np.float64))
+    cref = ray.put((ids, mat))
+    thr = float(threshold)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(cref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(_batch_matrix(batch, emb_col))
+        sims = bm @ cmat.T  # (batch, corpus) float64
+        bi, cj = np.nonzero((sims >= thr) & (bids[:, None] < cids[None, :]))
+        return pa.table(
+            {
+                "a": pa.array(bids[bi], pa.int64()),
+                "b": pa.array(cids[cj], pa.int64()),
+                "sim_milli": pa.array(
+                    np.floor(sims[bi, cj] * 1000.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)

@@ -650,3 +650,97 @@ def test_above_median_len_matches_pandas(tmp_path):
         exp_rows.append((lang, med, int((g["len"] >= med).sum())))
     exp = pd.DataFrame(exp_rows, columns=["lang", "median_len", "n_above"])
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_minhash_md5_matches_serial_reference():
+    """minhash_signatures_md5 == a per-doc pure-Python big-int reference
+    (md5 bytes[8:16] LE base hash, affine mod 2^64, >> 3), including the
+    <k-token omission rule and duplicate-shingle invariance."""
+    import hashlib
+
+    import ray.data
+
+    from everythinggraph_ray.datapipe.dedup import (
+        MD5_MINHASH_SEEDS,
+        minhash_signatures_md5,
+    )
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "too short",  # 2 tokens < k=3 -> omitted
+        "a b c",  # exactly one shingle
+        "dup dup dup dup dup",  # one distinct shingle repeated
+    ]
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = (
+        minhash_signatures_md5(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "seed"])
+        .reset_index(drop=True)
+    )
+
+    import re
+
+    want = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        if len(toks) < 3:
+            continue
+        sh = {"_".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        hs = [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+            for s in sh
+        ]
+        for seed, (a, b) in enumerate(MD5_MINHASH_SEEDS):
+            mh = min(((a * h + b) % (1 << 64)) >> 3 for h in hs)
+            want.append({"doc_id": i, "seed": seed, "minhash": mh})
+    wdf = pd.DataFrame(want)
+    assert got["doc_id"].tolist() == wdf["doc_id"].tolist()
+    assert got["seed"].tolist() == wdf["seed"].tolist()
+    assert got["minhash"].tolist() == wdf["minhash"].tolist()
+    assert 2 not in set(got["doc_id"])  # <k tokens omitted
+
+
+def test_allpairs_similarity_matches_numpy_bruteforce():
+    """allpairs_similarity == dense numpy all-pairs cosine: same pair
+    set (a<b, cos >= thr), same floor-milli values, self-pairs absent."""
+    import ray.data
+
+    from everythinggraph_ray.datapipe.knn import allpairs_similarity
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 16
+    vecs = rng.normal(size=(n, d))
+    vecs[17] = vecs[3] + 0.01 * rng.normal(size=d)  # planted near-dup
+    ids = np.arange(n, dtype=np.int64) * 7  # non-contiguous ids
+    docs = ray.data.from_items(
+        [
+            {"vec_id": int(ids[i]), "embedding": vecs[i].astype(np.float32).tolist()}
+            for i in range(n)
+        ]
+    )
+    thr = 0.5
+    got = (
+        allpairs_similarity(docs, threshold=thr, batch_size=32)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= thr:
+                want.append(
+                    (int(ids[i]), int(ids[j]), int(np.floor(sims[i, j] * 1000)))
+                )
+    want.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert (got["a"] < got["b"]).all()
+    assert {(3 * 7, 17 * 7)} <= {(r.a, r.b) for r in got.itertuples()}
