@@ -543,6 +543,49 @@ def q_rel_closeness(sf_dir):
     ).sort_values("source").reset_index(drop=True)
 
 
+def q_rel_betweenness(sf_dir):
+    """Betweenness centrality from the 8 smallest sources (truncated
+    Brandes, 12-hop cap): forward sigma levels and backward delta levels
+    as bucketed hash_join + sum_by_key rounds over the simple digraph
+    (graph/betweenness.py). Full SQL parity via the unrolled-level
+    oracle; bc rounded to 7 decimals (the pagerank10 float device)."""
+    from everythinggraph_ray.graph.betweenness import betweenness
+
+    return betweenness(
+        rel_edges(sf_dir), _rel_sources(sf_dir, MSBFS_SOURCES), max_levels=BC_LEVELS
+    )
+
+
+HARMONIC_SCALE = 720720  # LCM(1..16): reached * (SCALE // level) is exact
+
+
+def q_rel_harmonic(sf_dir):
+    """Harmonic centrality + eccentricity of the 8 MS-BFS sources, from
+    the SAME single MS-BFS pass as closeness. Exact-integer device:
+    harmonic_x720720 = Σ_level reached · (720720 // level) — floor
+    division on both sides, so the driver hash is exact; the float
+    `harmonic` is that integer divided once by 720720 (bit-exact, same
+    device as rel_closeness). ecc = max populated level."""
+    kernel, res = _msbfs_run(sf_dir)
+    nsrc = len(kernel.sources)
+    hx = np.zeros(nsrc, dtype=np.int64)
+    ecc = np.zeros(nsrc, dtype=np.int64)
+    for m in res["metrics"]:
+        ex = np.asarray(m.get("extra", []), dtype=np.int64)
+        lvl = m["superstep"]
+        if len(ex) and lvl > 0:
+            hx += ex * (HARMONIC_SCALE // lvl)
+            ecc[ex > 0] = lvl  # metrics arrive in superstep order
+    return pd.DataFrame(
+        {
+            "source": np.asarray(kernel.sources, dtype=np.int64),
+            "ecc": ecc,
+            "harmonic_x720720": hx,
+            "harmonic": hx / float(HARMONIC_SCALE),
+        }
+    ).sort_values("source").reset_index(drop=True)
+
+
 def q_rel_sssp_hops(sf_dir):
     df = _run_engine(_rel_build(sf_dir), SSSPHopsKernel(_rel_root(sf_dir)))
     return df.rename(columns={"sssp_hops": "dist"})[["vid", "dist"]]
@@ -1997,6 +2040,63 @@ def _sql_graph_prelude(*, undirect: bool = False, no_self: bool = False) -> str:
     return ", ".join(parts)
 
 
+BC_LEVELS = 12  # truncated-Brandes hop cap, shared verbatim with graph/betweenness.py
+
+
+def _betweenness_sql(T: int = BC_LEVELS) -> str:
+    """Unrolled truncated-Brandes oracle (8 smallest sources, simple
+    digraph, hop metric, cap T): a recursive CTE pins min hop distances
+    m(i, vid), then per-level sigma CTEs (sum of predecessor sigmas over
+    DAG edges) and reverse delta CTEs (sigma · Σ (1+delta)/sigma over
+    successors) mirror graph/betweenness.py stage for stage. sigma is
+    DOUBLE on both sides; bc = round(Σ levels ≥ 1 delta, 7) — the
+    repo-wide float-parity device."""
+    # every unrolled CTE is MATERIALIZED: DuckDB otherwise inlines them,
+    # re-evaluating the whole sig/delta chain per reference (exponential)
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM de UNION ALL SELECT dst AS vid FROM de))",
+        "srcs AS MATERIALIZED (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS i "
+        "FROM (SELECT vid FROM verts ORDER BY vid LIMIT 8))",
+        f"r(i, vid, d) AS (SELECT i, vid, CAST(0 AS BIGINT) FROM srcs UNION "
+        f"SELECT r.i, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.vid WHERE r.d < {T})",
+        "m AS MATERIALIZED (SELECT i, vid, min(d) AS d FROM r GROUP BY i, vid)",
+        "sig0 AS MATERIALIZED (SELECT i, vid, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(
+            f"sig{t} AS MATERIALIZED (SELECT p.i, de.dst AS vid, sum(p.sigma) AS sigma "
+            f"FROM sig{t-1} p JOIN de ON de.src = p.vid "
+            f"JOIN m mv ON mv.i = p.i AND mv.vid = de.dst "
+            f"WHERE mv.d = {t} GROUP BY p.i, de.dst)"
+        )
+    ctes.append(
+        f"d{T} AS MATERIALIZED (SELECT i, vid, sigma, CAST(0 AS DOUBLE) AS delta FROM sig{T})"
+    )
+    for t in range(T - 1, -1, -1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT l.i, l.vid, l.sigma, "
+            f"l.sigma * coalesce(s.acc, 0) AS delta "
+            f"FROM sig{t} l LEFT JOIN ("
+            f"SELECT d.i, de.src AS vid, sum((1 + d.delta) / d.sigma) AS acc "
+            f"FROM d{t+1} d JOIN de ON de.dst = d.vid GROUP BY d.i, de.src) s "
+            f"ON s.i = l.i AND s.vid = l.vid)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT vid, delta FROM d{t}" for t in range(1, T + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f", contrib AS MATERIALIZED ({union}) "
+        "SELECT v.vid, round(coalesce(b.s, 0), 7) AS bc FROM verts v "
+        "LEFT JOIN (SELECT vid, sum(delta) AS s FROM contrib GROUP BY vid) b "
+        "ON b.vid = v.vid"
+    )
+
+
 def _walks_sql(length: int = WALK_LEN) -> str:
     """Unrolled deterministic-walk oracle: per step t a successor CTE
     (row_number over md5(f'{t}:{src}:{dst}'), ties by dst — the exact
@@ -2359,6 +2459,26 @@ ORACLES: dict[str, str] = {
         "CASE WHEN coalesce(sum(m.d), 0) > 0 THEN "
         "CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 1 END), 0) AS DOUBLE) / CAST(sum(m.d) AS DOUBLE) "
         "ELSE 0.0 END AS closeness "
+        "FROM srcs s LEFT JOIN m ON m.i = s.i GROUP BY s.vid ORDER BY s.vid"
+    ),
+    # truncated Brandes betweenness, unrolled sigma/delta levels
+    "rel_betweenness": _betweenness_sql(),
+    # harmonic centrality + eccentricity of the MS-BFS sources; the
+    # integer-scaled harmonic (floor div by level) is exact on both sides
+    "rel_harmonic": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", srcs AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS i "
+        "FROM (SELECT vid FROM verts ORDER BY vid LIMIT 8))"
+        ", r(i, vid, d) AS (SELECT i, vid, CAST(0 AS BIGINT) FROM srcs UNION "
+        "SELECT r.i, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.vid WHERE r.d < 64)"
+        ", m AS (SELECT i, vid, min(d) AS d FROM r GROUP BY i, vid) "
+        "SELECT s.vid AS source, "
+        "CAST(coalesce(max(m.d), 0) AS BIGINT) AS ecc, "
+        "CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 720720 // m.d END), 0) AS BIGINT) "
+        "AS harmonic_x720720, "
+        "CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 720720 // m.d END), 0) AS DOUBLE) "
+        "/ 720720.0 AS harmonic "
         "FROM srcs s LEFT JOIN m ON m.i = s.i GROUP BY s.vid ORDER BY s.vid"
     ),
     "rel_sssp_hops": (
@@ -2888,6 +3008,8 @@ QUERIES = {
     "rel_msbfs": q_rel_msbfs,
     "rel_msbfs_levels": q_rel_msbfs_levels,
     "rel_closeness": q_rel_closeness,
+    "rel_harmonic": q_rel_harmonic,
+    "rel_betweenness": q_rel_betweenness,
     "rel_assortativity": q_rel_assortativity,
     "rel_link_predict": q_rel_link_predict,
     "rel_link_predict_jaccard": q_rel_link_predict_jaccard,
