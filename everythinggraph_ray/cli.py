@@ -43,6 +43,7 @@ def _get_kernel(args):
         "sssp": lambda: K.SSSPHopsKernel(args.root),
         "sssp-parent": lambda: K.ParentSSSPHopsKernel(args.root),
         "sssp-weighted": lambda: K.SSSPWeightedKernel(args.root),
+        "widest": lambda: K.WidestPathKernel(args.root),
         "spmv": lambda: K.SpMVKernel(),
     }
     return table[args.kernel]()
@@ -69,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             "sssp-parent",
             "sssp-weighted",
             "sssp-weighted-pull",
+            "widest",
             "spmv",
             "triangles",
             "kcore",
@@ -167,7 +169,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.synthesize_weights:
         edges = E.synthesize_weights(edges)
         weighted = True
-    if args.kernel in ("sssp-weighted", "sssp-weighted-pull", "wpagerank") and not weighted:
+    if args.kernel in ("sssp-weighted", "sssp-weighted-pull", "wpagerank", "widest") and not weighted:
         edges = E.synthesize_weights(edges)
         weighted = True
 

@@ -73,13 +73,21 @@ from everythinggraph_ray.state.fs import (
 # combine semirings the scatter/apply machinery supports: the reference's
 # atomic write_add / writeMin (pagerank_simple.c:31-36, wcc.c:21-27) plus
 # bitwise OR for bit-parallel frontier kernels (MS-BFS masks — idempotent
-# and monotone like min, so resend-safe kernels may use it)
-_COMBINE_UFUNC = {"sum": np.add, "min": np.minimum, "or": np.bitwise_or}
+# and monotone like min, so resend-safe kernels may use it) and max for
+# the widest-path (max–min) semiring
+_COMBINE_UFUNC = {
+    "sum": np.add,
+    "min": np.minimum,
+    "max": np.maximum,
+    "or": np.bitwise_or,
+}
 
 
 def _combine_identity(combine: str, dtype) -> float | int:
     if combine == "min":
         return np.inf if dtype == np.float64 else np.iinfo(np.int64).max
+    if combine == "max":
+        return -np.inf if dtype == np.float64 else np.iinfo(np.int64).min
     return 0  # sum / or
 
 

@@ -580,6 +580,54 @@ class SSSPWeightedKernel(Kernel):
         return new, improved, 0.0
 
 
+class WidestPathKernel(Kernel):
+    """Widest (bottleneck / maximum-capacity) path from a root: cap(v) =
+    max over root→v paths of the minimum edge weight along the path —
+    the MAX–MIN semiring, the one monotone-idempotent semiring family
+    the reference's writeMin/write_add pair doesn't cover (wcc.c:21-27
+    writeMin is its dual). Rides the identical scatter/combine machinery
+    with combine='max': messages are ``min(cap(u), w)``, resends are
+    harmless (idempotent), convergence is frontier-empty. Weights are
+    the reference's synthesized ``src%10 + dst%10`` (init_all.c:663-666)
+    on a weighted build. Root cap is the finite sentinel ``CAP_INIT``
+    (exact in float64 and in the SQL oracle); unreached is −inf
+    internally, surfaced as −1 by the query layer."""
+
+    name = "widest_path"
+    combine = "max"
+    frontier = True
+    needs_weights = True
+    skip_self_loops = True
+    dtype = np.float64
+    resend_safe = True
+
+    CAP_INIT = 1e18  # 10^18 = 2^18·5^18, exactly representable in float64
+
+    def send_mask(self, vals):
+        return vals != -np.inf
+
+    def __init__(self, root: int):
+        self.root = root
+
+    def init_values(self, vids, outdeg, ctx):
+        c = np.full(len(vids), -np.inf)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            c[i] = self.CAP_INIT
+        return c
+
+    init_active = BFSKernel.init_active
+
+    def edge_values(self, per_edge, weights):
+        return np.minimum(per_edge, weights)
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg > old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
 class SpMVKernel(Kernel):
     """One gather-scatter step (spmv.c:98-106): y[v] = sum 0.001*x[u] over
     in-edges, x[u] = u."""

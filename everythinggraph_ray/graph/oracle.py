@@ -238,6 +238,29 @@ def sssp_weighted_oracle(src, dst, root, weight: np.ndarray | None = None):
     return vids, dist
 
 
+def widest_path_oracle(src, dst, root, cap_init: float = 1e18):
+    """Max–min relax to fixpoint (widest / bottleneck path), self-loops
+    skipped; weights = synthesized src%10 + dst%10. Unreached = -inf."""
+    w = synth_weights(src, dst)
+    vids, s, d = _index(src, dst)
+    keep = s != d
+    s, d, w = s[keep], d[keep], w[keep]
+    cap = np.full(len(vids), -np.inf)
+    r = np.searchsorted(vids, root)
+    if r >= len(vids) or vids[r] != root:
+        return vids, cap
+    cap[r] = cap_init
+    while True:
+        ok = cap[s] != -np.inf
+        cand = np.minimum(cap[s[ok]], w[ok])
+        new = cap.copy()
+        np.maximum.at(new, d[ok], cand)
+        if np.array_equal(new, cap):
+            break
+        cap = new
+    return vids, cap
+
+
 def spmv_oracle(src: np.ndarray, dst: np.ndarray):
     """One gather step: y[v] = sum_{u->v} 0.001 * x[u], x[u] = u (spmv.c)."""
     vids, s, d = _index(src, dst)

@@ -841,6 +841,21 @@ def q_rel_sssp_weighted(sf_dir):
     return out
 
 
+def q_rel_widest(sf_dir):
+    """Widest (bottleneck) path capacities from the min-vid root over the
+    synthesized weights — the max–min semiring on the same engine
+    (combine='max'). Every surfaced value is exact in float64 (weights
+    0..18, root sentinel 10^18, unreached −1), so the hash needs no
+    rounding device."""
+    from everythinggraph_ray.graph.kernels import WidestPathKernel
+
+    df = _run_engine(_rel_weighted_build(sf_dir), WidestPathKernel(_rel_root(sf_dir)))
+    out = df.rename(columns={"widest_path": "capacity"})[["vid", "capacity"]]
+    c = out["capacity"].to_numpy()
+    out["capacity"] = np.where(np.isneginf(c), -1.0, c)
+    return out
+
+
 # ----------------------------------------------------------------------
 # web-graph queries (url corpus; rows-only checks, pytest-validated)
 # ----------------------------------------------------------------------
@@ -2619,6 +2634,23 @@ ORACLES: dict[str, str] = {
         "FROM verts v LEFT JOIN (SELECT vid, min(d) AS d FROM r GROUP BY vid) m "
         "ON m.vid = v.vid"
     ),
+    # widest (bottleneck) path: max–min semiring. The recursion's state
+    # space (vid, c) is FINITE — c ∈ {10^18} ∪ {0..18} — so UNION dedup
+    # terminates without a path-weight bound (capacities only shrink
+    # along a path, so cycles repeat states and stop). All values exact
+    # in DOUBLE; unreached surfaces as −1 on both sides.
+    "rel_widest": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + ", ew AS (SELECT src, dst, CAST(src % 10 + dst % 10 AS DOUBLE) AS w "
+        "FROM e WHERE src <> dst)"
+        ", root AS (SELECT min(vid) AS rv FROM verts)"
+        ", r(vid, c) AS (SELECT rv, CAST(1000000000000000000 AS DOUBLE) FROM root "
+        "UNION SELECT ew.dst, least(r.c, ew.w) FROM r JOIN ew ON ew.src = r.vid) "
+        "SELECT v.vid, coalesce(m.c, CAST(-1 AS DOUBLE)) AS capacity "
+        "FROM verts v LEFT JOIN (SELECT vid, max(c) AS c FROM r GROUP BY vid) m "
+        "ON m.vid = v.vid"
+    ),
     "rel_spmv_edgecentric": (
         "WITH "
         + _sql_graph_prelude()
@@ -3024,6 +3056,7 @@ QUERIES = {
     "rel_spmv": q_rel_spmv,
     "rel_spmv_edgecentric": q_rel_spmv_edgecentric,
     "rel_sssp_weighted": q_rel_sssp_weighted,
+    "rel_widest": q_rel_widest,
     "rel_triangles": q_rel_triangles,
     "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,

@@ -384,6 +384,37 @@ def test_sssp_weighted_exact(small_corpus, small_edges, tmp_path):
         eng.shutdown()
 
 
+def test_widest_path_exact(small_corpus, small_edges, tmp_path):
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import WidestPathKernel
+    from everythinggraph_ray.stages.edges import synthesize_weights
+    from everythinggraph_ray.stages.extract import pages_to_edges
+
+    sv, dv = small_edges
+    bdir = str(tmp_path / "weighted_widest")
+    edges = synthesize_weights(pages_to_edges(ray.data.read_parquet(small_corpus)))
+    build_graph(edges, bdir, num_partitions=4, hub_threshold=8, weighted=True)
+    eng = GraphEngine(bdir)
+    try:
+        root = int(O.vertex_universe(sv, dv)[0])
+        res = eng.run(WidestPathKernel(root))
+        vids, cap = _vals(res, "widest_path")
+        ovids, ocap = O.widest_path_oracle(sv, dv, root)
+        assert np.array_equal(vids, ovids)
+        assert np.array_equal(cap, ocap)
+        # semiring sanity: root holds the sentinel, reached caps are
+        # within the synthesized weight range, capacity never exceeds
+        # the bottleneck bound of any single out-edge of the root
+        assert cap[vids == root][0] == WidestPathKernel.CAP_INIT
+        reached = (cap != -np.inf) & (vids != root)
+        assert reached.any()
+        assert ((cap[reached] >= 0) & (cap[reached] <= 18)).all()
+    finally:
+        eng.shutdown()
+
+
 def test_spmv_allclose(engine, small_edges):
     sv, dv = small_edges
     res = engine.run(SpMVKernel())

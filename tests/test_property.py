@@ -104,6 +104,22 @@ def test_cli_smoke(tmp_path):
     np.testing.assert_allclose(back["pagerank"].to_numpy(), opr, atol=1e-12)
 
 
+def test_cli_widest_smoke(tmp_path):
+    from everythinggraph_ray.cli import main
+    from everythinggraph_ray.sources.binary_edges import write_binary_edges
+
+    sv, dv = _rand_graph(13, n_v=100, n_e=400)
+    f = str(tmp_path / "e.bin")
+    write_binary_edges(_ds(sv, dv), f)
+    out = str(tmp_path / "out")
+    # widest auto-synthesizes weights when the input carries none
+    rc = main(["widest", "--edges-bin", f, "--out", out, "--partitions", "3", "--root", str(int(sv.min()))])
+    assert rc == 0
+    back = ray.data.read_parquet(f"{out}/data").to_pandas().sort_values("vid")
+    _, ocap = O.widest_path_oracle(sv, dv, int(sv.min()))
+    assert np.array_equal(back["widest_path"].to_numpy(), ocap)
+
+
 def test_cli_ppr_smoke(tmp_path):
     import json
 
