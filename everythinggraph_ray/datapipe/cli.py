@@ -34,6 +34,7 @@ OPS = [
     "fingerprint",
     "top-tokens",
     "tfidf",
+    "bigram-lm",
     "inverted-index",
     "vocab-hll",
     "exact-dedup",
@@ -167,6 +168,10 @@ def _run(args) -> int:
             res = text.tfidf_top_terms(
                 docs, docs.count(), k=args.k, text_col=tc, id_col=id_col
             )
+        elif args.op == "bigram-lm":
+            from everythinggraph_ray.datapipe.lm import bigram_lm
+
+            res = bigram_lm(docs, text_col=tc, id_col=id_col)
         elif args.op == "inverted-index":
             res = text.inverted_index(docs, text_col=tc, id_col=id_col, min_df=args.min_df)
         elif args.op == "vocab-hll":

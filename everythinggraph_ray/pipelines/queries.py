@@ -1080,6 +1080,17 @@ def q_docs_langid(sf_dir):
     return lang_id(_docs(sf_dir))
 
 
+def q_docs_bigram_lm(sf_dir):
+    """Corpus-as-its-own-LM quality signal: per-doc bigram logprob with
+    add-one smoothing over the observed bigram space (datapipe/lm.py —
+    CCNet/Gopher-style perplexity filter without an external model).
+    Hash parity via round(Σ ln-terms, 7), each term a ratio of exact
+    integer counts shared verbatim with the SQL."""
+    from everythinggraph_ray.datapipe.lm import bigram_lm
+
+    return bigram_lm(_docs(sf_dir))
+
+
 def q_docs_fingerprint(sf_dir):
     return fingerprint(_docs(sf_dir))
 
@@ -2744,6 +2755,24 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, CASE WHEN nt < 3 OR cnt = 0 THEN 'und' ELSE lang END AS lang_pred "
         "FROM r WHERE rk = 1"
     ),
+    # bigram LM scoring: cb/cu/B are exact integer counts; the per-doc
+    # sum of ln-terms carries the repo-wide round(·, 7) parity device
+    "docs_bigram_lm": (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts "
+        "FROM documents), "
+        "bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM "
+        "(SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)), "
+        "cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2), "
+        "cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1), "
+        "bsz AS (SELECT count(*) AS b FROM cb), "
+        "sc AS (SELECT bi.doc_id, count(*) AS n, "
+        "sum(ln(cb.cb + 1.0) - ln(cu.cu + bsz.b)) AS lp "
+        "FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN bsz "
+        "GROUP BY bi.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams, "
+        "round(coalesce(sc.lp, 0), 7) AS logprob "
+        "FROM documents d LEFT JOIN sc USING (doc_id)"
+    ),
     "docs_top_tokens": (
         r"SELECT t AS token, count(*) AS n FROM "
         r"(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents) "
@@ -3074,6 +3103,7 @@ QUERIES = {
     "docs_lang_counts": q_docs_lang_counts,
     "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
     "docs_top_tokens": q_docs_top_tokens,
+    "docs_bigram_lm": q_docs_bigram_lm,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_minhash_clusters": q_docs_minhash_clusters,

@@ -744,3 +744,38 @@ def test_allpairs_similarity_matches_numpy_bruteforce():
     assert list(map(tuple, got.itertuples(index=False))) == want
     assert (got["a"] < got["b"]).all()
     assert {(3 * 7, 17 * 7)} <= {(r.a, r.b) for r in got.itertuples()}
+
+
+def test_bigram_lm_matches_serial():
+    """Distributed bigram-LM scores == the pure-Python oracle, including
+    empty / single-token / repeated-bigram documents."""
+    import pandas as pd
+    import ray.data
+
+    from everythinggraph_ray.datapipe.lm import bigram_lm, bigram_lm_serial
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat",
+        "the dog sat on the mat the dog sat",
+        "",          # no tokens
+        "solo",      # one token, no bigrams
+        "the cat sat on the mat",  # exact duplicate boosts cb
+        "mat the mat the mat the",  # heavy repetition inside one doc
+    ]
+    ids = list(range(len(texts)))
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = (
+        bigram_lm(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        bigram_lm_serial(ids, texts), columns=["doc_id", "n_bigrams", "logprob"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[3, "n_bigrams"] == 0 and got.loc[3, "logprob"] == 0.0
+    # the duplicated doc must outscore its unique-text twin's counterpart
+    assert got.loc[5, "logprob"] == got.loc[0, "logprob"]
+    assert (got.loc[[0, 2, 6], "logprob"] < 0).all()

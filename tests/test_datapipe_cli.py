@@ -101,3 +101,12 @@ def test_cli_kmeans(tmp_path, capsys):
     assert info["rows"] == 500
     back = ray.data.read_parquet(out).to_pandas()
     assert set(back.columns) == {"vec_id", "cluster"} and back["cluster"].nunique() <= 4
+
+
+def test_cli_bigram_lm(tmp_path, capsys):
+    out = str(tmp_path / "blm")
+    info = _run(["bigram-lm", "--docs", DOCS, "--out", out], capsys)
+    assert info["rows"] == 500
+    back = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert set(back.columns) == {"doc_id", "n_bigrams", "logprob"}
+    assert (back["logprob"] <= 0).all() and (back["n_bigrams"] >= 0).all()
