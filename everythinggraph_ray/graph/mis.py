@@ -89,8 +89,12 @@ def maximal_independent_set(
             # subgraph (exactly the parallel fixpoint of what's left)
             vids = active.to_pandas()["vid"].to_numpy(np.int64)
             tail_edges = und.to_pandas()
+            # an empty Dataset loses its schema in to_pandas() (no columns)
+            empty = np.empty(0, np.int64)
             tw = mis_serial_active(
-                vids, tail_edges["src"].to_numpy(np.int64), tail_edges["dst"].to_numpy(np.int64)
+                vids,
+                tail_edges["src"].to_numpy(np.int64) if len(tail_edges) else empty,
+                tail_edges["dst"].to_numpy(np.int64) if len(tail_edges) else empty,
             )
             mis_parts.append(
                 ray.data.from_arrow(pa.table({"vid": pa.array(tw, pa.int64())}))

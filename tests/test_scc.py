@@ -143,6 +143,20 @@ def test_mis_isolated_and_self_loop_vertices_join():
     assert m[0] + m[1] == 1 and m[3] + m[4] == 1
 
 
+def test_mis_tail_with_no_edges():
+    # self-loops only: the undirected simple edge set is EMPTY when the
+    # serial tail engages (an empty Dataset's to_pandas() has no columns
+    # — regression: KeyError 'src'); every vertex joins the MIS
+    from everythinggraph_ray.graph.mis import maximal_independent_set
+
+    sv = np.array([5, 7, 9], dtype=np.int64)
+    dv = np.array([5, 7, 9], dtype=np.int64)
+    res, _ = maximal_independent_set(_ds(sv, dv), tail_threshold=512)
+    got = res.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got["vid"].tolist() == [5, 7, 9]
+    assert got["in_mis"].tolist() == [1, 1, 1]
+
+
 def test_mis_serial_tail_path_matches_fully_distributed():
     """Mixed path (distributed rounds + serial tail) == tail-free run."""
     rng = np.random.default_rng(31)
