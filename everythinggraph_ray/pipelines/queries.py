@@ -841,6 +841,21 @@ def q_rel_sssp_weighted(sf_dir):
     return out
 
 
+def q_rel_msf(sf_dir):
+    """Minimum spanning forest (Borůvka, graph/msf.py) of the undirected
+    simple graph under the synthesized weights, unique by the (w, u, v)
+    total order. Rows-only driver check (Kruskal is not SQL-expressible);
+    exact Kruskal-equality pytest in tests/test_msf.py."""
+    from everythinggraph_ray.graph.msf import minimum_spanning_forest
+    from everythinggraph_ray.stages.edges import synthesize_weights
+
+    forest, _rounds = minimum_spanning_forest(synthesize_weights(rel_edges(sf_dir)))
+    df = forest.to_pandas()
+    if df.empty:  # 0-row Datasets lose their schema in to_pandas
+        df = pd.DataFrame({"u": [], "v": [], "w": []})
+    return df.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_rel_widest(sf_dir):
     """Widest (bottleneck) path capacities from the min-vid root over the
     synthesized weights — the max–min semiring on the same engine
@@ -3086,6 +3101,7 @@ QUERIES = {
     "rel_spmv_edgecentric": q_rel_spmv_edgecentric,
     "rel_sssp_weighted": q_rel_sssp_weighted,
     "rel_widest": q_rel_widest,
+    "rel_msf": q_rel_msf,
     "rel_triangles": q_rel_triangles,
     "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,
