@@ -1670,6 +1670,19 @@ def q_docs_decontaminate(sf_dir):
     return decontaminate(corpus, bench, ngram=5)
 
 
+DUP_SPAN_N = 8
+
+
+def q_docs_dup_spans(sf_dir):
+    """Substring-level (span) dedup stats: per doc, how many 8-token
+    windows occur in >=2 distinct documents and how many token positions
+    they cover (datapipe/substr.py — two bucketed shuffles, md5-parity
+    gram hashes shared verbatim with the SQL oracle)."""
+    from everythinggraph_ray.datapipe.substr import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir), n=DUP_SPAN_N)
+
+
 def q_docs_mixture_sample(sf_dir):
     """Composed mixing pipeline: compute per-(lang, source) uniform
     mixing weights (mix_weights — a #groups-row table), then
@@ -2960,6 +2973,26 @@ def _curation_oracles() -> dict[str, str]:
             r"SELECT g.doc_id, count(*) AS n_contaminated FROM g JOIN bench USING (gram) "
             r"WHERE g.doc_id % 7 <> 0 GROUP BY g.doc_id"
         ),
+        "docs_dup_spans": (
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            r"FROM documents), "
+            r"wins AS (SELECT doc_id, i, CAST(CAST(md5_number_lower(array_to_string(t[i:i+7], '_')) "
+            r"AS HUGEINT) // 8 AS BIGINT) AS h, len(t) AS nt "
+            r"FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), "
+            r"duph AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2), "
+            r"dup AS (SELECT w.doc_id, w.i FROM wins w JOIN duph USING (h)), "
+            r"cov AS (SELECT d.doc_id, count(DISTINCT j) AS covered FROM dup d, "
+            r"LATERAL unnest(generate_series(d.i, d.i + 7)) AS g(j) GROUP BY d.doc_id), "
+            r"dw AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY doc_id), "
+            r"base AS (SELECT doc_id, max(nt) AS n_tokens, count(*) AS n_windows FROM wins GROUP BY doc_id) "
+            r"SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+            r"CAST(b.n_windows AS BIGINT) AS n_windows, "
+            r"CAST(coalesce(dw.dup_windows, 0) AS BIGINT) AS dup_windows, "
+            r"CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens, "
+            r"CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_tokens AS dup_frac "
+            r"FROM base b LEFT JOIN dw ON dw.doc_id = b.doc_id "
+            r"LEFT JOIN cov ON cov.doc_id = b.doc_id"
+        ),
         "docs_mix_weights": (
             r"WITH s AS (SELECT lang, source, count(*) AS n_docs, "
             r"CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens "
@@ -3146,6 +3179,7 @@ QUERIES = {
     "docs_sample_stratified": q_docs_sample_stratified,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_dup_spans": q_docs_dup_spans,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_gopher_filter": q_docs_gopher_filter,
     "docs_mix_weights": q_docs_mix_weights,
