@@ -346,6 +346,31 @@ def q_rel_wpagerank10(sf_dir):
     return df[["vid", "wpagerank"]]
 
 
+COARSEN_GROUPS = 64
+
+
+def q_rel_coarsen_wpr10(sf_dir):
+    """Composed multilevel pipeline: coarsen the distinct simple edge set
+    by the deterministic grouping vid % 64 into a weighted supergraph
+    (graph/coarsen.py contract — edge counts become weights, contracted
+    self-loops dropped), then weighted PageRank 10 iterations on the
+    coarse graph (the page-graph -> domain-graph -> domain-rank shape of
+    a web pipeline, hash-checked end to end)."""
+    from everythinggraph_ray.graph.coarsen import contract
+    from everythinggraph_ray.graph.kernels import WeightedPageRankKernel
+    from everythinggraph_ray.stages.edges import filter_self_loops
+
+    sup = contract(
+        dedup_edges(filter_self_loops(rel_edges(sf_dir))), COARSEN_GROUPS
+    )
+    bdir = build_dir_for(f"relcoarse{COARSEN_GROUPS}-wd|{sf_dir}", 4)
+    build_graph(sup, bdir, num_partitions=4, hub_threshold=10**9, weighted=True)
+    df = _run_engine(bdir, WeightedPageRankKernel(), n_iters=10)
+    df["wpagerank"] = np.round(df["wpagerank"].to_numpy(), 7)
+    df = df.rename(columns={"vid": "gid"})
+    return df[["gid", "wpagerank"]]
+
+
 def q_rel_hits10(sf_dir):
     """HITS hubs & authorities, 10 L2-normalized iterations over the
     dst-partitioned build (graph/hits.py — auth phase is the pull
@@ -2216,6 +2241,31 @@ def _wpagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS wpagerank FROM r10"
 
 
+def _coarsen_wpr10_sql() -> str:
+    """Coarsen-then-weighted-PageRank: supergraph = distinct simple edges
+    grouped by (src%64, dst%64) with contracted self-loops dropped, edge
+    count as weight; then the exact _wpagerank10_sql iteration over it."""
+    g = COARSEN_GROUPS
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        f"ew AS (SELECT src % {g} AS src, dst % {g} AS dst, CAST(count(*) AS DOUBLE) AS w "
+        f"FROM d WHERE src % {g} <> dst % {g} GROUP BY src % {g}, dst % {g})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM ew UNION ALL SELECT dst AS vid FROM ew))",
+        "wd AS (SELECT src AS vid, sum(w) AS wd FROM ew GROUP BY src)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"r{k} AS (SELECT v.vid, (SELECT 0.15/n FROM nv) + 0.85 * coalesce(s.contrib, 0) AS r "
+            f"FROM verts v LEFT JOIN (SELECT ew.dst AS vid, sum((p.r / wd.wd) * ew.w) AS contrib "
+            f"FROM ew JOIN r{k-1} p ON p.vid = ew.src JOIN wd ON wd.vid = ew.src "
+            f"WHERE wd.wd > 0 GROUP BY ew.dst) s ON s.vid = v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + " SELECT vid AS gid, round(r, 7) AS wpagerank FROM r10"
+
+
 def _hits10_sql() -> str:
     """HITS, 10 iterations: auth_raw = sum of in-neighbor hub, L2
     normalize, hub_raw = sum of out-neighbor (scaled) auth, L2
@@ -2396,6 +2446,7 @@ ORACLES: dict[str, str] = {
     "rel_kcore": _kcore_sql(),
     "rel_hits10": _hits10_sql(),
     "rel_wpagerank10": _wpagerank10_sql(),
+    "rel_coarsen_wpr10": _coarsen_wpr10_sql(),
     "rel_neighbor_sample": (
         f"WITH e AS ({SQL_REL_EDGES}), de AS (SELECT DISTINCT src, dst FROM e), "
         "h AS (SELECT src, dst, md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) AS hh FROM de), "
@@ -3103,6 +3154,7 @@ QUERIES = {
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,
     "rel_wpagerank10": q_rel_wpagerank10,
+    "rel_coarsen_wpr10": q_rel_coarsen_wpr10,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
