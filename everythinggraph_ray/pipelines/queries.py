@@ -714,6 +714,33 @@ def q_rel_spmv(sf_dir):
     return df[["vid", "y"]]
 
 
+KTRUSS_K = 8
+KTRUSS_MAX_ROUNDS = 6
+
+
+def q_rel_edge_support(sf_dir):
+    """Per-edge triangle count (truss support) of the simple undirected
+    graph — (a, b, support) with a < b, 0-support edges included
+    (graph/truss.py edge_support: the triangles.py wedge/close machinery
+    with per-EDGE credit)."""
+    from everythinggraph_ray.graph.truss import edge_support
+
+    return edge_support(rel_edges(sf_dir))
+
+
+def q_rel_ktruss(sf_dir):
+    """8-truss via simultaneous peeling, capped at 6 rounds so the SQL
+    oracle can unroll the exact same computation (the cap is the parity
+    contract; at sf0.01 the peel converges in 4). Output = surviving
+    edges with their final support (graph/truss.py ktruss)."""
+    from everythinggraph_ray.graph.truss import ktruss
+
+    sup, _rounds = ktruss(
+        rel_edges(sf_dir), KTRUSS_K, max_rounds=KTRUSS_MAX_ROUNDS
+    )
+    return sup
+
+
 def q_rel_triangles(sf_dir):
     n = triangle_count(rel_edges(sf_dir))
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
@@ -2241,6 +2268,44 @@ def _wpagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS wpagerank FROM r10"
 
 
+def _truss_sql() -> tuple[str, str]:
+    """(edge_support oracle, ktruss oracle): support = common-neighbor
+    count per canonical undirected edge; ktruss = KTRUSS_MAX_ROUNDS
+    unrolled simultaneous peels at threshold KTRUSS_K - 2, final support
+    recomputed over the surviving set — op-for-op the Ray semantics."""
+    need = KTRUSS_K - 2
+    base = (
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        f"FROM ({SQL_REL_EDGES}) WHERE src <> dst)"
+    )
+
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs at every use
+    # site, so an unrolled peel would re-expand (and re-open the parquet)
+    # exponentially — same trick as the betweenness oracle
+    def support_ctes(i: int) -> list[str]:
+        return [
+            f"adj{i} AS MATERIALIZED (SELECT a AS x, b AS y FROM e{i} UNION ALL SELECT b AS x, a AS y FROM e{i})",
+            f"s{i} AS MATERIALIZED (SELECT c.a, c.b, count(n2.x) AS support FROM e{i} c "
+            f"LEFT JOIN adj{i} n1 ON n1.x = c.a "
+            f"LEFT JOIN adj{i} n2 ON n2.x = c.b AND n2.y = n1.y "
+            f"GROUP BY c.a, c.b)",
+        ]
+    ctes = [base] + support_ctes(0)
+    support_sql = (
+        "WITH " + ", ".join(ctes) + " SELECT a, b, CAST(support AS BIGINT) AS support FROM s0"
+    )
+    for i in range(1, KTRUSS_MAX_ROUNDS + 1):
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM s{i-1} WHERE support >= {need})"
+        )
+        ctes.extend(support_ctes(i))
+    truss_sql = (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT a, b, CAST(support AS BIGINT) AS support FROM s{KTRUSS_MAX_ROUNDS}"
+    )
+    return support_sql, truss_sql
+
+
 def _coarsen_wpr10_sql() -> str:
     """Coarsen-then-weighted-PageRank: supergraph = distinct simple edges
     grouped by (src%64, dst%64) with contracted self-loops dropped, edge
@@ -2447,6 +2512,8 @@ ORACLES: dict[str, str] = {
     "rel_hits10": _hits10_sql(),
     "rel_wpagerank10": _wpagerank10_sql(),
     "rel_coarsen_wpr10": _coarsen_wpr10_sql(),
+    "rel_edge_support": _truss_sql()[0],
+    "rel_ktruss": _truss_sql()[1],
     "rel_neighbor_sample": (
         f"WITH e AS ({SQL_REL_EDGES}), de AS (SELECT DISTINCT src, dst FROM e), "
         "h AS (SELECT src, dst, md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) AS hh FROM de), "
@@ -3155,6 +3222,8 @@ QUERIES = {
     "rel_hits10": q_rel_hits10,
     "rel_wpagerank10": q_rel_wpagerank10,
     "rel_coarsen_wpr10": q_rel_coarsen_wpr10,
+    "rel_edge_support": q_rel_edge_support,
+    "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
