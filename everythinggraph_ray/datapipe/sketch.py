@@ -150,3 +150,161 @@ def hll_distinct_tokens(
         return out
 
     return hll_distinct(docs, text_col, p=p, values_of=values_of)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+# The point-query counterpart of HLL: a depth x width int64 grid, updated
+# cnt-at-hash-slot per row of each hash, queried by min over the depth
+# rows (Cormode & Muthukrishnan 2005).  Mergeable by element-wise SUM, so
+# each batch folds to at most depth*width (slot, cnt) rows and the corpus
+# reduces to one small grid regardless of input size — the same shape as
+# the HLL registers above.  Hashes are the md5_number_lower affine family
+# shared with dedup.py:minhash_signatures_md5, so the whole sketch (build
+# AND query) is expressible bit-for-bit in the DuckDB oracle.
+
+
+def _cms_seeds(depth: int) -> tuple[np.ndarray, np.ndarray]:
+    from everythinggraph_ray.datapipe.dedup import MD5_MINHASH_SEEDS
+
+    if depth > len(MD5_MINHASH_SEEDS):
+        raise ValueError(f"depth must be <= {len(MD5_MINHASH_SEEDS)}")
+    A = np.array([a for a, _ in MD5_MINHASH_SEEDS[:depth]], dtype=np.uint64)
+    B = np.array([b for _, b in MD5_MINHASH_SEEDS[:depth]], dtype=np.uint64)
+    return A, B
+
+
+def _cms_slots(tokens: list[str], width: int, depth: int) -> np.ndarray:
+    """(depth, n) global slot ids: r*width + ((a_r*h + b_r) mod 2^64) % width
+    with h = md5_number_lower(token)."""
+    from hashlib import md5
+
+    A, B = _cms_seeds(depth)
+    h = np.fromiter(
+        (int.from_bytes(md5(t.encode()).digest()[8:16], "little") for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    slots = (A[:, None] * h[None, :] + B[:, None]) % np.uint64(width)  # uint64 wrap == mod 2^64
+    return (np.arange(depth, dtype=np.uint64)[:, None] * np.uint64(width) + slots).astype(
+        np.int64
+    )
+
+
+def cms_token_counts(
+    docs: ray.data.Dataset,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """The corpus token-frequency CMS as its nonzero (slot, cnt) rows,
+    slot in [0, depth*width).  Each batch contributes at most depth*width
+    rows; the bucketed sum merges them — nothing driver-resident."""
+    import re
+
+    import pyarrow.compute as pc
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    rx = re.compile(WORD_RE)
+    size = depth * width
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in pc.utf8_lower(batch[text_col]).to_pylist():
+            for w in rx.findall(t):
+                cnt[w] = cnt.get(w, 0) + 1
+        if not cnt:
+            return pa.table(
+                {"slot": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        gslots = _cms_slots(list(cnt.keys()), width, depth)
+        c = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+        local = np.bincount(
+            gslots.ravel(), weights=np.broadcast_to(c, gslots.shape).ravel(), minlength=size
+        ).astype(np.int64)
+        nz = np.flatnonzero(local)
+        return pa.table(
+            {"slot": pa.array(nz, pa.int64()), "cnt": pa.array(local[nz], pa.int64())}
+        )
+
+    return sum_by_key(docs.map_batches(partial, batch_format="pyarrow"), "slot", ["cnt"])
+
+
+def cms_heavy_hitters(
+    docs: ray.data.Dataset,
+    threshold: int,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """(token, est) for every distinct token whose CMS point-query
+    estimate (min over the depth rows) reaches ``threshold``.  est
+    over-counts under collisions, never under-counts — the CMS guarantee.
+
+    Two streaming passes: the sketch build above (grid <= depth*width
+    int64s — collected once and ray.put-broadcast, the textbook
+    small-side pattern), then a distinct-token pass that looks each
+    candidate up in the broadcast grid.  The vocabulary never
+    concentrates anywhere: distinct tokens stream through a bucketed
+    dedup and leave as (token, est) rows."""
+    import re
+
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    size = depth * width
+    grid_rows = cms_token_counts(
+        docs, width=width, depth=depth, text_col=text_col
+    ).to_pandas()  # <= depth*width rows by construction
+    grid = np.zeros(size, dtype=np.int64)
+    if len(grid_rows):
+        grid[grid_rows["slot"].to_numpy()] = grid_rows["cnt"].to_numpy()
+    grid_ref = _ray.put(grid)
+
+    rx = re.compile(WORD_RE)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for t in pc.utf8_lower(batch[text_col]).to_pylist():
+            seen.update(rx.findall(t))
+        return pa.table({"token": pa.array(sorted(seen), pa.string())})
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        from hashlib import blake2b
+
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
+                for t in batch["token"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def estimate(g: pa.Table) -> pa.Table:
+        toks = sorted(set(g["token"].to_pylist()))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "est": pa.array([], pa.int64())}
+            )
+        gr = _ray.get(grid_ref)
+        est = gr[_cms_slots(toks, width, depth)].min(axis=0)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "token": pa.array([t for t, k in zip(toks, keep) if k], pa.string()),
+                "est": pa.array(est[keep], pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(
+        docs.map_batches(distinct_partial, batch_format="pyarrow"), bucket_of, estimate
+    )

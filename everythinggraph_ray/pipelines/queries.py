@@ -1735,6 +1735,21 @@ def q_docs_dup_spans(sf_dir):
     return duplicate_spans(_docs(sf_dir), n=DUP_SPAN_N)
 
 
+CMS_WIDTH, CMS_DEPTH, CMS_THRESHOLD = 1024, 4, 900
+
+
+def q_docs_cms_heavy(sf_dir):
+    """Count-min-sketch heavy hitters: tokens whose CMS point-query
+    estimate reaches 900 occurrences (datapipe/sketch.py — md5-parity
+    affine hashes, grid built by a bucketed slot sum and broadcast once,
+    candidates stream through a bucketed distinct)."""
+    from everythinggraph_ray.datapipe.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _docs(sf_dir), CMS_THRESHOLD, width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+
+
 def q_docs_mixture_sample(sf_dir):
     """Composed mixing pipeline: compute per-(lang, source) uniform
     mixing weights (mix_weights — a #groups-row table), then
@@ -3182,6 +3197,27 @@ ORACLES["cust_no_bigorder"] = (
     "SELECT c_custkey, c_mktsegment FROM customer c WHERE NOT EXISTS "
     "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
 )
+def _cms_heavy_oracle() -> str:
+    from everythinggraph_ray.datapipe.dedup import MD5_MINHASH_SEEDS
+
+    seeds = ", ".join(
+        f"({r}, {a}, {b})" for r, (a, b) in enumerate(MD5_MINHASH_SEEDS[:CMS_DEPTH])
+    )
+    return (
+        "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "tc AS (SELECT token, count(*) AS c FROM toks GROUP BY token), "
+        "h AS (SELECT token, c, CAST(md5_number_lower(token) AS HUGEINT) AS hh FROM tc), "
+        f"seeds(r, a, b) AS (VALUES {seeds}), "
+        f"sl AS (SELECT r, ((a * hh + b) % 18446744073709551616) % {CMS_WIDTH} AS s, token, c "
+        "FROM h CROSS JOIN seeds), "
+        "cms AS (SELECT r, s, sum(c) AS cnt FROM sl GROUP BY r, s), "
+        "est AS (SELECT sl.token, min(cms.cnt) AS est FROM sl "
+        "JOIN cms ON cms.r = sl.r AND cms.s = sl.s GROUP BY sl.token) "
+        f"SELECT token, CAST(est AS BIGINT) AS est FROM est WHERE est >= {CMS_THRESHOLD}"
+    )
+
+
 def _minhash_md5_oracle() -> str:
     from everythinggraph_ray.datapipe.dedup import MD5_MINHASH_SEEDS
 
@@ -3201,6 +3237,7 @@ def _minhash_md5_oracle() -> str:
 
 
 ORACLES["docs_minhash_md5"] = _minhash_md5_oracle()
+ORACLES["docs_cms_heavy"] = _cms_heavy_oracle()
 ORACLES["emb_allpairs_sim"] = (
     "SELECT a.vec_id AS a, b.vec_id AS b, "
     "CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
@@ -3301,6 +3338,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_dup_spans": q_docs_dup_spans,
+    "docs_cms_heavy": q_docs_cms_heavy,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_gopher_filter": q_docs_gopher_filter,
     "docs_mix_weights": q_docs_mix_weights,

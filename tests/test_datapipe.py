@@ -779,3 +779,55 @@ def test_bigram_lm_matches_serial():
     # the duplicated doc must outscore its unique-text twin's counterpart
     assert got.loc[5, "logprob"] == got.loc[0, "logprob"]
     assert (got.loc[[0, 2, 6], "logprob"] < 0).all()
+
+
+def test_cms_never_undercounts_and_matches_serial():
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from everythinggraph_ray.datapipe.sketch import (
+        _cms_slots,
+        cms_heavy_hitters,
+        cms_token_counts,
+    )
+
+    rng = np.random.default_rng(2)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(5, 30)))
+        for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    truth = Counter(w for t in texts for w in re.findall(r"[a-z0-9]+", t.lower()))
+
+    W, D = 64, 3  # narrow grid to force collisions
+    ds = ray.data.from_pandas(df)
+
+    # grid == serial grid (merge correctness across batches/partitions)
+    grid_rows = cms_token_counts(ds.repartition(7), width=W, depth=D).to_pandas()
+    grid = np.zeros(D * W, np.int64)
+    grid[grid_rows["slot"]] = grid_rows["cnt"]
+    want = np.zeros(D * W, np.int64)
+    toks = sorted(truth)
+    slots = _cms_slots(toks, W, D)
+    for j, t in enumerate(toks):
+        for r in range(D):
+            want[slots[r, j]] += truth[t]
+    assert (grid == want).all()
+
+    # point estimates never undercount; heavy hitters include every true-heavy token
+    hh = cms_heavy_hitters(ds, 40, width=W, depth=D).to_pandas()
+    est = dict(zip(hh["token"], hh["est"]))
+    for t, e in est.items():
+        assert e >= truth[t]
+    for t, c in truth.items():
+        if c >= 40:
+            assert t in est and est[t] >= c
+
+    # wide grid, no collisions: estimates exact, threshold boundary exact
+    hh2 = cms_heavy_hitters(ds, 40, width=4096, depth=4).to_pandas()
+    want2 = {t: c for t, c in truth.items() if c >= 40}
+    assert dict(zip(hh2["token"], hh2["est"])) == want2
