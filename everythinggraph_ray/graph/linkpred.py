@@ -205,3 +205,92 @@ def common_neighbors_topk(
         .sort(["jaccard", "a", "b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def cocitation_topk(
+    edges: ray.data.Dataset,
+    k: int = 20,
+    *,
+    center_cap: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k co-cited pairs of the DIRECTED graph: (a, b, cnt) with a < b,
+    cnt = number of distinct sources linking to both — the bipartite /
+    co-citation projection (order→parts, page→out-links, user→items).
+    Unlike ``common_neighbors_topk`` this keeps adjacent pairs (the
+    projection is a graph of its own, not a link-prediction candidate
+    set) and walks only OUT-neighborhoods, so no undirecting happens.
+    Ties break by (a, b) ascending; ``center_cap`` bounds the inherent
+    Σ outdeg² hub cost (documented recall trade), default exact.
+
+    Shape: distinct directed edges → src-bucketed pair emission with a
+    local combine → pair-bucketed sum keeping the bucket-local top-k →
+    exact global top-k (sort over ≤ k·buckets rows)."""
+    from everythinggraph_ray.stages.edges import dedup_edges
+
+    dist = dedup_edges(edges.select_columns(["src", "dst"]))
+
+    def center_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["src"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        u = g["src"].to_numpy(zero_copy_only=False)
+        v = g["dst"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(u) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(u)] if len(st) else st
+        a_out, b_out = [], []
+        for s, e in zip(st, ends):
+            nb = v[s:e]  # ascending + distinct ⇒ pairs canonical (a < b)
+            if len(nb) < 2 or (center_cap is not None and len(nb) > center_cap):
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            a_out.append(nb[i])
+            b_out.append(nb[j])
+        if not a_out:
+            return _EMPTY
+        wa = np.concatenate(a_out)
+        wb = np.concatenate(b_out)
+        o2 = np.lexsort((wb, wa))
+        wa, wb = wa[o2], wb[o2]
+        starts = np.flatnonzero(np.r_[True, (wa[1:] != wa[:-1]) | (wb[1:] != wb[:-1])])
+        cnt = np.diff(np.r_[starts, len(wa)])
+        return pa.table(
+            {
+                "a": pa.array(wa[starts], pa.int64()),
+                "b": pa.array(wb[starts], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    pairs = bucketed_reduce(dist, center_bucket, emit_pairs)
+
+    def pair_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+
+    def sum_topk(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        if not len(a):
+            return _EMPTY
+        order = np.lexsort((b, a))
+        sa, sb, sc = a[order], b[order], cnt[order]
+        new = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        starts = np.flatnonzero(new)
+        total = np.add.reduceat(sc, starts)
+        ka, kb = sa[starts], sb[starts]
+        o3 = np.lexsort((kb, ka, -total))[:k]
+        return pa.table(
+            {
+                "a": pa.array(ka[o3], pa.int64()),
+                "b": pa.array(kb[o3], pa.int64()),
+                "cnt": pa.array(total[o3], pa.int64()),
+            }
+        )
+
+    parts = bucketed_reduce(pairs, pair_bucket, sum_topk)
+    return parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)

@@ -846,6 +846,16 @@ def q_rel_link_predict(sf_dir):
     return common_neighbors_topk(rel_edges(sf_dir), k=20)
 
 
+def q_rel_cocitation(sf_dir):
+    """Co-citation projection: top-20 dst pairs by the number of distinct
+    srcs linking to both (the bipartite order→part projection; adjacent
+    pairs kept, directed out-neighborhoods only —
+    graph/linkpred.py cocitation_topk)."""
+    from everythinggraph_ray.graph.linkpred import cocitation_topk
+
+    return cocitation_topk(rel_edges(sf_dir), k=20)
+
+
 def q_rel_link_predict_jaccard(sf_dir):
     """Neighborhood-Jaccard link prediction: top-20 non-adjacent pairs
     by cnt / (deg(a) + deg(b) − cnt) — exact int64 inputs, ONE IEEE
@@ -2702,6 +2712,12 @@ ORACLES: dict[str, str] = {
     "rel_walks": _walks_sql(),
     # common neighbors over the distinct undirected adjacency; the
     # NOT EXISTS is linkpred's in-bucket anti-join
+    "rel_cocitation": (
+        f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})) "
+        "SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM d e1 JOIN d e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+        "GROUP BY e1.dst, e2.dst ORDER BY cnt DESC, a, b LIMIT 20"
+    ),
     "rel_link_predict": (
         "WITH "
         + _sql_graph_prelude(undirect=True)
@@ -3260,6 +3276,7 @@ QUERIES = {
     "rel_wpagerank10": q_rel_wpagerank10,
     "rel_coarsen_wpr10": q_rel_coarsen_wpr10,
     "rel_edge_support": q_rel_edge_support,
+    "rel_cocitation": q_rel_cocitation,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,

@@ -122,3 +122,32 @@ def test_ktruss_max_rounds_guard():
     # it and dies only in the (skipped) round 2
     pdf = partial.to_pandas()
     assert set(zip(pdf["a"], pdf["b"])) == {(1, 2)}
+
+
+def test_cocitation_matches_brute_force():
+    from collections import Counter
+
+    from everythinggraph_ray.graph.linkpred import cocitation_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"src": rng.integers(0, 30, 600), "dst": rng.integers(0, 50, 600)}
+    )
+    dist = set(zip(df["src"], df["dst"]))
+    cnt = Counter()
+    adj: dict[int, list[int]] = {}
+    for s, d in dist:
+        adj.setdefault(s, []).append(d)
+    for s, nbs in adj.items():
+        nbs = sorted(nbs)
+        for i in range(len(nbs)):
+            for j in range(i + 1, len(nbs)):
+                cnt[(nbs[i], nbs[j])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = cocitation_topk(_ds(df), k=20).to_pandas()
+    assert [((a, b), c) for a, b, c in zip(got["a"], got["b"], got["cnt"])] == want
+    # center_cap drops hub centers only (recall trade, never overcounts)
+    capped = cocitation_topk(_ds(df), k=20, center_cap=18).to_pandas()
+    assert len(capped) > 0  # some centers fall under the cap
+    for a, b, c in zip(capped["a"], capped["b"], capped["cnt"]):
+        assert c <= cnt[(a, b)]
