@@ -718,6 +718,17 @@ KTRUSS_K = 8
 KTRUSS_MAX_ROUNDS = 6
 
 
+def q_rel_matching(sf_dir):
+    """Greedy-by-md5-key maximal matching of the simple undirected graph
+    (graph/matching.py — deterministic parallel rounds whose fixpoint is
+    the sequential greedy matching in key order; the SQL oracle unrolls
+    the same rounds, the MIS-oracle device)."""
+    from everythinggraph_ray.graph.matching import maximal_matching
+
+    out, _rounds = maximal_matching(rel_edges(sf_dir))
+    return out
+
+
 def q_rel_edge_support(sf_dir):
     """Per-edge triangle count (truss support) of the simple undirected
     graph — (a, b, support) with a < b, 0-support edges included
@@ -2293,6 +2304,46 @@ def _wpagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS wpagerank FROM r10"
 
 
+def _matching_sql(rounds: int = 20) -> str:
+    """Unrolled deterministic parallel matching (the _mis_sql device on
+    EDGES): round r matches every active edge whose md5 key is minimal at
+    BOTH endpoints; matched endpoints retire their edges. ``rounds`` must
+    exceed the data's true round count (converges well within 20 at
+    sf0.01; extra rounds run on empty sets). Leftover active edges are
+    deliberately NOT matched, so an insufficient unroll mismatches loudly."""
+
+    def key(a: str, b: str) -> str:
+        return (
+            f"md5(CAST({a} AS VARCHAR) || ':' || CAST({b} AS VARCHAR)) || "
+            f"lpad(CAST({a} AS VARCHAR), 20, '0') || lpad(CAST({b} AS VARCHAR), 20, '0')"
+        )
+
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        f"FROM ({SQL_REL_EDGES}) WHERE src <> dst)"
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"vm{r} AS MATERIALIZED (SELECT x AS v, min(k) AS mk FROM "
+            f"(SELECT a AS x, {key('a', 'b')} AS k FROM e{r} "
+            f"UNION ALL SELECT b AS x, {key('a', 'b')} AS k FROM e{r}) GROUP BY x)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"JOIN vm{r} va ON va.v = e.a JOIN vm{r} vb ON vb.v = e.b "
+            f"WHERE {key('e.a', 'e.b')} = va.mk AND {key('e.a', 'e.b')} = vb.mk)"
+        )
+        ctes.append(
+            f"sat{r} AS MATERIALIZED (SELECT a AS vid FROM w{r} UNION SELECT b AS vid FROM w{r})"
+        )
+        ctes.append(
+            f"e{r+1} AS MATERIALIZED (SELECT a, b FROM e{r} "
+            f"WHERE a NOT IN (SELECT vid FROM sat{r}) AND b NOT IN (SELECT vid FROM sat{r}))"
+        )
+    union = " UNION ALL ".join(f"SELECT a, b FROM w{r}" for r in range(rounds))
+    return "WITH " + ", ".join(ctes) + f" SELECT a, b FROM ({union})"
+
+
 def _truss_sql() -> tuple[str, str]:
     """(edge_support oracle, ktruss oracle): support = common-neighbor
     count per canonical undirected edge; ktruss = KTRUSS_MAX_ROUNDS
@@ -2537,6 +2588,7 @@ ORACLES: dict[str, str] = {
     "rel_hits10": _hits10_sql(),
     "rel_wpagerank10": _wpagerank10_sql(),
     "rel_coarsen_wpr10": _coarsen_wpr10_sql(),
+    "rel_matching": _matching_sql(),
     "rel_edge_support": _truss_sql()[0],
     "rel_ktruss": _truss_sql()[1],
     "rel_neighbor_sample": (
@@ -3277,6 +3329,7 @@ QUERIES = {
     "rel_coarsen_wpr10": q_rel_coarsen_wpr10,
     "rel_edge_support": q_rel_edge_support,
     "rel_cocitation": q_rel_cocitation,
+    "rel_matching": q_rel_matching,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
