@@ -32,7 +32,7 @@ import pyarrow as pa
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, settle
 from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops
 
 __all__ = ["maximal_matching", "matching_serial"]
@@ -68,18 +68,6 @@ def _canonical(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _settle(ds: ray.data.Dataset, num_blocks: int) -> ray.data.Dataset:
-    """Materialize loop-carried state with a BOUNDED block count.  A bare
-    materialize() lets blocks accumulate across rounds (unions and
-    bucketed groupbys each add a few), and per-round fixed cost then grows
-    with the round number until it dwarfs the work (measured 4x/round on
-    400 edges); coalescing through repartition keeps every round O(1)
-    blocks and flat wall time.  (from_arrow_refs round-tripping — the
-    graph/truss.py device — also bounds plan depth but not block count,
-    and rapid ref cycles tripped a ray-core refcount fatal here.)"""
-    return ds.repartition(num_blocks).materialize()
-
-
 def matching_serial(src, dst) -> set[tuple[int, int]]:
     """Sequential greedy matching in md5-key order over the canonical
     simple edge set — the exact spec of the parallel fixpoint."""
@@ -108,7 +96,7 @@ def maximal_matching(
     per-bucket fixed cost dominates them otherwise)."""
     from everythinggraph_ray.datapipe.joins import hash_join
 
-    active = _settle(_canonical(edges), num_buckets)
+    active = settle(_canonical(edges), num_buckets)
     matched_parts: list[ray.data.Dataset] = []
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -193,7 +181,7 @@ def maximal_matching(
                 {"a": pa.array(s[keep], pa.int64()), "b": pa.array(d[keep], pa.int64())}
             )
 
-        winners = _settle(with_ab.map_batches(pick_winners, batch_format="pyarrow"), num_buckets)
+        winners = settle(with_ab.map_batches(pick_winners, batch_format="pyarrow"), num_buckets)
         if winners.count() == 0:
             # every active edge lost both local minima to a neighbor that
             # itself lost the other endpoint — impossible with a total
@@ -222,14 +210,14 @@ def maximal_matching(
         # two-step shrink with an emptiness gate between the anti-joins:
         # hash_join peeks the left schema (take_batch) and raises on an
         # empty input, which the src-side join can legitimately produce
-        active = _settle(
+        active = settle(
             hash_join(
                 active, saturated, on="src", right_on="vid", how="anti", num_buckets=num_buckets
             ),
             num_buckets,
         )
         if active.count():
-            active = _settle(
+            active = settle(
                 hash_join(
                     active, saturated, on="dst", right_on="vid", how="anti", num_buckets=num_buckets
                 ),

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, sum_by_key
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, settle, sum_by_key
 from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops, undirect_edges
 
 
@@ -147,7 +147,7 @@ def maximal_independent_set(
             keep = np.array([m is None or o < m for o, m in zip(own, mk)])
             return pa.table({"vid": pa.array(v[keep], pa.int64())})
 
-        winners = joined.map_batches(pick_winners, batch_format="pyarrow").materialize()
+        winners = settle(joined.map_batches(pick_winners, batch_format="pyarrow"))
         mis_parts.append(winners)
 
         losers = sum_by_key(
@@ -164,8 +164,8 @@ def maximal_independent_set(
             ["one"],
         ).select_columns(["vid"])
 
-        decided = winners.union(losers).materialize()
-        active = hash_join(active, decided, on="vid", how="anti").materialize()
+        decided = settle(winners.union(losers))
+        active = settle(hash_join(active, decided, on="vid", how="anti"))
         if active.count() and und.count():
             und = hash_join(
                 hash_join(und, active, on="src", right_on="vid", how="semi"),
@@ -173,7 +173,8 @@ def maximal_independent_set(
                 on="dst",
                 right_on="vid",
                 how="semi",
-            ).materialize()
+            )
+            und = settle(und)
         else:
             und = ray.data.from_arrow(
                 pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})

@@ -33,7 +33,7 @@ from everythinggraph_ray.graph.triangles import (
     BROADCAST_V_THRESHOLD,
     _oriented_with_degrees,
 )
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair, settle
 
 __all__ = ["edge_support", "ktruss"]
 
@@ -218,13 +218,11 @@ def ktruss(
     cur = edges
     rounds = 0
     while rounds < max_rounds:
-        # lineage TRUNCATION, not just materialization: a plain
-        # materialize() still chains plans across rounds and blows the
-        # recursion limit after ~25 peel rounds; round-tripping the block
-        # refs gives a fresh zero-copy Dataset with O(1) plan depth
-        sup = ray.data.from_arrow_refs(
-            edge_support(cur, broadcast_threshold=broadcast_threshold).to_arrow_refs()
-        )
+        # settle the loop-carried state (stages/agg.py:settle): a plain
+        # materialize() chains plans across rounds and blows the recursion
+        # limit after ~25 peels, and block counts otherwise accumulate
+        # round over round
+        sup = settle(edge_support(cur, broadcast_threshold=broadcast_threshold))
         rounds += 1
 
         def below_partial(batch: pa.Table) -> pa.Table:

@@ -238,3 +238,18 @@ def grouped_quantiles(
         return pa.table(out)
 
     return bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"), bucket_of, red, num_buckets=num_buckets)
+
+
+def settle(ds: ray.data.Dataset, num_blocks: int = 8) -> ray.data.Dataset:
+    """Materialize LOOP-CARRIED state with a bounded block count.
+
+    Iterative Dataset loops (MIS, matching, truss peeling) accumulate
+    blocks round over round (every union and bucketed groupby adds a
+    few), and a bare ``materialize()`` keeps them all — per-round fixed
+    cost then grows with the round number until it dwarfs the work
+    (measured 4x/round on a 400-edge matching). Coalescing through
+    ``repartition`` keeps every round O(1) blocks and flat wall time.
+    (``from_arrow_refs(to_arrow_refs())`` also truncates the plan but
+    not the block count, and rapid ref round-trips tripped a ray-core
+    refcount fatal — prefer this device for loop state.)"""
+    return ds.repartition(num_blocks).materialize()
