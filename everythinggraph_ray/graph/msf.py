@@ -41,7 +41,7 @@ import pyarrow as pa
 
 import ray.data
 
-from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair
+from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair, settle
 
 
 def _canonical_weighted(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -184,11 +184,11 @@ def minimum_spanning_forest(
             )
             return batch.filter(pa.array(m))
 
-        e2 = e2.map_batches(cross_only, batch_format="pyarrow").materialize()
+        e2 = settle(e2.map_batches(cross_only, batch_format="pyarrow"))
         if e2.count() == 0:
             rounds -= 1
             break
-        ue = e2.select_columns(["u", "v", "w"]).materialize()
+        ue = settle(e2.select_columns(["u", "v", "w"]))
 
         def comp_bucket(batch: pa.Table) -> np.ndarray:
             return mix64(batch["comp"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
@@ -199,9 +199,11 @@ def minimum_spanning_forest(
             ).first()
             return pa.Table.from_pandas(df[list(_BEST_COLS)], preserve_index=False)
 
-        best = bucketed_reduce(
-            e2.map_batches(_best_partial, batch_format="pyarrow"), comp_bucket, best_final
-        ).materialize()
+        best = settle(
+            bucketed_reduce(
+                e2.map_batches(_best_partial, batch_format="pyarrow"), comp_bucket, best_final
+            )
+        )
 
         # both endpoint components may pick the same edge → dedup by pair
         def pick_bucket(batch: pa.Table) -> np.ndarray:
@@ -216,7 +218,7 @@ def minimum_spanning_forest(
                 df[["u", "v", "w", "cu", "cv"]], preserve_index=False
             )
 
-        picked = bucketed_reduce(best, pick_bucket, pick_dedup).materialize()
+        picked = settle(bucketed_reduce(best, pick_bucket, pick_dedup))
         forest_parts.append(picked.select_columns(["u", "v", "w"]))
 
         # contract the picked component graph (small, shrinks ≥ 2× per
@@ -240,7 +242,7 @@ def minimum_spanning_forest(
                 {"vid": batch["vid"], "comp": pa.array(out, pa.int64())}
             )
 
-        lab = lab.map_batches(relabel, batch_format="pyarrow").materialize()
+        lab = settle(lab.map_batches(relabel, batch_format="pyarrow"))
 
     if not forest_parts:
         return ray.data.from_arrow(_EMPTY), rounds

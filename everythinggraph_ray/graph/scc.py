@@ -48,6 +48,7 @@ import ray.data
 from everythinggraph_ray.graph.build import build_graph
 from everythinggraph_ray.graph.engine import GraphEngine
 from everythinggraph_ray.graph.kernels import WCCKernel
+from everythinggraph_ray.stages.agg import settle
 from everythinggraph_ray.stages.edges import (
     dedup_edges,
     filter_self_loops,
@@ -86,13 +87,15 @@ def _filter_edges_to(
         return ray.data.from_arrow(
             pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         )
-    return hash_join(
-        hash_join(edges, vids, on="src", right_on="vid", how="semi"),
-        vids,
-        on="dst",
-        right_on="vid",
-        how="semi",
-    ).materialize()
+    return settle(
+        hash_join(
+            hash_join(edges, vids, on="src", right_on="vid", how="semi"),
+            vids,
+            on="dst",
+            right_on="vid",
+            how="semi",
+        )
+    )
 
 
 def _minlabel(edges: ray.data.Dataset, label_col: str, num_partitions: int) -> ray.data.Dataset:
@@ -148,12 +151,14 @@ def scc(
             n_e = cur.count()
             if n_e == 0:
                 break
-            core = hash_join(
-                _distinct_vids(cur, "src"),
-                _distinct_vids(cur, "dst"),
-                on="vid",
-                how="semi",
-            ).materialize()
+            core = settle(
+                hash_join(
+                    _distinct_vids(cur, "src"),
+                    _distinct_vids(cur, "dst"),
+                    on="vid",
+                    how="semi",
+                )
+            )
             cur = _filter_edges_to(cur, core)
             if cur.count() == n_e:
                 break
@@ -166,7 +171,7 @@ def scc(
 
         f = _minlabel(cur, "f", num_partitions)
         b = _minlabel(reverse_edges(cur), "b", num_partitions)
-        fb = hash_join(f, b, on="vid", right_cols=["b"]).materialize()
+        fb = settle(hash_join(f, b, on="vid", right_cols=["b"]))
 
         def split(batch: pa.Table, *, want_done: bool) -> pa.Table:
             fv = batch["f"].to_numpy(zero_copy_only=False)
@@ -178,11 +183,11 @@ def scc(
             return t.select(["vid"])
 
         assigned.append(
-            fb.map_batches(lambda t: split(t, want_done=True), batch_format="pyarrow").materialize()
+            settle(fb.map_batches(lambda t: split(t, want_done=True), batch_format="pyarrow"))
         )
-        survivors = fb.map_batches(
-            lambda t: split(t, want_done=False), batch_format="pyarrow"
-        ).materialize()
+        survivors = settle(
+            fb.map_batches(lambda t: split(t, want_done=False), batch_format="pyarrow")
+        )
         cur = _filter_edges_to(cur, survivors)
 
     # everything never claimed by an F==B round is a singleton SCC
