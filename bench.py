@@ -270,6 +270,9 @@ def full_suite() -> dict:
         lambda: Q.q_events_purchase_window(SF_DIR).to_pandas()
     )
     out["docs_decontaminate"] = _best_of(lambda: Q.q_docs_decontaminate(SF_DIR).to_pandas())
+    # round-3 third batch: substring-level dedup (two bucketed shuffles
+    # over every n-token window — the heaviest new text op)
+    out["docs_dup_spans"] = _best_of(lambda: Q.q_docs_dup_spans(SF_DIR).to_pandas())
 
     out = {k: round(v, 3) for k, v in out.items()}
     return {"queries": out, "extra": extra}

@@ -1529,6 +1529,105 @@ def q_events_sessions(sf_dir):
     return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
+def q_events_props_sum(sf_dir):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` string with ONE RE2 kernel
+    (pyarrow.compute.extract_regex — zero-copy Arrow, no json.loads row
+    loop), then per-event-type sum/count. The regex is shared verbatim
+    with the DuckDB oracle (the repo's RE2-parity convention)."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    from hashlib import blake2b
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(batch["props"], pattern=r'"k": (?P<k>\d+)'), "k"
+        )
+        kv = pc.cast(k, pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": kv.to_pandas().fillna(0).astype(np.int64),
+                "hit": pc.is_valid(kv).to_pandas().astype(np.int64),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            k_sum=("k", "sum"), n_hits=("hit", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
+                for t in batch["event_type"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(
+            df.astype({"k_sum": np.int64, "n_hits": np.int64}), preserve_index=False
+        )
+
+    return bucketed_reduce(ev.map_batches(partial, batch_format="pyarrow"), bucket_of, red)
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir):
+    """Ordered funnel analysis: per user, stage k is reached when its
+    event occurs AT OR AFTER the user's earliest completion of stage k-1
+    (min-ts chaining with >= comparisons — ties count). Output: one row
+    of per-stage user counts (n_view, n_click, n_purchase) plus n_users.
+
+    Shape: users co-locate by hash bucket; each bucket resolves every
+    user's stage chain with three vectorized filter+groupby-min passes
+    and emits ONE partial-count row; a trivial final sum. Shuffle weight
+    is the event rows once, nothing user-keyed leaves the bucket."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        t_prev = None
+        counts = [int(df["user_id"].nunique())]
+        for stage in FUNNEL_STAGES:
+            sub = df[df["event_type"] == stage]
+            if t_prev is not None:
+                sub = sub.merge(t_prev, on="user_id")
+                sub = sub[sub["ts"] >= sub["t_prev"]]
+            cur = sub.groupby("user_id", as_index=False)["ts"].min()
+            counts.append(len(cur))
+            t_prev = cur.rename(columns={"ts": "t_prev"})
+        return pa.table(
+            {
+                "n_users": pa.array([counts[0]], pa.int64()),
+                "n_view": pa.array([counts[1]], pa.int64()),
+                "n_click": pa.array([counts[2]], pa.int64()),
+                "n_purchase": pa.array([counts[3]], pa.int64()),
+            }
+        )
+
+    partials = bucketed_reduce(ev, bucket_of, funnel_bucket)
+    # <= num_buckets one-row partials: the driver-side sum is O(buckets)
+    out = partials.to_pandas().sum().to_frame().T.astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_events_sliding(sf_dir):
     """2-hour sliding windows, 1-hour hop, per user: each event at hour h
     belongs to the windows starting at h-1 and h — emitted twice in the
@@ -3026,6 +3125,24 @@ ORACLES: dict[str, str] = {
         "FROM q, embeddings e WHERE e.vec_id <> q.vec_id "
         "QUALIFY rank <= " + str(KNN_K)
     ),
+    "events_props_sum": (
+        "SELECT event_type, "
+        "CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum, "
+        "CAST(count(*) FILTER (regexp_extract(props, '\"k\": (\\d+)', 1) <> '') AS BIGINT) AS n_hits "
+        "FROM events GROUP BY event_type"
+    ),
+    "events_funnel": (
+        "WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' "
+        "GROUP BY user_id), "
+        "u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 ON u1.user_id = e.user_id "
+        "WHERE e.event_type = 'click' AND e.ts >= u1.t1 GROUP BY e.user_id), "
+        "u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 ON u2.user_id = e.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts >= u2.t2 GROUP BY e.user_id) "
+        "SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users, "
+        "(SELECT count(*) FROM u1) AS n_view, "
+        "(SELECT count(*) FROM u2) AS n_click, "
+        "(SELECT count(*) FROM u3) AS n_purchase"
+    ),
     "events_hourly": (
         "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n_events, "
         "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_u "
@@ -3395,6 +3512,8 @@ QUERIES = {
     "rel_wcc_dataset": q_rel_wcc_dataset,
     "knn_top10": q_knn_top10,
     "knn_ivf_top10": q_knn_ivf_top10,
+    "events_funnel": q_events_funnel,
+    "events_props_sum": q_events_props_sum,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,

@@ -229,3 +229,61 @@ def test_deterministic_walks_stop_at_sink():
     got = deterministic_walks(edges, seeds, 5).to_pandas().sort_values("step")
     assert got["vid"].tolist() == [0, 1, 2]
     assert got["step"].tolist() == [0, 1, 2]
+
+
+def test_events_funnel_ordering_semantics(tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from everythinggraph_ray.pipelines.queries import q_events_funnel
+
+    # user 1: view -> click -> purchase (all stages)
+    # user 2: click BEFORE its first view -> click doesn't count; later no click
+    # user 3: view and click at the SAME ts (ties count) but no purchase
+    # user 4: only purchases (stage 1 never reached)
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, ts, "view"), (1, ts + pd.Timedelta("1h"), "click"), (1, ts + pd.Timedelta("2h"), "purchase"),
+        (2, ts, "click"), (2, ts + pd.Timedelta("1h"), "view"),
+        (3, ts, "view"), (3, ts, "click"),
+        (4, ts, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = np.arange(len(df))
+    df["value"] = 0.0
+    df["props"] = '{"k": 1}'
+    d = tmp_path / "ev"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    out = q_events_funnel(str(d))
+    row = out.iloc[0]
+    assert row["n_users"] == 4
+    assert row["n_view"] == 3      # users 1, 2, 3
+    assert row["n_click"] == 2     # user 1; user 3 (tie); NOT user 2
+    assert row["n_purchase"] == 1  # user 1 only
+
+
+def test_events_props_extraction(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from everythinggraph_ray.pipelines.queries import q_events_props_sum
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 1, 2, 2],
+            "ts": pd.Timestamp("2024-01-01"),
+            "event_type": ["a", "a", "b", "b"],
+            "value": 0.0,
+            "props": ['{"k": 5}', '{"k": 37}', '{"nope": 1}', '{"k": 2}'],
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    out = q_events_props_sum(str(d)).to_pandas().set_index("event_type")
+    assert out.loc["a", "k_sum"] == 42 and out.loc["a", "n_hits"] == 2
+    assert out.loc["b", "k_sum"] == 2 and out.loc["b", "n_hits"] == 1
