@@ -294,3 +294,80 @@ def cocitation_topk(
 
     parts = bucketed_reduce(pairs, pair_bucket, sum_topk)
     return parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)
+
+
+def butterfly_count(
+    edges: ray.data.Dataset,
+    *,
+    center_cap: int | None = None,
+    num_buckets: int = 64,
+) -> int:
+    """Exact butterfly (bipartite 4-cycle / K_{2,2}) count of the directed
+    graph viewed as a src→dst bipartite incidence: for every dst pair
+    (d1 < d2), C(c, 2) butterflies where c = distinct srcs linking to
+    both — i.e. Σ over co-citation pairs of C(cnt, 2) (Wang et al.,
+    butterfly counting via wedge aggregation).  Reuses the co-citation
+    pair stream; the final stage folds each pair bucket to ONE partial
+    sum, so only ≤ num_buckets scalars reach the driver."""
+    from everythinggraph_ray.stages.edges import dedup_edges
+
+    dist = dedup_edges(edges.select_columns(["src", "dst"]))
+
+    def center_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["src"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        u = g["src"].to_numpy(zero_copy_only=False)
+        v = g["dst"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(u) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(u)] if len(st) else st
+        a_out, b_out = [], []
+        for s, e in zip(st, ends):
+            nb = v[s:e]
+            if len(nb) < 2 or (center_cap is not None and len(nb) > center_cap):
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            a_out.append(nb[i])
+            b_out.append(nb[j])
+        if not a_out:
+            return _EMPTY
+        wa = np.concatenate(a_out)
+        wb = np.concatenate(b_out)
+        o2 = np.lexsort((wb, wa))
+        wa, wb = wa[o2], wb[o2]
+        starts = np.flatnonzero(np.r_[True, (wa[1:] != wa[:-1]) | (wb[1:] != wb[:-1])])
+        cnt = np.diff(np.r_[starts, len(wa)])
+        return pa.table(
+            {
+                "a": pa.array(wa[starts], pa.int64()),
+                "b": pa.array(wb[starts], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    pairs = bucketed_reduce(dist, center_bucket, emit_pairs, num_buckets=num_buckets)
+
+    def pair_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        if not len(a):
+            return pa.table({"bf": pa.array([0], pa.int64())})
+        order = np.lexsort((b, a))
+        sa, sb, sc = a[order], b[order], cnt[order]
+        new = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        total = np.add.reduceat(sc, np.flatnonzero(new))
+        return pa.table(
+            {"bf": pa.array([int((total * (total - 1) // 2).sum())], pa.int64())}
+        )
+
+    res = bucketed_reduce(pairs, pair_bucket, fold).sum("bf")
+    return int(res) if res is not None else 0

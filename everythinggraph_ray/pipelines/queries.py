@@ -867,6 +867,15 @@ def q_rel_cocitation(sf_dir):
     return cocitation_topk(rel_edges(sf_dir), k=20)
 
 
+def q_rel_butterflies(sf_dir):
+    """Exact butterfly (K_{2,2}) count of the src→dst bipartite incidence:
+    Σ over co-cited dst pairs of C(shared srcs, 2)
+    (graph/linkpred.py butterfly_count)."""
+    from everythinggraph_ray.graph.linkpred import butterfly_count
+
+    return pd.DataFrame({"butterflies": [butterfly_count(rel_edges(sf_dir))]})
+
+
 def q_rel_link_predict_jaccard(sf_dir):
     """Neighborhood-Jaccard link prediction: top-20 non-adjacent pairs
     by cnt / (deg(a) + deg(b) − cnt) — exact int64 inputs, ONE IEEE
@@ -2863,6 +2872,12 @@ ORACLES: dict[str, str] = {
     "rel_walks": _walks_sql(),
     # common neighbors over the distinct undirected adjacency; the
     # NOT EXISTS is linkpred's in-bucket anti-join
+    "rel_butterflies": (
+        f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})), "
+        "cc AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS cnt "
+        "FROM d e1 JOIN d e2 ON e1.src = e2.src AND e1.dst < e2.dst GROUP BY e1.dst, e2.dst) "
+        "SELECT CAST(coalesce(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS butterflies FROM cc"
+    ),
     "rel_cocitation": (
         f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})) "
         "SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS cnt "
@@ -3447,6 +3462,7 @@ QUERIES = {
     "rel_edge_support": q_rel_edge_support,
     "rel_cocitation": q_rel_cocitation,
     "rel_matching": q_rel_matching,
+    "rel_butterflies": q_rel_butterflies,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,

@@ -151,3 +151,33 @@ def test_cocitation_matches_brute_force():
     assert len(capped) > 0  # some centers fall under the cap
     for a, b, c in zip(capped["a"], capped["b"], capped["cnt"]):
         assert c <= cnt[(a, b)]
+
+
+def test_butterflies_matches_brute_force():
+    from everythinggraph_ray.graph.linkpred import butterfly_count
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {"src": rng.integers(0, 25, 400), "dst": rng.integers(100, 140, 400)}
+    )
+    dist = set(zip(df["src"], df["dst"]))
+    # brute force: count K_{2,2} = pairs of srcs x pairs of dsts fully linked
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in dist:
+        adj[s].add(d)
+    srcs = sorted(adj)
+    want = 0
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            c = len(adj[srcs[i]] & adj[srcs[j]])
+            want += c * (c - 1) // 2
+    got = butterfly_count(_ds(df))
+    assert got == want
+    # known shape: K_{2,2} has exactly 1 butterfly; K_{2,3} has C(3,2)=3
+    k22 = pd.DataFrame({"src": [1, 1, 2, 2], "dst": [10, 11, 10, 11]})
+    assert butterfly_count(_ds(k22)) == 1
+    k23 = pd.DataFrame({"src": [1, 1, 1, 2, 2, 2], "dst": [10, 11, 12, 10, 11, 12]})
+    assert butterfly_count(_ds(k23)) == 3
+    assert butterfly_count(_ds(pd.DataFrame({"src": [], "dst": []}))) == 0
