@@ -1588,6 +1588,62 @@ def q_events_props_sum(sf_dir):
     return bucketed_reduce(ev.map_batches(partial, batch_format="pyarrow"), bucket_of, red)
 
 
+def q_events_retention(sf_dir):
+    """Cohort retention matrix: users cohorted by their FIRST-seen day;
+    cell (cohort_day, day_offset) counts cohort users active again
+    day_offset days later (offset 0 = the cohort day itself). The
+    product-analytics staple.
+
+    Shape: users co-locate by hash bucket; each bucket reduces its users
+    to distinct (cohort_day, offset, partial count) rows (first-seen =
+    per-user min, offsets = per-user distinct active days minus it);
+    partials sum in one bucketed reduce keyed by the packed
+    (cohort_day, offset) pair. Only the matrix leaves the buckets."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, sum_by_key
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def cohort_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df["day"] = df["ts"].values.astype("datetime64[D]").astype(np.int64)
+        ud = df[["user_id", "day"]].drop_duplicates()
+        first = ud.groupby("user_id", as_index=False)["day"].min().rename(
+            columns={"day": "cohort"}
+        )
+        m = ud.merge(first, on="user_id")
+        m["offset"] = m["day"] - m["cohort"]
+        out = m.groupby(["cohort", "offset"], as_index=False).size()
+        # pack the pair into one int64 key for the cross-bucket sum
+        key = out["cohort"].to_numpy(np.int64) * np.int64(1 << 20) + out["offset"].to_numpy(
+            np.int64
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "n_users": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    summed = sum_by_key(bucketed_reduce(ev, bucket_of, cohort_bucket), "key", ["n_users"])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": pa.array(key >> np.int64(20), pa.int64()),
+                "day_offset": pa.array(key % np.int64(1 << 20), pa.int64()),
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return summed.map_batches(unpack, batch_format="pyarrow")
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -2233,6 +2289,89 @@ def q_q1_returnflag(sf_dir):
             Sum("sum_disc_c2", alias_name="sum_disc_c2"),
             Sum("n_rows", alias_name="n_rows"),
         )
+    )
+
+
+Q5_REGION = "ASIA"
+
+
+def q_q5_region_revenue(sf_dir):
+    """TPC-H Q5-lite: revenue per nation for customers in one region —
+    a FOUR-table join chain exercising both join shapes: region⋈nation
+    (25 rows) rides as a ray.put broadcast map; customer⋈orders and
+    orders⋈lineitem go through the distributed bucketed hash_join.
+    Revenue is exact integer cents (round(extendedprice·(1−discount)·100),
+    expression shared verbatim with the oracle)."""
+    import ray as _ray
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    region = ray.data.read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation = ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    rk = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"]
+    nmap = nation[nation["n_regionkey"].isin(rk)]
+    name_of = _ray.put(
+        dict(zip(nmap["n_nationkey"].astype(np.int64), nmap["n_name"]))
+    )
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        m = _ray.get(name_of)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = pd.Series(nk).map(m)
+        keep = names.notna().to_numpy()
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    batch["c_custkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "n_name": pa.array(names[keep].astype(str), pa.string()),
+            }
+        )
+
+    cust_asia = cust.map_batches(attach_nation, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    ord_nat = hash_join(
+        orders, cust_asia, on="o_custkey", right_on="c_custkey", right_cols=["n_name"]
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                # floor(x+0.5), not np.round: numpy rounds half-EVEN while
+                # DuckDB rounds half away from zero — real .5 ties occur here
+                "rev_c": pa.array(
+                    np.floor(p * (1.0 - d) * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    li_nat = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ord_nat,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["n_name"],
+    )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        li_nat.groupby("n_name")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_items"))
     )
 
 
@@ -3146,6 +3285,14 @@ ORACLES: dict[str, str] = {
         "CAST(count(*) FILTER (regexp_extract(props, '\"k\": (\\d+)', 1) <> '') AS BIGINT) AS n_hits "
         "FROM events GROUP BY event_type"
     ),
+    "events_retention": (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events), "
+        "f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id) "
+        "SELECT f.cohort AS cohort_day, ud.day - f.cohort AS day_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM ud JOIN f ON f.user_id = ud.user_id GROUP BY 1, 2"
+    ),
     "events_funnel": (
         "WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' "
         "GROUP BY user_id), "
@@ -3205,6 +3352,16 @@ ORACLES: dict[str, str] = {
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c2, "
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q5_region_revenue": (
+        "SELECT n.n_name, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_c, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        "JOIN orders o ON o.o_custkey = c.c_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE r.r_name = '{Q5_REGION}' GROUP BY n.n_name"
     ),
     "mktsegment_revenue": (
         "SELECT c.c_mktsegment, "
@@ -3530,6 +3687,7 @@ QUERIES = {
     "knn_ivf_top10": q_knn_ivf_top10,
     "events_funnel": q_events_funnel,
     "events_props_sum": q_events_props_sum,
+    "events_retention": q_events_retention,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,
@@ -3559,4 +3717,5 @@ QUERIES = {
     "cust_no_bigorder": q_cust_no_bigorder,
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
+    "q5_region_revenue": q_q5_region_revenue,
 }

@@ -287,3 +287,38 @@ def test_events_props_extraction(tmp_path):
     out = q_events_props_sum(str(d)).to_pandas().set_index("event_type")
     assert out.loc["a", "k_sum"] == 42 and out.loc["a", "n_hits"] == 2
     assert out.loc["b", "k_sum"] == 2 and out.loc["b", "n_hits"] == 1
+
+
+def test_events_retention_cohorts(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from everythinggraph_ray.pipelines.queries import q_events_retention
+
+    d0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: first day 0, returns day 1 and day 3 (twice on day 1)
+        (1, d0), (1, d0 + pd.Timedelta("1D")), (1, d0 + pd.Timedelta("1D2h")),
+        (1, d0 + pd.Timedelta("3D")),
+        # user 2: first day 1 only
+        (2, d0 + pd.Timedelta("1D")),
+        # user 3: first day 0, returns day 1
+        (3, d0 + pd.Timedelta("5h")), (3, d0 + pd.Timedelta("1D1h")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["event_id"] = np.arange(len(df))
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df["props"] = "{}"
+    d = tmp_path / "ev"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    out = q_events_retention(str(d)).to_pandas()
+    day0 = int(d0.to_datetime64().astype("datetime64[D]").astype(np.int64))
+    m = {(r.cohort_day - day0, r.day_offset): r.n_users for r in out.itertuples()}
+    assert m == {
+        (0, 0): 2,  # users 1, 3 on their cohort day
+        (0, 1): 2,  # both return next day (user 1's two day-1 events count once)
+        (0, 3): 1,  # user 1 only
+        (1, 0): 1,  # user 2's cohort
+    }
