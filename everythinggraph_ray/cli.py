@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
             "triangles",
             "kcore",
             "scc",
+            "msf",
+            "matching",
+            "truss",
+            "coarsen",
             "hits",
         ],
     )
@@ -96,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
         help="msbfs: comma-separated source vids (<= 63; default: --root alone)",
     )
     p.add_argument("--damping", type=float, default=0.85)
-    p.add_argument("--k", type=int, default=10, help="kcore: minimum in-core degree")
+    p.add_argument("--k", type=int, default=10, help="kcore/truss: k parameter")
+    p.add_argument("--groups", type=int, default=64, help="coarsen: number of vertex groups")
     p.add_argument("--katz-alpha", type=float, default=0.01)
     p.add_argument("--katz-beta", type=float, default=1.0)
     p.add_argument(
@@ -160,6 +165,52 @@ def main(argv: list[str] | None = None) -> int:
         comps, rounds = scc(edges, num_partitions=args.partitions)
         comps.write_parquet(os.path.join(args.out, "data"))
         print(json.dumps({"kernel": "scc", "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "msf":
+        import os
+
+        from everythinggraph_ray.graph.msf import minimum_spanning_forest
+
+        if not args.weighted and not args.synthesize_weights:
+            edges = E.synthesize_weights(edges)
+        forest, rounds = minimum_spanning_forest(edges)
+        forest.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "msf", "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "matching":
+        import os
+
+        from everythinggraph_ray.graph.matching import maximal_matching
+
+        m, rounds = maximal_matching(edges)
+        m.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "matching", "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "truss":
+        import os
+
+        from everythinggraph_ray.graph.truss import ktruss
+
+        sup, rounds = ktruss(edges, max(args.k, 3))
+        sup.write_parquet(os.path.join(args.out, "data"))
+        print(
+            json.dumps(
+                {"kernel": "truss", "k": max(args.k, 3), "rounds": rounds, "out": args.out}
+            )
+        )
+        return 0
+
+    if args.kernel == "coarsen":
+        import os
+
+        from everythinggraph_ray.graph.coarsen import contract
+
+        sup = contract(E.dedup_edges(E.filter_self_loops(edges)), args.groups)
+        sup.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "coarsen", "groups": args.groups, "out": args.out}))
         return 0
 
     auto_undirect = args.kernel in ("wcc", "labelprop") and not args.undirect
