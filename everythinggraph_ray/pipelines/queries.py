@@ -1588,6 +1588,91 @@ def q_events_props_sum(sf_dir):
     return bucketed_reduce(ev.map_batches(partial, batch_format="pyarrow"), bucket_of, red)
 
 
+def q_events_outliers(sf_dir):
+    """Robust (median/MAD) outlier detection per event type: flag events
+    with |v − median| > 3·MAD, all in exact integer cents
+    (floor(value·100+0.5)). Three streaming passes — median histogram,
+    deviation-median histogram (MAD), outlier count — each a bucketed
+    reduce; the per-type medians (≤ #types rows) broadcast via ray.put.
+    quantile semantics = SQL quantile_disc (stages/agg.py
+    grouped_quantiles, parity proven by docs_len_quantiles)."""
+    import ray as _ray
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, grouped_quantiles
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "vc": pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    vc = ev.map_batches(cents, batch_format="pyarrow")
+    med = grouped_quantiles(vc, "vc", [0.5], group_col="event_type").to_pandas()
+    med_ref = _ray.put(dict(zip(med["event_type"], med["p50"].astype(np.int64))))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        t = batch["event_type"].to_pylist()
+        v = batch["vc"].to_numpy(zero_copy_only=False)
+        mv = np.fromiter((m[x] for x in t), dtype=np.int64, count=len(t))
+        return pa.table(
+            {"event_type": batch["event_type"], "d": pa.array(np.abs(v - mv), pa.int64())}
+        )
+
+    mad = grouped_quantiles(
+        vc.map_batches(dev, batch_format="pyarrow"), "d", [0.5], group_col="event_type"
+    ).to_pandas()
+    mad_ref = _ray.put(dict(zip(mad["event_type"], mad["p50"].astype(np.int64))))
+
+    from hashlib import blake2b
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        s = _ray.get(mad_ref)
+        t = batch["event_type"].to_pylist()
+        v = batch["vc"].to_numpy(zero_copy_only=False)
+        mv = np.fromiter((m[x] for x in t), dtype=np.int64, count=len(t))
+        sv = np.fromiter((s[x] for x in t), dtype=np.int64, count=len(t))
+        out = np.abs(v - mv) > 3 * sv
+        df = pd.DataFrame({"event_type": t, "o": out.astype(np.int64)})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_outliers=("o", "sum"), n_events=("o", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(x.encode(), digest_size=4).digest(), "little")
+                for x in batch["event_type"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("event_type", as_index=False).sum()
+        m = _ray.get(med_ref)
+        s = _ray.get(mad_ref)
+        df["med_c"] = df["event_type"].map(m).astype(np.int64)
+        df["mad_c"] = df["event_type"].map(s).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["event_type", "med_c", "mad_c", "n_outliers", "n_events"]].astype(
+                {"n_outliers": np.int64, "n_events": np.int64}
+            ),
+            preserve_index=False,
+        )
+
+    return bucketed_reduce(vc.map_batches(partial, batch_format="pyarrow"), bucket_of, red)
+
+
 def q_events_retention(sf_dir):
     """Cohort retention matrix: users cohorted by their FIRST-seen day;
     cell (cohort_day, day_offset) counts cohort users active again
@@ -3285,6 +3370,18 @@ ORACLES: dict[str, str] = {
         "CAST(count(*) FILTER (regexp_extract(props, '\"k\": (\\d+)', 1) <> '') AS BIGINT) AS n_hits "
         "FROM events GROUP BY event_type"
     ),
+    "events_outliers": (
+        "WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), "
+        "med AS (SELECT event_type, CAST(quantile_disc(vc, 0.5) AS BIGINT) AS med_c FROM v GROUP BY event_type), "
+        "dev AS (SELECT v.event_type, v.vc, abs(v.vc - m.med_c) AS d, m.med_c FROM v "
+        "JOIN med m ON m.event_type = v.event_type), "
+        "mad AS (SELECT event_type, CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad_c FROM dev GROUP BY event_type) "
+        "SELECT dev.event_type, dev.med_c, s.mad_c, "
+        "CAST(count(*) FILTER (dev.d > 3 * s.mad_c) AS BIGINT) AS n_outliers, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM dev JOIN mad s ON s.event_type = dev.event_type "
+        "GROUP BY dev.event_type, dev.med_c, s.mad_c"
+    ),
     "events_retention": (
         "WITH ud AS (SELECT DISTINCT user_id, "
         "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events), "
@@ -3688,6 +3785,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
+    "events_outliers": q_events_outliers,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,

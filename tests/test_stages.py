@@ -322,3 +322,33 @@ def test_events_retention_cohorts(tmp_path):
         (0, 3): 1,  # user 1 only
         (1, 0): 1,  # user 2's cohort
     }
+
+
+def test_events_outliers_median_mad(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from everythinggraph_ray.pipelines.queries import q_events_outliers
+
+    vals = [1.0, 1.0, 1.0, 1.1, 0.9, 100.0]  # med=1.00, MAD=0 -> any dev>0 is an outlier? no: 3*0=0, d>0
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "user_id": 1,
+            "ts": pd.Timestamp("2024-01-01"),
+            "event_type": "a",
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    out = q_events_outliers(str(d)).to_pandas().iloc[0]
+    # cents: [100,100,100,110,90,10000] sorted [90,100,100,100,110,10000]
+    # quantile_disc(0.5) on n=6: index ceil(0.5*6)-1 = 2 -> 100
+    assert out["med_c"] == 100
+    # deviations [0,0,0,10,10,9900] sorted -> idx 2 -> 0; MAD=0
+    assert out["mad_c"] == 0
+    # outliers: d > 0 -> the three non-100 values
+    assert out["n_outliers"] == 3 and out["n_events"] == 6
