@@ -167,3 +167,69 @@ def kmeans_serial(X: np.ndarray, ids: np.ndarray, *, n_clusters: int, n_iters: i
                 newc[c] = v / max(np.linalg.norm(v), 1e-30)
         cents = newc
     return np.argmax(Xn @ cents.T, axis=1), cents
+
+
+def emb_power_iteration(
+    emb: ray.data.Dataset,
+    *,
+    n_iters: int = 30,
+    center: bool = True,
+    vec_col: str = "embedding",
+) -> dict:
+    """Top principal component of the embedding matrix by distributed
+    power iteration — the PCA/whitening primitive of embedding pipelines.
+
+    Every step is ONE streaming pass: a batch of B rows reduces to the
+    d-vector partial Xc^T (Xc v) (plus a scalar), so the driver holds
+    d+O(1) floats per iteration and nothing ever materializes.  The mean
+    (for centering) and total variance come from one prior pass of
+    (d+1)-float partials.  v0 = ones/sqrt(d) — deterministic, no RNG.
+
+    Returns {"component": (d,) unit vector, "eigenvalue": population
+    variance along it, "explained_ratio": eigenvalue / total variance,
+    "n": rows, "iters": n_iters}.  float64 partial sums: results are
+    reproducible to ~1e-12 across partitionings (allclose-tested vs
+    numpy), not bit-identical — inherent to reassociated float addition."""
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        X = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        row = np.concatenate([[X.shape[0]], X.sum(axis=0), [(X * X).sum()]])
+        return pa.table({"s": pa.array([row.tobytes()], pa.binary())})
+
+    def fold(ds: ray.data.Dataset) -> np.ndarray:
+        rows = [np.frombuffer(b, dtype=np.float64) for b in ds.to_pandas()["s"]]
+        return np.sum(rows, axis=0)
+
+    s = fold(emb.map_batches(stats_partial, batch_format="pyarrow"))
+    n, mu_sum, sq = s[0], s[1:-1], s[-1]
+    if n == 0:
+        raise ValueError("empty embedding dataset")
+    d = len(mu_sum)
+    mu = (mu_sum / n) if center else np.zeros(d)
+    total_var = sq / n - float(mu @ mu)
+
+    v = np.ones(d) / np.sqrt(d)
+    eig = 0.0
+    for _ in range(n_iters):
+        vref = ray.put(v)
+        muref = ray.put(mu)
+
+        def step(batch: pa.Table) -> pa.Table:
+            X = np.stack(batch[vec_col].to_pylist()).astype(np.float64) - ray.get(muref)
+            y = X @ ray.get(vref)
+            return pa.table(
+                {"s": pa.array([np.concatenate([X.T @ y, [0.0]]).tobytes()], pa.binary())}
+            )
+
+        w = fold(emb.map_batches(step, batch_format="pyarrow"))[:-1] / n
+        eig = float(np.linalg.norm(w))
+        if eig == 0.0:
+            break
+        v = w / eig
+    return {
+        "component": v,
+        "eigenvalue": eig,
+        "explained_ratio": eig / total_var if total_var > 0 else 0.0,
+        "n": int(n),
+        "iters": n_iters,
+    }

@@ -1995,6 +1995,33 @@ def q_docs_decontaminate(sf_dir):
 DUP_SPAN_N = 8
 
 
+def q_emb_pca_top(sf_dir):
+    """Top principal component of the embedding corpus via distributed
+    power iteration (datapipe/cluster.py emb_power_iteration — every
+    step one streaming pass to d driver floats; no RNG). Rows-only
+    driver check (iterative linear algebra has no SQL form); numpy
+    eigendecomposition equality in tests."""
+    from everythinggraph_ray.datapipe.cluster import emb_power_iteration
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    res = emb_power_iteration(emb)
+    comp = np.asarray(res["component"])
+    # sign convention so the result is orientation-stable: first
+    # largest-magnitude coordinate positive
+    if comp[np.argmax(np.abs(comp))] < 0:
+        comp = -comp
+    return pd.DataFrame(
+        {
+            "dim": np.arange(len(comp), dtype=np.int64),
+            "component": np.round(comp, 9),
+            "eigenvalue": np.round(res["eigenvalue"], 9),
+            "explained_ratio": np.round(res["explained_ratio"], 9),
+        }
+    )
+
+
 def q_docs_dup_spans(sf_dir):
     """Substring-level (span) dedup stats: per doc, how many 8-token
     windows occur in >=2 distinct documents and how many token positions
@@ -3799,6 +3826,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_dup_spans": q_docs_dup_spans,
+    "emb_pca_top": q_emb_pca_top,
     "docs_cms_heavy": q_docs_cms_heavy,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_gopher_filter": q_docs_gopher_filter,

@@ -177,3 +177,35 @@ def test_emb_kmeans_matches_serial():
     )
     r0 = emb_kmeans(empty, n_clusters=4)
     assert r0["assignments"].count() == 0
+
+
+def test_power_iteration_matches_numpy_eig():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from everythinggraph_ray.datapipe.cluster import emb_power_iteration
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: a dominant direction plus noise
+    base = rng.normal(size=(300, 6))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300), "embedding": [r.astype(np.float32) for r in base]}
+    )
+    res = emb_power_iteration(ray.data.from_pandas(df), n_iters=60)
+    X = np.stack(df["embedding"]).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(X)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    got = np.asarray(res["component"])
+    # eigenvector up to sign
+    assert min(np.abs(got - top).max(), np.abs(got + top).max()) < 1e-6
+    assert abs(res["eigenvalue"] - w[-1]) < 1e-8
+    assert abs(res["explained_ratio"] - w[-1] / np.trace(C)) < 1e-9
+    # partition invariance (allclose, not bit-equal — float reassociation)
+    res7 = emb_power_iteration(ray.data.from_pandas(df).repartition(7), n_iters=60)
+    assert np.allclose(res7["component"], got, atol=1e-10)
