@@ -496,6 +496,50 @@ def q_rel_bfs(sf_dir):
     return df.rename(columns={"bfs": "dist"})[["vid", "dist"]]
 
 
+LANDMARKS_N = 4
+LANDMARK_SAMPLE_MOD = 37
+
+
+def q_rel_landmark_dist(sf_dir):
+    """Landmark (pivot) distance oracle: estimate pairwise hop distance
+    as min over L landmarks of d(u,l)+d(l,w) — the classic
+    triangle-inequality upper bound (ADO / landmark labeling). L BFS
+    kernel runs over the cached build; each result Dataset is FILTERED
+    to the deterministic sample (vid % 37 == 0) before anything reaches
+    the driver, so driver state is |sample| x L, never O(V). Pairs no
+    landmark reaches on both sides are dropped (mirrored in SQL)."""
+    landmarks = _rel_sources(sf_dir, LANDMARKS_N)
+    bdir = _rel_build(sf_dir)
+    cols = {}
+    for l in landmarks:
+        eng = GraphEngine(bdir)
+        try:
+            res = eng.run(BFSKernel(l))
+        finally:
+            eng.shutdown()
+
+        def pick(batch: pa.Table) -> pa.Table:
+            v = batch["vid"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(v % LANDMARK_SAMPLE_MOD == 0, pa.bool_()))
+
+        df = res["dataset"].map_batches(pick, batch_format="pyarrow").to_pandas()
+        cols[l] = dict(zip(df["vid"].astype(np.int64), df["bfs"].astype(np.int64)))
+
+    samp = sorted(cols[landmarks[0]])
+    rows = []
+    for i, u in enumerate(samp):
+        for w in samp[i + 1 :]:
+            best = None
+            for l in landmarks:
+                du, dw = cols[l].get(u, 0), cols[l].get(w, 0)
+                if du > 0 and dw > 0:  # level semantics: 0 = unreached
+                    e = (du - 1) + (dw - 1)
+                    best = e if best is None or e < best else best
+            if best is not None:
+                rows.append((u, w, best))
+    return pd.DataFrame(rows, columns=["u", "w", "est_dist"]).astype(np.int64)
+
+
 MSBFS_SOURCES = 8  # bit i of the mask = i-th smallest source vid
 
 
@@ -3015,6 +3059,20 @@ ORACLES: dict[str, str] = {
         "SELECT (SELECT rv FROM root) AS start, (SELECT fv FROM far) AS far_vid, "
         "CAST(max(d) AS BIGINT) AS est_diameter FROM m2"
     ),
+    "rel_landmark_dist": (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude()
+        + f", src{LANDMARKS_N} AS (SELECT vid FROM verts ORDER BY vid LIMIT {LANDMARKS_N})"
+        ", r(s, vid, d) AS ("
+        f"SELECT vid, vid, CAST(1 AS BIGINT) FROM src{LANDMARKS_N} UNION "
+        "SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.vid WHERE r.d < 64), "
+        "m AS (SELECT s, vid, min(d) AS d FROM r GROUP BY s, vid), "
+        f"samp AS (SELECT vid FROM verts WHERE vid % {LANDMARK_SAMPLE_MOD} = 0), "
+        "pairs AS (SELECT a.vid AS u, b.vid AS w FROM samp a JOIN samp b ON a.vid < b.vid) "
+        "SELECT p.u, p.w, CAST(min(ma.d - 1 + mb.d - 1) AS BIGINT) AS est_dist "
+        "FROM pairs p JOIN m ma ON ma.vid = p.u JOIN m mb ON mb.vid = p.w AND mb.s = ma.s "
+        "GROUP BY p.u, p.w"
+    ),
     "rel_bfs": (
         "WITH RECURSIVE "
         + _sql_graph_prelude()
@@ -3744,6 +3802,7 @@ QUERIES = {
     "rel_cocitation": q_rel_cocitation,
     "rel_matching": q_rel_matching,
     "rel_butterflies": q_rel_butterflies,
+    "rel_landmark_dist": q_rel_landmark_dist,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
