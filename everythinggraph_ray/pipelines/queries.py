@@ -673,6 +673,155 @@ def q_rel_sssp_parent(sf_dir):
     return pd.DataFrame({"vid": df["vid"].astype("int64"), "dist": dist, "parent": parent})
 
 
+def q_rel_reciprocity(sf_dir):
+    """Edge reciprocity of the directed simple graph: the count of
+    distinct non-loop edges whose reverse also exists, the total, and
+    their ratio (one IEEE division). Shape: distinct edges tagged fwd,
+    reversed copies tagged rev, ONE pair-bucketed co-group counts the
+    matches; only two scalars per bucket reach the driver."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64_pair
+    from everythinggraph_ray.stages.edges import filter_self_loops
+
+    dist = dedup_edges(filter_self_loops(rel_edges(sf_dir)))
+
+    def tag(role: int):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            if role:
+                s, d = d, s
+            return pa.table(
+                {
+                    "a": pa.array(s, pa.int64()),
+                    "b": pa.array(d, pa.int64()),
+                    "r": pa.array(np.full(len(s), role, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    both = dist.map_batches(tag(0), batch_format="pyarrow").union(
+        dist.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        fwd = df[df["r"] == 0]
+        rev = set(zip(df.loc[df["r"] == 1, "a"], df.loc[df["r"] == 1, "b"]))
+        hit = sum((a, b) in rev for a, b in zip(fwd["a"], fwd["b"]))
+        return pa.table(
+            {
+                "n_recip": pa.array([int(hit)], pa.int64()),
+                "n_edges": pa.array([len(fwd)], pa.int64()),
+            }
+        )
+
+    parts = bucketed_reduce(both, bucket_of, red).to_pandas().sum()
+    n_recip, n_edges = int(parts["n_recip"]), int(parts["n_edges"])
+    return pd.DataFrame(
+        {
+            "n_recip": [n_recip],
+            "n_edges": [n_edges],
+            "reciprocity": [n_recip / n_edges if n_edges else 0.0],
+        }
+    )
+
+
+def q_rel_transitivity(sf_dir):
+    """Global clustering coefficient (transitivity): 3·triangles /
+    wedges, wedges = Σ deg·(deg−1)/2 over the simple undirected graph —
+    composed from the existing triangle counter and degree table; ONE
+    IEEE division (exact int64 inputs, same device as rel_lcc)."""
+    from everythinggraph_ray.graph.triangles import (
+        _canonical_undirected,
+        triangle_count,
+    )
+
+    edges = rel_edges(sf_dir)
+    tri = triangle_count(edges)
+    und = _canonical_undirected(edges)
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        vid, cnt = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({"vid": pa.array(vid, pa.int64()), "c": pa.array(cnt, pa.int64())})
+
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    deg = sum_by_key(
+        und.map_batches(wedge_partial, batch_format="pyarrow"), "vid", ["c"]
+    )
+
+    def wsum(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((c * (c - 1) // 2).sum())], pa.int64())})
+
+    wedges = int(deg.map_batches(wsum, batch_format="pyarrow").sum("w") or 0)
+    return pd.DataFrame(
+        {
+            "triangles": [tri],
+            "wedges": [wedges],
+            "transitivity": [3.0 * tri / wedges if wedges else 0.0],
+        }
+    )
+
+
+RICH_CLUB_K = 100
+
+
+def q_rel_richclub(sf_dir):
+    """Rich-club coefficient at degree threshold k=100: among vertices
+    with undirected simple degree > k, phi = 2·E_rich / (n·(n−1)) —
+    the density of the hub subgraph (Colizza et al. 2006). Rich set is
+    identified distributed (degree table filter), edges among them by
+    one co-group membership check; ONE IEEE division."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.graph.triangles import _canonical_undirected
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    und = _canonical_undirected(rel_edges(sf_dir)).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        vid, cnt = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({"vid": pa.array(vid, pa.int64()), "c": pa.array(cnt, pa.int64())})
+
+    deg = sum_by_key(und.map_batches(deg_partial, batch_format="pyarrow"), "vid", ["c"])
+
+    def rich_only(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c > RICH_CLUB_K, pa.bool_())).select(["vid"])
+
+    rich = deg.map_batches(rich_only, batch_format="pyarrow").materialize()
+    n = rich.count()
+    e_rich = (
+        hash_join(
+            hash_join(und, rich, on="src", right_on="vid", how="semi"),
+            rich,
+            on="dst",
+            right_on="vid",
+            how="semi",
+        ).count()
+        if n
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "n_rich": [n],
+            "e_rich": [e_rich],
+            "phi": [2.0 * e_rich / (n * (n - 1)) if n > 1 else 0.0],
+        }
+    )
+
+
 def q_rel_assortativity(sf_dir):
     """Directed out–in degree assortativity (Newman 2002): Pearson
     correlation over edges (u,v) of x = outdeg(u), y = indeg(v). The
@@ -3320,6 +3469,39 @@ ORACLES: dict[str, str] = {
         + ", s AS (SELECT src AS vid, CAST(sum(dst) AS BIGINT) AS y FROM e GROUP BY src) "
         "SELECT v.vid, coalesce(s.y, 0) AS y FROM verts v LEFT JOIN s ON s.vid = v.vid"
     ),
+    "rel_reciprocity": (
+        f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES}) WHERE src <> dst) "
+        "SELECT CAST((SELECT count(*) FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src) AS BIGINT) AS n_recip, "
+        "CAST((SELECT count(*) FROM d) AS BIGINT) AS n_edges, "
+        "CAST((SELECT count(*) FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src) AS DOUBLE) "
+        "/ (SELECT count(*) FROM d) AS reciprocity"
+    ),
+    "rel_transitivity": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
+        "WHERE src <> dst), "
+        "tri AS (SELECT count(*) AS t FROM und a "
+        "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v), "
+        "deg AS (SELECT vid, count(*) AS c FROM "
+        "(SELECT u AS vid FROM und UNION ALL SELECT v AS vid FROM und) GROUP BY vid), "
+        "w AS (SELECT sum(c * (c - 1) // 2) AS wedges FROM deg) "
+        "SELECT CAST(tri.t AS BIGINT) AS triangles, CAST(w.wedges AS BIGINT) AS wedges, "
+        "3.0 * tri.t / w.wedges AS transitivity FROM tri, w"
+    ),
+    "rel_richclub": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
+        "WHERE src <> dst), "
+        "deg AS (SELECT vid, count(*) AS c FROM "
+        "(SELECT u AS vid FROM und UNION ALL SELECT v AS vid FROM und) GROUP BY vid), "
+        f"rich AS (SELECT vid FROM deg WHERE c > {RICH_CLUB_K}), "
+        "nr AS (SELECT count(*) AS n FROM rich), "
+        "er AS (SELECT count(*) AS e FROM und WHERE u IN (SELECT vid FROM rich) "
+        "AND v IN (SELECT vid FROM rich)) "
+        "SELECT CAST(nr.n AS BIGINT) AS n_rich, CAST(er.e AS BIGINT) AS e_rich, "
+        "CASE WHEN nr.n > 1 THEN 2.0 * er.e / (nr.n * (nr.n - 1)) ELSE 0.0 END AS phi "
+        "FROM nr, er"
+    ),
     "rel_triangles": (
         f"WITH e AS ({SQL_REL_EDGES}), "
         "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
@@ -3803,6 +3985,9 @@ QUERIES = {
     "rel_matching": q_rel_matching,
     "rel_butterflies": q_rel_butterflies,
     "rel_landmark_dist": q_rel_landmark_dist,
+    "rel_reciprocity": q_rel_reciprocity,
+    "rel_transitivity": q_rel_transitivity,
+    "rel_richclub": q_rel_richclub,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
