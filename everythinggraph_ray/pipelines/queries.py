@@ -2215,6 +2215,108 @@ def q_emb_pca_top(sf_dir):
     )
 
 
+PMI_WINDOW = 3
+PMI_TOPK = 20
+
+
+def q_docs_pmi_pairs(sf_dir):
+    """Word co-occurrence with integer PMI-lift: count unordered token
+    pairs within a 3-position window (the word2vec/SGNS statistic), rank
+    the top 20 by count, and attach the exact integer lift
+    lift_u = n·N_tok²·10⁶ // (N_pairs·c_a·c_b) (arbitrary-precision int
+    on the Python side, HUGEINT in the oracle — no float, no log).
+
+    Shape: per-doc window pairs emit pre-combined per batch → one
+    bucketed sum by pair; N_pairs rides as a one-scalar pass over the
+    pair table; per-bucket top-k keeps the global sort tiny; the two
+    token counts needed per surviving pair are filtered (40 tokens),
+    never the vocabulary."""
+    import re
+    from hashlib import blake2b
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    docs = _docs(sf_dir)
+    rx = re.compile(r"[a-z0-9]+")
+    W = PMI_WINDOW
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cnt: dict[tuple[str, str], int] = {}
+        for t in pc.utf8_lower(batch["text"]).to_pylist():
+            ws = rx.findall(t or "")
+            for off in range(1, W + 1):
+                for x, y in zip(ws, ws[off:]):
+                    if x == y:
+                        continue
+                    k = (x, y) if x < y else (y, x)
+                    cnt[k] = cnt.get(k, 0) + 1
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in cnt], pa.string()),
+                "b": pa.array([k[1] for k in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(f"{a}|{b}".encode(), digest_size=4).digest(), "little")
+                for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["a", "b"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = bucketed_reduce(
+        docs.map_batches(emit, batch_format="pyarrow"), bucket_of, red
+    ).materialize()
+    n_pairs = int(pairs.sum("n") or 0)
+    top = (
+        pairs.sort(["n", "a", "b"], descending=[True, False, False])
+        .limit(PMI_TOPK)
+        .to_pandas()
+    )
+
+    # exact counts for ONLY the tokens appearing in the top pairs
+    need = set(top["a"]) | set(top["b"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        tot = 0
+        for t in pc.utf8_lower(batch["text"]).to_pylist():
+            for w in rx.findall(t or ""):
+                tot += 1
+                if w in need:
+                    cnt[w] = cnt.get(w, 0) + 1
+        cnt["\x00total"] = tot
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    tc = (
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token")["c"]
+        .sum()
+    )
+    n_tok = int(tc.pop("\x00total"))
+    lift = [
+        int(n) * n_tok * n_tok * 1_000_000 // (n_pairs * int(tc[a]) * int(tc[b]))
+        for a, b, n in zip(top["a"], top["b"], top["n"])
+    ]
+    top = top.reset_index(drop=True)
+    top["lift_u"] = pd.Series(lift, dtype=np.int64)
+    return top[["a", "b", "n", "lift_u"]]
+
+
 def q_docs_dup_spans(sf_dir):
     """Substring-level (span) dedup stats: per doc, how many 8-token
     windows occur in >=2 distinct documents and how many token positions
@@ -3827,6 +3929,26 @@ def _curation_oracles() -> dict[str, str]:
             r"SELECT g.doc_id, count(*) AS n_contaminated FROM g JOIN bench USING (gram) "
             r"WHERE g.doc_id % 7 <> 0 GROUP BY g.doc_id"
         ),
+        "docs_pmi_pairs": (
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            r"FROM documents), "
+            r"pos AS (SELECT doc_id, i, t[i] AS w FROM toks, "
+            r"LATERAL unnest(generate_series(1, len(t))) AS u(i)), "
+            r"co AS (SELECT least(p1.w, p2.w) AS a, greatest(p1.w, p2.w) AS b, "
+            r"CAST(count(*) AS BIGINT) AS n "
+            r"FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id "
+            f"AND p2.i > p1.i AND p2.i <= p1.i + {PMI_WINDOW} AND p1.w <> p2.w "
+            r"GROUP BY 1, 2), "
+            r"np AS (SELECT sum(n) AS np FROM co), "
+            r"nt AS (SELECT CAST(sum(len(t)) AS HUGEINT) AS nt FROM toks), "
+            r"tc AS (SELECT w AS token, CAST(count(*) AS HUGEINT) AS c FROM pos GROUP BY w), "
+            f"top AS (SELECT a, b, n FROM co ORDER BY n DESC, a, b LIMIT {PMI_TOPK}) "
+            r"SELECT top.a, top.b, top.n, "
+            r"CAST((CAST(top.n AS HUGEINT) * nt.nt * nt.nt * 1000000) "
+            r"// (CAST(np.np AS HUGEINT) * ca.c * cb.c) AS BIGINT) AS lift_u "
+            r"FROM top, np, nt "
+            r"JOIN tc ca ON ca.token = top.a JOIN tc cb ON cb.token = top.b"
+        ),
         "docs_dup_spans": (
             r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
             r"FROM documents), "
@@ -4071,6 +4193,7 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_dup_spans": q_docs_dup_spans,
     "emb_pca_top": q_emb_pca_top,
+    "docs_pmi_pairs": q_docs_pmi_pairs,
     "docs_cms_heavy": q_docs_cms_heavy,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_gopher_filter": q_docs_gopher_filter,
