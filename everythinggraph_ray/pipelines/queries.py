@@ -673,6 +673,17 @@ def q_rel_sssp_parent(sf_dir):
     return pd.DataFrame({"vid": df["vid"].astype("int64"), "dist": dist, "parent": parent})
 
 
+def q_rel_4cliques(sf_dir):
+    """Exact 4-clique (K4) count via the degree-orientation DAG run one
+    level past triangles: enumerate oriented triangles, pair them on
+    their shared base edge, close the third-vertex pairs against the
+    edge set (graph/motifs.py — O(T) triangle rows, inherent to any
+    shared-base route; sampling is the path past that, documented)."""
+    from everythinggraph_ray.graph.motifs import four_clique_count
+
+    return pd.DataFrame({"k4": [four_clique_count(rel_edges(sf_dir))]})
+
+
 def q_rel_reciprocity(sf_dir):
     """Edge reciprocity of the directed simple graph: the count of
     distinct non-loop edges whose reverse also exists, the total, and
@@ -3571,6 +3582,17 @@ ORACLES: dict[str, str] = {
         + ", s AS (SELECT src AS vid, CAST(sum(dst) AS BIGINT) AS y FROM e GROUP BY src) "
         "SELECT v.vid, coalesce(s.y, 0) AS y FROM verts v LEFT JOIN s ON s.vid = v.vid"
     ),
+    "rel_4cliques": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
+        "WHERE src <> dst) "
+        "SELECT count(*) AS k4 FROM und ab "
+        "JOIN und ac ON ac.u = ab.u AND ac.v > ab.v "
+        "JOIN und ad ON ad.u = ab.u AND ad.v > ac.v "
+        "JOIN und bc ON bc.u = ab.v AND bc.v = ac.v "
+        "JOIN und bd ON bd.u = ab.v AND bd.v = ad.v "
+        "JOIN und cd ON cd.u = ac.v AND cd.v = ad.v"
+    ),
     "rel_reciprocity": (
         f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES}) WHERE src <> dst) "
         "SELECT CAST((SELECT count(*) FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src) AS BIGINT) AS n_recip, "
@@ -4110,6 +4132,7 @@ QUERIES = {
     "rel_reciprocity": q_rel_reciprocity,
     "rel_transitivity": q_rel_transitivity,
     "rel_richclub": q_rel_richclub,
+    "rel_4cliques": q_rel_4cliques,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,

@@ -1,0 +1,71 @@
+"""four_clique_count / enumerate_triangles (graph/motifs.py) vs brute force."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from everythinggraph_ray.graph.motifs import enumerate_triangles, four_clique_count
+
+
+def _ds(df: pd.DataFrame) -> ray.data.Dataset:
+    return ray.data.from_pandas(df.astype({"src": np.int64, "dst": np.int64}))
+
+
+def _simple(df: pd.DataFrame) -> set[tuple[int, int]]:
+    return {(min(s, d), max(s, d)) for s, d in zip(df["src"], df["dst"]) if s != d}
+
+
+def _brute_k4(es: set[tuple[int, int]]) -> int:
+    vs = sorted({v for e in es for v in e})
+    return sum(
+        1
+        for q in itertools.combinations(vs, 4)
+        if all((min(x, y), max(x, y)) in es for x, y in itertools.combinations(q, 2))
+    )
+
+
+def test_k4_matches_brute_force_random():
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"src": rng.integers(0, 25, 250), "dst": rng.integers(0, 25, 250)})
+    assert four_clique_count(_ds(df)) == _brute_k4(_simple(df))
+
+
+def test_k4_closed_forms():
+    # K5 contains C(5,4)=5 four-cliques; K4 exactly 1; C4 (square) none
+    def clique(n):
+        es = list(itertools.combinations(range(n), 2))
+        return pd.DataFrame({"src": [a for a, _ in es], "dst": [b for _, b in es]})
+
+    assert four_clique_count(_ds(clique(4))) == 1
+    assert four_clique_count(_ds(clique(5))) == 5
+    square = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    assert four_clique_count(_ds(square)) == 0
+    assert four_clique_count(_ds(pd.DataFrame({"src": [], "dst": []}))) == 0
+
+
+def test_triangle_enumeration_count_and_orientation():
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"src": rng.integers(0, 30, 300), "dst": rng.integers(0, 30, 300)})
+    es = _simple(df)
+    tris = enumerate_triangles(_ds(df)).to_pandas()
+    # count matches brute force
+    vs = sorted({v for e in es for v in e})
+    want = sum(
+        1
+        for q in itertools.combinations(vs, 3)
+        if all((min(x, y), max(x, y)) in es for x, y in itertools.combinations(q, 2))
+    )
+    assert len(tris) == want
+    # each row is a genuine triangle, each triangle appears exactly once
+    seen = set()
+    for a, b, c in zip(tris["t1"], tris["t2"], tris["t3"]):
+        key = tuple(sorted((a, b, c)))
+        assert key not in seen
+        seen.add(key)
+        for x, y in itertools.combinations((a, b, c), 2):
+            assert (min(x, y), max(x, y)) in es
