@@ -233,3 +233,72 @@ def emb_power_iteration(
         "n": int(n),
         "iters": n_iters,
     }
+
+
+def emb_logreg(
+    emb: ray.data.Dataset,
+    *,
+    positive_label: int = 0,
+    n_iters: int = 50,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> dict:
+    """Binary (one-vs-rest) logistic regression by deterministic
+    FULL-BATCH gradient descent — the distributed model-fitting shape: a
+    training step is ONE streaming pass whose batches each reduce to a
+    (d+2)-float partial (gradient, loss, count); the driver holds only
+    the weight vector.  No RNG anywhere: w0 = 0, full-batch gradients,
+    fixed step size.  Mirrors a quality-classifier training pass over
+    corpus features at 100 TB (where the pass shape, not the model,
+    is the point).
+
+    Returns {"weights": (d,), "bias": float, "loss": final mean NLL,
+    "accuracy": training accuracy, "n": rows}."""
+
+    def pass_fn(w, b, mode):
+        wref = ray.put(np.asarray(w, dtype=np.float64))
+
+        def f(batch: pa.Table) -> pa.Table:
+            X = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+            y = (
+                batch[label_col].to_numpy(zero_copy_only=False) == positive_label
+            ).astype(np.float64)
+            z = X @ ray.get(wref) + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            if mode == "grad":
+                r = p - y
+                out = np.concatenate([X.T @ r, [r.sum()], [len(y)]])
+            else:
+                eps = 1e-12
+                nll = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+                acc = ((p >= 0.5) == (y > 0.5)).sum()
+                out = np.array([nll, acc, len(y)], dtype=np.float64)
+            return pa.table({"s": pa.array([out.tobytes()], pa.binary())})
+
+        rows = [
+            np.frombuffer(x, dtype=np.float64)
+            for x in emb.map_batches(f, batch_format="pyarrow").to_pandas()["s"]
+        ]
+        return np.sum(rows, axis=0)
+
+    # probe dimension from one batch
+    d = len(emb.take_batch(1, batch_format="pyarrow")[vec_col][0].as_py())
+    w = np.zeros(d)
+    b = 0.0
+    n = None
+    for _ in range(n_iters):
+        g = pass_fn(w, b, "grad")
+        n = g[-1]
+        gw, gb = g[:d] / n, g[d] / n
+        w = w * (1.0 - lr * l2) - lr * gw
+        b -= lr * gb
+    m = pass_fn(w, b, "eval")
+    return {
+        "weights": w,
+        "bias": float(b),
+        "loss": float(m[0] / m[2]),
+        "accuracy": float(m[1] / m[2]),
+        "n": int(m[2]),
+    }

@@ -2230,6 +2230,30 @@ PMI_WINDOW = 3
 PMI_TOPK = 20
 
 
+def q_emb_logreg(sf_dir):
+    """One-vs-rest logistic regression (label==0) by deterministic
+    full-batch GD over the embedding corpus (datapipe/cluster.py
+    emb_logreg — each step ONE streaming pass to d+2 driver floats).
+    Rows-only driver check; convergence/accuracy/serial-equality
+    pytests."""
+    from everythinggraph_ray.datapipe.cluster import emb_logreg
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
+    )
+    res = emb_logreg(emb)
+    w = np.asarray(res["weights"])
+    return pd.DataFrame(
+        {
+            "dim": np.arange(len(w), dtype=np.int64),
+            "weight": np.round(w, 9),
+            "bias": np.round(res["bias"], 9),
+            "loss": np.round(res["loss"], 9),
+            "accuracy": np.round(res["accuracy"], 9),
+        }
+    )
+
+
 def q_docs_pmi_pairs(sf_dir):
     """Word co-occurrence with integer PMI-lift: count unordered token
     pairs within a 3-position window (the word2vec/SGNS statistic), rank
@@ -4217,6 +4241,7 @@ QUERIES = {
     "docs_dup_spans": q_docs_dup_spans,
     "emb_pca_top": q_emb_pca_top,
     "docs_pmi_pairs": q_docs_pmi_pairs,
+    "emb_logreg": q_emb_logreg,
     "docs_cms_heavy": q_docs_cms_heavy,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_gopher_filter": q_docs_gopher_filter,

@@ -209,3 +209,41 @@ def test_power_iteration_matches_numpy_eig():
     # partition invariance (allclose, not bit-equal — float reassociation)
     res7 = emb_power_iteration(ray.data.from_pandas(df).repartition(7), n_iters=60)
     assert np.allclose(res7["component"], got, atol=1e-10)
+
+
+def test_logreg_matches_serial_and_learns():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from everythinggraph_ray.datapipe.cluster import emb_logreg
+
+    rng = np.random.default_rng(5)
+    # separable-ish: class 0 shifted along a direction
+    X = rng.normal(size=(400, 8))
+    y = (rng.random(400) < 0.5).astype(int)
+    X[y == 0] += 1.5
+    df = pd.DataFrame(
+        {"embedding": [r.astype(np.float32) for r in X], "label": y}
+    )
+    res = emb_logreg(ray.data.from_pandas(df), n_iters=40)
+    assert res["accuracy"] > 0.85
+    assert res["n"] == 400
+
+    # serial replica: identical full-batch GD must match to float tolerance
+    Xd = np.stack(df["embedding"]).astype(np.float64)
+    yd = (df["label"].to_numpy() == 0).astype(np.float64)
+    w = np.zeros(8)
+    b = 0.0
+    for _ in range(40):
+        p = 1.0 / (1.0 + np.exp(-(Xd @ w + b)))
+        r = p - yd
+        w = w * (1.0 - 0.5 * 1e-4) - 0.5 * (Xd.T @ r / len(yd))
+        b -= 0.5 * r.mean()
+    assert np.allclose(res["weights"], w, atol=1e-9)
+    assert abs(res["bias"] - b) < 1e-9
+
+    # partition invariance (float reassociation tolerance)
+    res7 = emb_logreg(ray.data.from_pandas(df).repartition(7), n_iters=40)
+    assert np.allclose(res7["weights"], res["weights"], atol=1e-9)
