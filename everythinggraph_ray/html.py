@@ -103,3 +103,40 @@ def extract_links(html: bytes | str, base_url: str) -> list[str]:
         if norm is not None:
             out.append(norm)
     return out
+
+
+_RE_ANCHOR = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_anchors(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
+    """(normalized target url, anchor text) per <a> element — the anchor
+    text signal (in-link text describes the TARGET page; a core ranking /
+    training-label source). Same href filtering as ``extract_links``
+    (script/style/comment regions dropped first; javascript:/mailto:/
+    data:/fragment hrefs skipped; urls resolved + normalized); anchor
+    text is the element's visible inner text (tags stripped, entities
+    unescaped, whitespace collapsed)."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    html = _RE_DROP.sub("", html)
+    out: list[tuple[str, str]] = []
+    for m in _RE_ANCHOR.finditer(html):
+        raw = unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
+        if not raw or raw.startswith(("javascript:", "mailto:", "data:", "#")):
+            continue
+        try:
+            resolved = urljoin(base_url, raw)
+        except ValueError:
+            continue
+        norm = normalize_url(resolved)
+        if norm is None:
+            continue
+        # mirror extract_text's tag handling: block closers and <br>/<hr>
+        # separate words, every other tag vanishes
+        text = unescape(_RE_TAG.sub("", _RE_BLOCK_CLOSE.sub("\n", m.group(4))))
+        text = _RE_HSPACE.sub(" ", text.replace("\n", " ")).strip()
+        out.append((norm, text))
+    return out

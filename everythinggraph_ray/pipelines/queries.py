@@ -1170,6 +1170,60 @@ def q_web_edges(sf_dir):
     return pages_to_edges(pages)
 
 
+ANCHOR_TOPK = 20
+
+
+def q_web_anchor_text(sf_dir):
+    """Anchor-text aggregation: for every (target url, anchor text)
+    pair, the number of in-links carrying that text — the classic
+    target-page description signal. Top-20 by (count desc, url, anchor).
+    Per-page anchors emit pre-counted per batch → one pair-bucketed sum
+    with bucket-local top-k, exact global top-k. Rows-only (HTML parsing
+    has no SQL form); byte-level extractor pytest + corpus-consistency
+    check in tests."""
+    from hashlib import blake2b
+
+    from everythinggraph_ray.html import extract_anchors
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cnt: dict[tuple[str, str], int] = {}
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for dst, text in extract_anchors(html, url):
+                k = (dst, text)
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table(
+            {
+                "dst_url": pa.array([k[0] for k in cnt], pa.string()),
+                "anchor": pa.array([k[1] for k in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(f"{u}|{a}".encode(), digest_size=4).digest(), "little")
+                for u, a in zip(batch["dst_url"].to_pylist(), batch["anchor"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["dst_url", "anchor"], as_index=False)["n"].sum()
+        df = df.sort_values(["n", "dst_url", "anchor"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(ANCHOR_TOPK), preserve_index=False)
+
+    top = bucketed_reduce(pages.map_batches(emit, batch_format="pyarrow"), bucket_of, red)
+    return (
+        top.sort(["n", "dst_url", "anchor"], descending=[True, False, False])
+        .limit(ANCHOR_TOPK)
+    )
+
+
 def q_web_pagerank(sf_dir):
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"web|{corpus}", 8)
@@ -4194,6 +4248,7 @@ QUERIES = {
     "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,
     "web_edges": q_web_edges,
+    "web_anchor_text": q_web_anchor_text,
     "web_pagerank": q_web_pagerank,
     "web_top10": q_web_top10,
     "web_wcc": q_web_wcc,

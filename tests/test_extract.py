@@ -83,3 +83,37 @@ def test_dedup_keep_latest_takes_latest_capture(tiny_corpus):
     got = pages_to_text(ray.data.read_parquet(tiny_corpus)).to_pandas().set_index("url")["text"]
     for u in dup_urls:
         assert "revision two" in got[u]
+
+
+def test_extract_anchors_semantics():
+    from everythinggraph_ray.html import extract_anchors, extract_links
+
+    h = (
+        '<html><body><script>var a = "<a href=/inscript>no</a>";</script>'
+        '<p>see <a href="https://EXample.com:443/p?q=1#frag"> Hello <b>World</b> </a>'
+        ' and <a href="#top">skip</a><a href=\'/rel\'>rel&amp;</a>'
+        '<a href="mailto:x@y">mail</a>'
+        "<a href=/bare>bare<br>text</a></p></body></html>"
+    )
+    got = extract_anchors(h, "https://base.org/dir/page")
+    assert got == [
+        ("https://example.com/p?q=1", "Hello World"),
+        ("https://base.org/rel", "rel&"),
+        ("https://base.org/bare", "bare text"),
+    ]
+    # anchors' urls are a subset of extract_links (same filtering rules)
+    assert [u for u, _ in got] == extract_links(h, "https://base.org/dir/page")
+
+
+def test_extract_anchors_corpus_consistency():
+    """Every corpus page's anchor urls must equal its extract_links output
+    (the anchor extractor shares the href grammar)."""
+    import pyarrow.parquet as pq
+
+    from everythinggraph_ray.corpus import ensure_corpus
+    from everythinggraph_ray.html import extract_anchors, extract_links
+
+    d = ensure_corpus(200, seed=42)
+    t = pq.read_table(d)
+    for url, html in zip(t["url"].to_pylist()[:50], t["html"].to_pylist()[:50]):
+        assert [u for u, _ in extract_anchors(html, url)] == extract_links(html, url)
