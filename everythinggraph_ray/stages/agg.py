@@ -146,10 +146,40 @@ def sum_by_key(
     *,
     num_buckets: int = DEFAULT_BUCKETS,
     out_names: list[str] | None = None,
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Exact sum of ``val_cols`` grouped by an int64 ``key_col`` using the
-    bucketed pattern (input should already be batch-partial-aggregated)."""
+    bucketed pattern (input should already be batch-partial-aggregated).
+
+    ``salt > 1`` is the hot-key escape hatch: a chronically skewed key
+    (one url's edges, one degenerate token) otherwise lands its ENTIRE
+    row mass in one bucket and a single worker pays for it. Salting
+    spreads each key's rows over ``salt`` sub-buckets by a row-position
+    hash (two-level reduce: per-(key, salt) partial sums in the salted
+    pass, then one ordinary pass over at most ``salt`` rows per key).
+    Exactness is unchanged — int64 addition is associative; for float
+    columns results vary within reassociation tolerance like any
+    repartitioning would."""
     out_names = out_names or val_cols
+    if salt > 1:
+        S = np.int64(salt)
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            # row-position hash, not a key hash: same-key rows must spread
+            r = mix64(np.arange(batch.num_rows, dtype=np.int64)
+                      + batch[key_col].to_numpy(zero_copy_only=False) * 31) % S
+            return batch.append_column("__salt", pa.array(r.astype(np.int64), pa.int64()))
+
+        salted = sum_by_key_pair(
+            ds.map_batches(add_salt, batch_format="pyarrow"),
+            key_col,
+            "__salt",
+            val_cols,
+            num_buckets=num_buckets,
+        ).drop_columns(["__salt"])
+        return sum_by_key(
+            salted, key_col, val_cols, num_buckets=num_buckets, out_names=out_names
+        )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
         return mix64(batch[key_col].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
@@ -163,6 +193,46 @@ def sum_by_key(
         for vc, on in zip(val_cols, out_names):
             v = g[vc].to_numpy(zero_copy_only=False)[o]
             cols[on] = pa.array(np.add.reduceat(v, st) if len(st) else v[:0])
+        return pa.table(cols)
+
+    return bucketed_reduce(ds, bucket_of, red, num_buckets=num_buckets)
+
+
+def sum_by_key_pair(
+    ds: ray.data.Dataset,
+    key_col: str,
+    key2_col: str,
+    val_cols: list[str],
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Exact sums grouped by an int64 key PAIR (the salted inner pass of
+    sum_by_key; also a composite-key aggregation in its own right)."""
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch[key_col].to_numpy(zero_copy_only=False),
+            batch[key2_col].to_numpy(zero_copy_only=False),
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        k1 = g[key_col].to_numpy(zero_copy_only=False)
+        k2 = g[key2_col].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k2, k1))
+        k1, k2 = k1[o], k2[o]
+        new = (
+            np.r_[True, (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+            if len(k1)
+            else np.empty(0, bool)
+        )
+        st = np.flatnonzero(new)
+        cols = {
+            key_col: pa.array(k1[st] if len(k1) else k1, pa.int64()),
+            key2_col: pa.array(k2[st] if len(k2) else k2, pa.int64()),
+        }
+        for vc in val_cols:
+            v = g[vc].to_numpy(zero_copy_only=False)[o]
+            cols[vc] = pa.array(np.add.reduceat(v, st) if len(st) else v[:0])
         return pa.table(cols)
 
     return bucketed_reduce(ds, bucket_of, red, num_buckets=num_buckets)

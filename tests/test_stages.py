@@ -352,3 +352,35 @@ def test_events_outliers_median_mad(tmp_path):
     assert out["mad_c"] == 0
     # outliers: d > 0 -> the three non-100 values
     assert out["n_outliers"] == 3 and out["n_events"] == 6
+
+
+def test_salted_sum_by_key_exact_and_skew_spread():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.stages.agg import mix64, sum_by_key
+
+    rng = np.random.default_rng(6)
+    # one pathological hot key (80% of rows) + a long tail
+    keys = np.where(rng.random(20000) < 0.8, 7, rng.integers(0, 500, 20000))
+    vals = rng.integers(0, 100, 20000)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": keys.astype(np.int64), "v": vals.astype(np.int64)})
+    )
+    want = pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)["v"].sum()
+    for salt in (1, 8):
+        got = (
+            sum_by_key(ds, "k", ["v"], salt=salt)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want.sort_values("k").reset_index(drop=True), check_dtype=False
+        )
+    # the salted inner pass really spreads the hot key over >1 sub-bucket
+    salts = mix64(np.arange(20000, dtype=np.int64) + np.int64(7) * 31) % np.int64(8)
+    assert len(np.unique(salts)) > 1
