@@ -673,6 +673,40 @@ def q_rel_sssp_parent(sf_dir):
     return pd.DataFrame({"vid": df["vid"].astype("int64"), "dist": dist, "parent": parent})
 
 
+def q_rel_triangles_sampled(sf_dir):
+    """DOULION (Tsourakakis et al. KDD'09) approximate triangle count:
+    keep each canonical edge with probability 1/2 via the DETERMINISTIC
+    md5 coin (md5_number_lower(u:v) < 2^63 — no RNG, so the oracle
+    replays the exact same sample), count triangles on the sample,
+    estimate = count · (1/p)³ = count · 8. The sampling path past the
+    exact counters' O(T) cost."""
+    import hashlib
+
+    from everythinggraph_ray.graph.triangles import (
+        _canonical_undirected,
+        triangle_count,
+    )
+
+    und = _canonical_undirected(rel_edges(sf_dir))
+
+    def coin(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"{a}:{b}".encode()).digest()[8:16], "little")
+                < (1 << 63)
+                for a, b in zip(s, d)
+            ),
+            dtype=bool,
+            count=len(s),
+        )
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    tri_s = triangle_count(und.map_batches(coin, batch_format="pyarrow"))
+    return pd.DataFrame({"tri_sampled": [tri_s], "estimate": [tri_s * 8]})
+
+
 def q_rel_4cliques(sf_dir):
     """Exact 4-clique (K4) count via the degree-orientation DAG run one
     level past triangles: enumerate oriented triangles, pair them on
@@ -3660,6 +3694,17 @@ ORACLES: dict[str, str] = {
         + ", s AS (SELECT src AS vid, CAST(sum(dst) AS BIGINT) AS y FROM e GROUP BY src) "
         "SELECT v.vid, coalesce(s.y, 0) AS y FROM verts v LEFT JOIN s ON s.vid = v.vid"
     ),
+    "rel_triangles_sampled": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
+        "WHERE src <> dst), "
+        "s AS (SELECT u, v FROM und WHERE "
+        "CAST(md5_number_lower(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS HUGEINT) "
+        "< 9223372036854775808), "
+        "t AS (SELECT count(*) AS n FROM s a "
+        "JOIN s b ON b.u = a.v JOIN s c ON c.u = a.u AND c.v = b.v) "
+        "SELECT CAST(n AS BIGINT) AS tri_sampled, CAST(n * 8 AS BIGINT) AS estimate FROM t"
+    ),
     "rel_4cliques": (
         f"WITH e AS ({SQL_REL_EDGES}), "
         "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
@@ -4211,6 +4256,7 @@ QUERIES = {
     "rel_transitivity": q_rel_transitivity,
     "rel_richclub": q_rel_richclub,
     "rel_4cliques": q_rel_4cliques,
+    "rel_triangles_sampled": q_rel_triangles_sampled,
     "rel_ktruss": q_rel_ktruss,
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,

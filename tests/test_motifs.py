@@ -69,3 +69,31 @@ def test_triangle_enumeration_count_and_orientation():
         seen.add(key)
         for x, y in itertools.combinations((a, b, c), 2):
             assert (min(x, y), max(x, y)) in es
+
+
+def test_sampled_triangle_estimate_accuracy(tmp_path):
+    """DOULION estimate lands near the exact count on a triangle-rich
+    graph (deterministic md5 coin, so the 'sample' is fixed)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from everythinggraph_ray.pipelines.queries import q_rel_triangles, q_rel_triangles_sampled
+
+    # synthesize a lineitem table whose derived graph is K60-ish: every
+    # (orderkey % V, partkey % V) pair among 60 vids
+    vids = np.arange(60)
+    rows = [(a, b) for a in vids for b in vids if a != b]
+    t = pd.DataFrame({"l_orderkey": [a for a, _ in rows], "l_partkey": [b for _, b in rows]})
+    d = tmp_path / "sf"
+    d.mkdir()
+    t.to_parquet(d / "lineitem.parquet")
+    res = q_rel_triangles(str(d))
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    exact = int(res.iloc[0, 0])
+    est = q_rel_triangles_sampled(str(d)).iloc[0]
+    assert exact == 60 * 59 * 58 // 6
+    # p=1/2 on a dense graph: estimate within 40% (fixed sample, no flake)
+    assert abs(est["estimate"] - exact) / exact < 0.4
+    assert est["estimate"] == est["tri_sampled"] * 8
