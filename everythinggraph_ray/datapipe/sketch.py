@@ -308,3 +308,124 @@ def cms_heavy_hitters(
     return bucketed_reduce(
         docs.map_batches(distinct_partial, batch_format="pyarrow"), bucket_of, estimate
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set membership (decontamination at scale)
+# ---------------------------------------------------------------------------
+# The third sketch of the family (HLL cardinality, CMS frequency, Bloom
+# membership). Bit positions come from the same md5_number_lower affine
+# hash family, so the whole structure — build AND probe — has exact SQL
+# parity: a gram is flagged iff ALL k of its positions land in the union
+# of the reference set's positions, which is precisely what the DuckDB
+# oracle replays. False positives are inherent (never false negatives);
+# the flagged counts are an UPPER bound on the exact decontamination
+# counts (asserted in tests).
+
+
+def _bloom_positions(grams: list[str], m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions per gram."""
+    from hashlib import md5
+
+    A, B = _cms_seeds(k)
+    h = np.fromiter(
+        (int.from_bytes(md5(g.encode()).digest()[8:16], "little") for g in grams),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    return ((A[:, None] * h[None, :] + B[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    values_of,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> np.ndarray:
+    """Build the filter over ``values_of(batch) -> list[str]``: per-batch
+    set-bit WORD partials (at most m/64 rows leave a batch), bucketed OR,
+    final <= m/64-row collect into one uint64 array (m_bits/8 bytes — the
+    broadcastable small side by construction)."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    n_words = (m_bits + 63) // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = values_of(batch)
+        if not vals:
+            return pa.table(
+                {"w": pa.array([], pa.int64()), "bits": pa.array([], pa.int64())}
+            )
+        pos = _bloom_positions(vals, m_bits, k).ravel()
+        words = np.zeros(n_words, dtype=np.uint64)
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        nz = np.flatnonzero(words)
+        return pa.table(
+            {
+                "w": pa.array(nz, pa.int64()),
+                "bits": pa.array(words[nz].view(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["w"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        o = df.groupby("w")["bits"].apply(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        return pa.table(
+            {
+                "w": pa.array(np.asarray(o.index, np.int64), pa.int64()),
+                "bits": pa.array(o.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"), bucket_of, red).to_pandas()
+    words = np.zeros(n_words, dtype=np.uint64)
+    if len(rows):
+        words[rows["w"].to_numpy()] = rows["bits"].to_numpy().view(np.uint64)
+    return words
+
+
+def bloom_probe_counts(
+    ds: ray.data.Dataset,
+    words: np.ndarray,
+    per_doc_values,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, n_flagged) — per doc, how many of its DISTINCT values the
+    filter claims are members (>= the exact count; upper bound by the
+    no-false-negative guarantee). The filter broadcasts once via ray.put."""
+    import ray as _ray
+
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    wref = _ray.put(words)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        w = _ray.get(wref)
+        ids_out: list[int] = []
+        cnt_out: list[int] = []
+        for did, vals in per_doc_values(batch):
+            if not vals:
+                continue
+            pos = _bloom_positions(vals, m_bits, k)
+            hit = (
+                (w[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+            ).all(axis=0)
+            n = int(hit.sum())
+            if n:
+                ids_out.append(did)
+                cnt_out.append(n)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "n_flagged": pa.array(cnt_out, pa.int64()),
+            }
+        )
+
+    return sum_by_key(ds.map_batches(probe, batch_format="pyarrow"), id_col, ["n_flagged"])

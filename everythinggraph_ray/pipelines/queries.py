@@ -2465,6 +2465,64 @@ def q_docs_cms_heavy(sf_dir):
     )
 
 
+BLOOM_M, BLOOM_K = 1 << 16, 4
+
+
+def q_docs_bloom_decontaminate(sf_dir):
+    """Bloom-filter benchmark decontamination (the at-scale variant of
+    docs_decontaminate): benchmark word-5-grams build a 64 Kbit filter
+    (bucketed OR of per-batch word partials, broadcast once); corpus
+    docs count their distinct grams the filter flags. Upper bound on the
+    exact counts (no false negatives); md5-affine positions shared
+    verbatim with the oracle, so even the false positives hash-match."""
+    import re
+
+    from everythinggraph_ray.datapipe.sketch import bloom_build, bloom_probe_counts
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rx = re.compile(WORD_RE)
+
+    def grams_of(text: str) -> list[str]:
+        ws = rx.findall((text or "").lower())
+        return sorted({" ".join(ws[j : j + 5]) for j in range(len(ws) - 4)})
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 0, pa.bool_()))
+
+    def corpus_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 != 0, pa.bool_()))
+
+    def bench_values(batch: pa.Table) -> list[str]:
+        out: list[str] = []
+        for t in batch["text"].to_pylist():
+            out.extend(grams_of(t))
+        return out
+
+    words = bloom_build(
+        docs.map_batches(bench_part, batch_format="pyarrow"),
+        bench_values,
+        m_bits=BLOOM_M,
+        k=BLOOM_K,
+    )
+
+    def per_doc(batch: pa.Table):
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            yield did, grams_of(t)
+
+    return bloom_probe_counts(
+        docs.map_batches(corpus_part, batch_format="pyarrow"),
+        words,
+        per_doc,
+        m_bits=BLOOM_M,
+        k=BLOOM_K,
+    )
+
+
 def q_docs_mixture_sample(sf_dir):
     """Composed mixing pipeline: compute per-(lang, source) uniform
     mixing weights (mix_weights — a #groups-row table), then
@@ -4185,6 +4243,29 @@ ORACLES["cust_no_bigorder"] = (
     "SELECT c_custkey, c_mktsegment FROM customer c WHERE NOT EXISTS "
     "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
 )
+def _bloom_decontaminate_oracle() -> str:
+    from everythinggraph_ray.datapipe.dedup import MD5_MINHASH_SEEDS
+
+    seeds = ", ".join(
+        f"({r}, {a}, {b})" for r, (a, b) in enumerate(MD5_MINHASH_SEEDS[:BLOOM_K])
+    )
+    return (
+        r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w "
+        r"FROM documents), "
+        r"g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM toks "
+        r"CROSS JOIN unnest(range(1, len(w)-3)) AS u(i) WHERE len(w) >= 5), "
+        f"seeds(r, a, b) AS (VALUES {seeds}), "
+        r"hv AS (SELECT doc_id, gram, CAST(md5_number_lower(gram) AS HUGEINT) AS h FROM g), "
+        f"bpos AS (SELECT DISTINCT ((a * h + b) % 18446744073709551616) % {BLOOM_M} AS pos "
+        r"FROM hv CROSS JOIN seeds WHERE doc_id % 7 = 0), "
+        f"cp AS (SELECT doc_id, gram, ((a * h + b) % 18446744073709551616) % {BLOOM_M} AS pos "
+        r"FROM hv CROSS JOIN seeds WHERE doc_id % 7 <> 0), "
+        f"flagged AS (SELECT doc_id, gram FROM cp GROUP BY doc_id, gram "
+        f"HAVING count(*) FILTER (pos IN (SELECT pos FROM bpos)) = {BLOOM_K}) "
+        r"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM flagged GROUP BY doc_id"
+    )
+
+
 def _cms_heavy_oracle() -> str:
     from everythinggraph_ray.datapipe.dedup import MD5_MINHASH_SEEDS
 
@@ -4226,6 +4307,7 @@ def _minhash_md5_oracle() -> str:
 
 ORACLES["docs_minhash_md5"] = _minhash_md5_oracle()
 ORACLES["docs_cms_heavy"] = _cms_heavy_oracle()
+ORACLES["docs_bloom_decontaminate"] = _bloom_decontaminate_oracle()
 ORACLES["emb_allpairs_sim"] = (
     "SELECT a.vec_id AS a, b.vec_id AS b, "
     "CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
@@ -4344,6 +4426,7 @@ QUERIES = {
     "docs_pmi_pairs": q_docs_pmi_pairs,
     "emb_logreg": q_emb_logreg,
     "docs_cms_heavy": q_docs_cms_heavy,
+    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_gopher_filter": q_docs_gopher_filter,
     "docs_mix_weights": q_docs_mix_weights,

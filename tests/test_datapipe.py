@@ -831,3 +831,48 @@ def test_cms_never_undercounts_and_matches_serial():
     hh2 = cms_heavy_hitters(ds, 40, width=4096, depth=4).to_pandas()
     want2 = {t: c for t, c in truth.items() if c >= 40}
     assert dict(zip(hh2["token"], hh2["est"])) == want2
+
+
+def test_bloom_upper_bounds_exact_decontamination():
+    """Bloom counts >= exact counts everywhere (no false negatives), and
+    with a filter big enough for zero FPs they are EQUAL."""
+    import numpy as np
+    import pandas as pd
+
+    from everythinggraph_ray.pipelines.queries import (
+        q_docs_bloom_decontaminate,
+        q_docs_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bloom = q_docs_bloom_decontaminate(sf).to_pandas().set_index("doc_id")["n_flagged"]
+    ex = q_docs_decontaminate(sf)
+    ex = (ex.to_pandas() if not isinstance(ex, pd.DataFrame) else ex).set_index("doc_id")[
+        "n_contaminated"
+    ]
+    # every exactly-contaminated doc is flagged at least as hard
+    for did, n in ex.items():
+        assert bloom.get(did, 0) >= n
+    # and bloom may add FP rows/extra counts but only upward
+    assert bloom.sum() >= ex.sum()
+
+
+def test_bloom_build_partition_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from everythinggraph_ray.datapipe.sketch import bloom_build
+
+    df = pd.DataFrame({"doc_id": range(60), "text": [f"tok{i} alpha beta" for i in range(60)]})
+
+    def values_of(batch):
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend(t.split())
+        return out
+
+    a = bloom_build(ray.data.from_pandas(df), values_of, m_bits=1 << 12, k=3)
+    b = bloom_build(ray.data.from_pandas(df).repartition(7), values_of, m_bits=1 << 12, k=3)
+    assert (a == b).all() and a.any()
