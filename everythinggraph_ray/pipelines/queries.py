@@ -960,7 +960,11 @@ def q_rel_matching(sf_dir):
     """Greedy-by-md5-key maximal matching of the simple undirected graph
     (graph/matching.py — deterministic parallel rounds whose fixpoint is
     the sequential greedy matching in key order; the SQL oracle unrolls
-    the same rounds, the MIS-oracle device)."""
+    the same rounds, the MIS-oracle device). At driver scale (56k edges
+    < tail_threshold) the serial tail answers directly — the same
+    rel_mis convention; the distributed rounds are exercised (vs the
+    serial oracle, both paths, partition-invariant) in
+    tests/test_matching.py."""
     from everythinggraph_ray.graph.matching import maximal_matching
 
     out, _rounds = maximal_matching(rel_edges(sf_dir))
