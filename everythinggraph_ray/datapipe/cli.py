@@ -54,6 +54,11 @@ OPS = [
     "knn-ivf",
     "knn-lsh",
     "emb-near-dup",
+    "pca",
+    "logreg",
+    "dup-spans",
+    "cms-heavy",
+    "upsert",
 ]
 
 
@@ -84,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-planes", type=int, default=8)
     p.add_argument("--shards", type=int, default=0, help=">0: resumable sharded sink with N shards")
     p.add_argument("--keep-text", action="store_true", help="pii-redact: keep the redacted text column")
+    p.add_argument("--ts-col", default="ts", help="upsert: keep-latest timestamp column")
+    p.add_argument("--min-count", type=int, default=100, help="cms-heavy: report tokens with estimate >= N")
     args = p.parse_args(argv)
 
     import ray
@@ -115,6 +122,58 @@ def _run(args) -> int:
         )["assignments"]
         n = _write(res, args, args.id_col or "vec_id")
         print(json.dumps({"op": "kmeans", "out": args.out, "rows": n}))
+        return 0
+
+    if args.op in ("pca", "logreg"):
+        if not args.embeddings:
+            print("error: this op needs --embeddings", file=sys.stderr)
+            return 2
+        import numpy as np
+        import pandas as pd
+
+        from everythinggraph_ray.datapipe import cluster
+
+        emb = ray.data.read_parquet(args.embeddings)
+        if args.op == "pca":
+            r = cluster.emb_power_iteration(emb)
+            res = pd.DataFrame(
+                {
+                    "dim": np.arange(len(r["component"]), dtype=np.int64),
+                    "component": r["component"],
+                    "eigenvalue": r["eigenvalue"],
+                    "explained_ratio": r["explained_ratio"],
+                }
+            )
+        else:
+            r = cluster.emb_logreg(emb)
+            res = pd.DataFrame(
+                {
+                    "dim": np.arange(len(r["weights"]), dtype=np.int64),
+                    "weight": r["weights"],
+                    "bias": r["bias"],
+                    "loss": r["loss"],
+                    "accuracy": r["accuracy"],
+                }
+            )
+        n = _write(res, args, "dim")
+        print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
+        return 0
+
+    if args.op == "upsert":
+        if not args.docs:
+            print("error: upsert needs --docs (the new rows)", file=sys.stderr)
+            return 2
+        from everythinggraph_ray.datapipe.sink import upsert_sharded
+
+        docs = ray.data.read_parquet(args.docs)
+        touched = upsert_sharded(
+            docs,
+            args.out,
+            id_col=args.id_col or "doc_id",
+            ts_col=args.ts_col,
+            num_shards=args.shards or 16,
+        )
+        print(json.dumps({"op": "upsert", "out": args.out, "shards_touched": len(touched), "rows": int(sum(touched.values()))}))
         return 0
 
     if args.op in ("knn", "knn-ivf", "knn-lsh", "emb-near-dup"):
@@ -213,6 +272,14 @@ def _run(args) -> int:
             res = curate.shard_assign(
                 docs, id_col=id_col, num_shards=max(args.shards, 1) or 16
             )
+        elif args.op == "dup-spans":
+            from everythinggraph_ray.datapipe import substr
+
+            res = substr.duplicate_spans(docs, n=max(args.ngram, 2), id_col=id_col, text_col=tc)
+        elif args.op == "cms-heavy":
+            from everythinggraph_ray.datapipe import sketch
+
+            res = sketch.cms_heavy_hitters(docs, args.min_count, text_col=tc)
         elif args.op == "pack":
             res = pack.pack_sequences(docs, bin_tokens=args.bin_tokens, id_col=id_col, text_col=tc)
         else:  # chunk

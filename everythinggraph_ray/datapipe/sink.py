@@ -149,3 +149,104 @@ def read_sharded(
     with fs.open_input_file(paths[0]) as f:
         cols = pq.read_schema(f).names
     return ray.data.read_parquet(paths, filesystem=fs).select_columns(cols)
+
+
+def upsert_sharded(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_shards: int = 16,
+    filesystem=None,
+    num_buckets: int = 64,
+) -> dict[int, int]:
+    """Keyed UPSERT into a ``write_sharded`` store — the incremental
+    ingestion op: merge ``ds`` into the existing shards keeping, per id,
+    the row with the greatest (``ts_col``, md5-of-row) — the
+    dedup_keep_latest rule, so re-delivered and out-of-order batches
+    converge to the same state.  Returns {shard: rows_after_merge} for
+    the shards this run touched.
+
+    Only AFFECTED shards are read+rewritten (one owning task each);
+    untouched shards' files are not opened.  Rewrites are
+    object-store-safe: the new generation file lands first
+    (``part-NNN.parquet``, NNN bumped), then the manifest flips to list
+    ONLY the new file (readers go through the manifest, so they see old
+    or new, never a mix), then orphaned generations are deleted —
+    the graph/build.py _publish_manifest convention, no renames."""
+    S = int(num_shards)
+    fs = resolve_fs(filesystem)
+    fs_mkdirs(fs, out_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sh = _shard_of(batch[id_col].to_pylist(), S)
+        return batch.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["__shard"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def keep_latest(df):
+        import pandas as pd
+
+        cols = [c for c in df.columns if c != "__shard"]
+        other = [c for c in cols if c != id_col]
+        key = df[other].astype(str).agg("|".join, axis=1) if other else ""
+        df = df.assign(
+            __h=[hashlib.md5(s.encode()).hexdigest() for s in key]
+            if other
+            else ""
+        )
+        df = df.sort_values([id_col, ts_col, "__h"], kind="mergesort")
+        return df.drop_duplicates(id_col, keep="last").drop(columns="__h")[cols]
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        sh = g["__shard"].to_numpy(zero_copy_only=False)
+        out_s, out_n = [], []
+        for s in np.unique(sh):
+            new_part = g.filter(pa.array(sh == s, pa.bool_()))
+            sdir = f"{out_dir}/shard={int(s)}"
+            fs_mkdirs(fs, sdir)
+            old_files: list[str] = []
+            tables = [new_part.drop_columns(["__shard"])]
+            if fs_exists(fs, f"{sdir}/_SUCCESS"):
+                old_files = read_json(fs, f"{sdir}/manifest.json")["files"]
+                for fname in old_files:
+                    with fs.open_input_file(f"{sdir}/{fname}") as f:
+                        tables.append(pq.read_table(f))
+            merged_df = keep_latest(
+                pa.concat_tables(tables, promote_options="default").to_pandas()
+            )
+            merged = pa.Table.from_pandas(merged_df, preserve_index=False)
+            gen = 0
+            for fname in old_files:
+                try:
+                    gen = max(gen, int(fname.split("-")[1].split(".")[0]) + 1)
+                except (IndexError, ValueError):
+                    gen = max(gen, 1)
+            fname = f"part-{gen:03d}.parquet"
+            with fs.open_output_stream(f"{sdir}/{fname}") as f:
+                pq.write_table(merged, f)
+            write_json(fs, f"{sdir}/manifest.json", {"files": [fname], "rows": merged.num_rows})
+            write_text(fs, f"{sdir}/_SUCCESS", "")
+            for old in old_files:  # orphan cleanup AFTER the manifest flip
+                if old != fname:
+                    try:
+                        fs.delete_file(f"{sdir}/{old}")
+                    except OSError:
+                        pass
+            out_s.append(int(s))
+            out_n.append(merged.num_rows)
+        return pa.table(
+            {"shard": pa.array(out_s, pa.int64()), "rows": pa.array(out_n, pa.int64())}
+        )
+
+    res = bucketed_reduce(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        bucket_of,
+        merge_group,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if res.empty:
+        return {}
+    return dict(zip(res["shard"].astype(int), res["rows"].astype(int)))

@@ -103,3 +103,81 @@ def test_read_text_edges_snap_and_csv(tmp_path):
 
     with _pytest.raises(Exception):
         read_text_edges(str(bad)).to_pandas()
+
+
+def test_upsert_sharded_merge_and_convergence(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from everythinggraph_ray.datapipe.sink import read_sharded, upsert_sharded, write_sharded
+
+    d = str(tmp_path / "store")
+    base = pd.DataFrame(
+        {"doc_id": np.arange(20), "ts": np.zeros(20, np.int64), "val": ["old"] * 20}
+    )
+    write_sharded(ray.data.from_pandas(base), d, num_shards=4)
+
+    # upsert: update ids 0..4 with newer ts, insert new ids 100..102,
+    # deliver a STALE duplicate for id 5 (older ts must lose)
+    up = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 100, 101, 102, 5],
+            "ts": [5, 5, 5, 5, 5, 1, 1, 1, -1],
+            "val": ["new"] * 5 + ["ins"] * 3 + ["stale"],
+        }
+    )
+    touched = upsert_sharded(ray.data.from_pandas(up), d, num_shards=4)
+    assert touched  # some shards rewritten
+    got = read_sharded(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 23
+    assert (got.loc[got.doc_id < 5, "val"] == "new").all()
+    assert got.loc[got.doc_id == 5, "val"].iloc[0] == "old"  # stale lost
+    assert (got.loc[got.doc_id >= 100, "val"] == "ins").all()
+    assert (got.loc[(got.doc_id >= 6) & (got.doc_id < 100), "val"] == "old").all()
+
+    # redelivery converges: same upsert again -> identical state
+    upsert_sharded(ray.data.from_pandas(up), d, num_shards=4)
+    again = read_sharded(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+
+    # equal-ts tie resolves deterministically by row md5 (same both orders)
+    t1 = pd.DataFrame({"doc_id": [7, 7], "ts": [9, 9], "val": ["a", "b"]})
+    e1 = str(tmp_path / "t1")
+    upsert_sharded(ray.data.from_pandas(t1), e1, num_shards=2)
+    t2 = pd.DataFrame({"doc_id": [7, 7], "ts": [9, 9], "val": ["b", "a"]})
+    e2 = str(tmp_path / "t2")
+    upsert_sharded(ray.data.from_pandas(t2), e2, num_shards=2)
+    v1 = read_sharded(e1).to_pandas()["val"].iloc[0]
+    v2 = read_sharded(e2).to_pandas()["val"].iloc[0]
+    assert v1 == v2
+
+
+def test_upsert_sharded_untouched_shards_not_rewritten(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from everythinggraph_ray.datapipe.sink import completed_shards, upsert_sharded, write_sharded
+    from everythinggraph_ray.datapipe.sink import _shard_of
+
+    d = str(tmp_path / "store")
+    base = pd.DataFrame({"doc_id": np.arange(40), "ts": np.zeros(40, np.int64), "val": ["x"] * 40})
+    write_sharded(ray.data.from_pandas(base), d, num_shards=8)
+    before = {
+        s: sorted(p.name for p in (tmp_path / "store" / f"shard={s}").glob("part-*"))
+        for s in completed_shards(d)
+    }
+    one_id = 3
+    target = int(_shard_of([one_id], 8)[0])
+    up = pd.DataFrame({"doc_id": [one_id], "ts": [9], "val": ["y"]})
+    touched = upsert_sharded(ray.data.from_pandas(up), d, num_shards=8)
+    assert set(touched) == {target}
+    for s, files in before.items():
+        now = sorted(p.name for p in (tmp_path / "store" / f"shard={s}").glob("part-*"))
+        if s == target:
+            assert now != files  # new generation
+        else:
+            assert now == files  # untouched
