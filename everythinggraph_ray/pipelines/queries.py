@@ -2967,6 +2967,85 @@ def q_q5_region_revenue(sf_dir):
     )
 
 
+def q_q4_late_orders(sf_dir):
+    """TPC-H Q4-lite: per order priority, the number of DISTINCT orders
+    with at least one lineitem shipped more than 60 days after the order
+    date. The big⋈big date-predicate join: order dates attach to
+    lineitems via the distributed hash_join, late lineitems reduce to
+    per-(priority, orderkey) distinct rows per batch, and the distinct
+    count rides one bucketed reduce keyed by orderkey (an order's rows
+    co-locate, so the final count is exact)."""
+    from hashlib import blake2b
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    )
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"],
+    )
+
+    def late_pairs(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (ship - odate) > np.timedelta64(60, "D")
+        df = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    "o_orderpriority": np.asarray(
+                        batch["o_orderpriority"].to_pylist(), dtype=object
+                    )[keep],
+                }
+            )
+            .drop_duplicates()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = joined.map_batches(late_pairs, batch_format="pyarrow")
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(
+            batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates()
+        out = df.groupby("o_orderpriority", as_index=False).size()
+        out["n_late"] = out.pop("size").astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = bucketed_reduce(pairs, bucket_of, red)
+
+    def b2(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(s.encode(), digest_size=4).digest(), "little")
+                for s in batch["o_orderpriority"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def fin(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("o_orderpriority", as_index=False)["n_late"].sum()
+        return pa.Table.from_pandas(
+            df.astype({"n_late": np.int64}), preserve_index=False
+        )
+
+    return bucketed_reduce(partials, b2, fin)
+
+
 def q_mktsegment_revenue(sf_dir):
     """Broadcast hash join: customer (small side) shipped once via
     ray.put, orders stream through map_batches — no shuffle."""
@@ -4026,6 +4105,13 @@ ORACLES: dict[str, str] = {
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c2, "
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
+    "q4_late_orders": (
+        "SELECT o.o_orderpriority, "
+        "CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_late "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
+        "GROUP BY o.o_orderpriority"
+    ),
     "q5_region_revenue": (
         "SELECT n.n_name, "
         "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
@@ -4447,4 +4533,5 @@ QUERIES = {
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
     "q5_region_revenue": q_q5_region_revenue,
+    "q4_late_orders": q_q4_late_orders,
 }
