@@ -3081,6 +3081,252 @@ def q_mktsegment_revenue(sf_dir):
     )
 
 
+def q_q6_revenue(sf_dir):
+    """TPC-H Q6-lite: the prune-at-the-read query. The shipdate range,
+    discount band and quantity cap are pushed into ``read_parquet`` as a
+    pyarrow dataset filter, so at scale only matching row groups leave
+    storage (a year of a multi-year table) and only 3 of 11 columns are
+    read. Revenue is summed as exact 1e-4-unit integers; the rounding
+    expression (floor(x*10000 + 0.5)) is mirrored token-for-token in the
+    SQL oracle so both sides build the identical IEEE double before the
+    floor."""
+    import pyarrow.dataset as pds
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    flt = (
+        (pds.field("l_shipdate") >= lo)
+        & (pds.field("l_shipdate") < hi)
+        & (pds.field("l_discount") >= 0.05)
+        & (pds.field("l_discount") <= 0.07)
+        & (pds.field("l_quantity") < 24.0)
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=flt,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        di = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * di * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "revenue_c4": pa.array([int(rev.sum())], pa.int64()),
+                "n_items": pa.array([len(rev)], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_c4": pa.array([int(parts["revenue_c4"].sum())], pa.int64()),
+            "n_items": pa.array([int(parts["n_items"].sum())], pa.int64()),
+        }
+    )
+
+
+Q18_QTY_THRESHOLD = 150  # total lineitem quantity per order (TPC-H Q18's 300 scaled)
+
+
+def q_q18_big_orders(sf_dir):
+    """TPC-H Q18-lite (large-volume orders): groupby-HAVING then join
+    back. Per-order quantity totals ride the batch-partial + bucketed-sum
+    combiner (never a per-key Ray aggregate); the small qualifying set
+    then attaches order fields via the distributed hash_join and customer
+    names via one ray.put broadcast (customer is the classic small
+    side)."""
+    import ray as _ray
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, np.round(q).astype(np.int64))
+        return pa.table(
+            {"vid": pa.array(u, pa.int64()), "qty_partial": pa.array(s, pa.int64())}
+        )
+
+    totals = sum_by_key(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "vid",
+        ["qty_partial"],
+        out_names=["total_qty"],
+    )
+    big = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], Q18_QTY_THRESHOLD)).rename_columns(
+            ["o_orderkey", "total_qty"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = hash_join(
+        big, orders, on="o_orderkey", right_cols=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    name_of = _ray.put(dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = _ray.get(name_of)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price_c = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "total_qty": batch["total_qty"],
+                "c_name": pa.array(pd.Series(ck).map(m).to_numpy(dtype=object), pa.string()),
+                "o_totalprice_c": pa.array(price_c, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(attach, batch_format="pyarrow")
+
+
+def q_rel_avg_nbr_degree(sf_dir):
+    """Average-neighbour-degree building blocks (Barrat/Newman `knn(v)`):
+    for every src vertex, the SUM of its out-neighbours' out-degrees and
+    its out-edge count, as exact int64 (the float mean is a trivial
+    client-side division; keeping integers keeps the hash exact). The
+    degree table attaches to edges through the distributed hash_join
+    (edges big ⋈ degrees small-ish — no driver state), then per-src sums
+    ride the batch-partial + bucketed-sum combiner. Raw edge multiplicity
+    counts, matching the SQL LEFT-JOIN-free formulation (out_degrees
+    covers the full vertex universe with zeros)."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    edges = rel_edges(sf_dir)
+    od = out_degrees(edges)  # (vid, outdeg), dst-only vertices included at 0
+    attached = hash_join(
+        edges, od, on="dst", right_on="vid", right_cols=["outdeg"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        dg = batch["outdeg"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        dsum = np.zeros(len(u), np.int64)
+        np.add.at(dsum, inv, dg.astype(np.int64))
+        nout = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "vid": pa.array(u, pa.int64()),
+                "ds_p": pa.array(dsum, pa.int64()),
+                "no_p": pa.array(nout, pa.int64()),
+            }
+        )
+
+    return sum_by_key(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        "vid",
+        ["ds_p", "no_p"],
+        out_names=["nbr_outdeg_sum", "n_out"],
+    )
+
+
+def q_rel_modularity(sf_dir):
+    """Newman modularity of the connected-component partition over the
+    simple undirected graph (distinct pairs, self-loops dropped) — the
+    disconnected-graph modularity ceiling. Exact integer form: with
+    m2 = 2m directed-pair rows and r_c = rows whose endpoint lies in
+    component c (so r_c = both 2·e_c and ΣD_c), Q = num/den with
+    num = Σ_c (m2·r_c − r_c²), den = m2². Labels come from the
+    distributed WCCKernel; r_c is a hash_join + bucketed sum; num is a
+    per-batch partial folded into one Dataset sum — nothing
+    per-component ever reaches the driver."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import sum_by_key
+    from everythinggraph_ray.stages.edges import filter_self_loops
+
+    und = dedup_edges(undirect_edges(filter_self_loops(rel_edges(sf_dir))))
+    eng = GraphEngine(_rel_build(sf_dir, undirect=True))
+    try:
+        labels = eng.run(WCCKernel())["dataset"]
+    finally:
+        eng.shutdown()
+
+    lab_e = hash_join(und, labels, on="src", right_on="vid", right_cols=["wcc"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["wcc"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(u, pa.int64()), "r_p": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    rc = sum_by_key(
+        lab_e.map_batches(partial, batch_format="pyarrow"), "vid", ["r_p"], out_names=["r"]
+    )
+    m2 = int(rc.sum("r"))
+
+    def num_partial(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"np": pa.array([int((m2 * r - r * r).sum())], pa.int64())})
+
+    num = int(rc.map_batches(num_partial, batch_format="pyarrow").sum("np"))
+    return pa.table(
+        {
+            "mod_num": pa.array([num], pa.int64()),
+            "mod_den": pa.array([m2 * m2], pa.int64()),
+        }
+    )
+
+
+def q_events_transitions(sf_dir):
+    """Per-user event-type Markov transitions: count consecutive
+    (prev_type → next_type) pairs in each user's ts-ordered stream
+    (event_id tiebreak). Users co-locate via the bucketed reduce (one
+    vectorized pandas pass per hash bucket — the per-user window never
+    shuffles whole streams to one node), partial pair counts then fold
+    through a tiny groupby since |types|² is bounded."""
+    from ray.data.aggregate import Sum
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        ) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        keep = prev.notna()
+        pairs = pd.DataFrame(
+            {"prev_type": prev[keep].to_numpy(), "next_type": df["event_type"][keep].to_numpy()}
+        )
+        out = pairs.groupby(["prev_type", "next_type"], as_index=False).size()
+        out["n"] = out.pop("size").astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = bucketed_reduce(ev, bucket_of, red)
+    return (
+        partials.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 # ----------------------------------------------------------------------
 # SQL oracles
 # ----------------------------------------------------------------------
@@ -4406,6 +4652,64 @@ ORACLES["emb_allpairs_sim"] = (
     "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"
 )
 
+# Q6-lite: same double expression tree (ep * disc * 10000 + 0.5, then
+# floor) as the Ray partial — identical IEEE result before the cast.
+ORACLES["q6_revenue"] = (
+    "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * "
+    "CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c4, "
+    "COUNT(*) AS n_items FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-01-01' "
+    "AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE) "
+    "AND l_quantity < CAST(24 AS DOUBLE)"
+)
+
+ORACLES["q18_big_orders"] = (
+    "WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) "
+    "AS BIGINT) AS total_qty FROM lineitem GROUP BY l_orderkey "
+    f"HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {Q18_QTY_THRESHOLD}) "
+    "SELECT big.l_orderkey AS o_orderkey, big.total_qty, c.c_name, "
+    "CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_c "
+    "FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey"
+)
+
+ORACLES["rel_avg_nbr_degree"] = (
+    "WITH "
+    + _sql_graph_prelude()
+    + ", od AS (SELECT v.vid, COUNT(e.src) AS outdeg FROM verts v "
+    "LEFT JOIN e ON e.src = v.vid GROUP BY v.vid) "
+    "SELECT e.src AS vid, CAST(SUM(od.outdeg) AS BIGINT) AS nbr_outdeg_sum, "
+    "COUNT(*) AS n_out FROM e JOIN od ON od.vid = e.dst GROUP BY e.src"
+)
+
+# modularity of the WCC partition: r_c counts und rows by the u-side
+# component (r_c = 2·e_c = ΣD_c since every und edge is intra-component);
+# num = Σ(m2·r − r²), den = m2² with m2 = |und| = 2m. Integer-exact.
+# und2: under WITH RECURSIVE DuckDB relaxes the dedup of und's UNION
+# (harmless for the join-only oracles, wrong for COUNT) — re-dedup
+# explicitly before counting.
+ORACLES["rel_modularity"] = (
+    "WITH RECURSIVE "
+    + _sql_graph_prelude(undirect=True)
+    + ", r(vid, lab) AS (SELECT vid, vid FROM verts UNION "
+    "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v), "
+    "lab AS (SELECT vid, min(lab) AS c FROM r GROUP BY vid), "
+    "und2 AS (SELECT DISTINCT u, v FROM und), "
+    "rc AS (SELECT l.c, COUNT(*) AS r FROM und2 JOIN lab l ON l.vid = und2.u GROUP BY l.c), "
+    "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und2) "
+    "SELECT CAST(SUM(mm.m2 * rc.r - rc.r * rc.r) AS BIGINT) AS mod_num, "
+    "CAST(ANY_VALUE(mm.m2) * ANY_VALUE(mm.m2) AS BIGINT) AS mod_den "
+    "FROM rc CROSS JOIN mm"
+)
+
+ORACLES["events_transitions"] = (
+    "WITH s AS (SELECT event_type, LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+    "SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n "
+    "FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type"
+)
+
 QUERIES = {
     "rel_edges": q_rel_edges,
     "rel_degree": q_rel_degree,
@@ -4534,4 +4838,9 @@ QUERIES = {
     "mktsegment_revenue": q_mktsegment_revenue,
     "q5_region_revenue": q_q5_region_revenue,
     "q4_late_orders": q_q4_late_orders,
+    "q6_revenue": q_q6_revenue,
+    "q18_big_orders": q_q18_big_orders,
+    "rel_avg_nbr_degree": q_rel_avg_nbr_degree,
+    "rel_modularity": q_rel_modularity,
+    "events_transitions": q_events_transitions,
 }

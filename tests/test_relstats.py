@@ -1,0 +1,198 @@
+"""Round-3 relational/graph statistics: modularity, average neighbour
+degree, event-type transitions, and the Q6/Q18 TPC-H-lite shapes — each
+validated against an independent serial oracle on synthetic fixtures
+(the driver's DuckDB sweep covers them again at sf0.01)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _lineitem_dir(tmp_path, pairs, name="sf"):
+    d = tmp_path / name
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "l_orderkey": np.array([a for a, _ in pairs], np.int64),
+            "l_partkey": np.array([b for _, b in pairs], np.int64),
+        }
+    ).to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_modularity_two_cliques(tmp_path):
+    """Two disjoint 8-cliques: WCC finds both, and the exact integer
+    modularity matches the closed form for an equal split
+    (Q = 1/2 - 2·(1/4) ... computed serially below)."""
+    from everythinggraph_ray.pipelines.queries import q_rel_modularity
+
+    k = 8
+    a = [(i, j) for i in range(k) for j in range(k) if i != j]
+    b = [(500 + i, 500 + j) for i in range(k) for j in range(k) if i != j]
+    res = q_rel_modularity(_lineitem_dir(tmp_path, a + b)).to_pandas()
+
+    # serial oracle: und = distinct non-loop pairs both directions
+    edges = set()
+    for s, dd in a + b:
+        edges.add((s, dd))
+        edges.add((dd, s))
+    m2 = len(edges)
+    comp_of = lambda v: 0 if v < 100 else 1
+    r = [0, 0]
+    for u, _ in edges:
+        r[comp_of(u)] += 1
+    num = sum(m2 * rc - rc * rc for rc in r)
+    assert int(res["mod_num"].iloc[0]) == num
+    assert int(res["mod_den"].iloc[0]) == m2 * m2
+    # equal halves → Q = 1/2 exactly; and it must be > 0 (non-degenerate)
+    assert num * 2 == m2 * m2
+
+
+def test_avg_nbr_degree_matches_serial(tmp_path):
+    """Per-src neighbour-outdegree sums equal a pandas merge on a small
+    random multigraph (duplicate edges count with multiplicity)."""
+    from everythinggraph_ray.pipelines.queries import q_rel_avg_nbr_degree
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 40, 300)
+    d = rng.integers(0, 40, 300)
+    res = (
+        q_rel_avg_nbr_degree(_lineitem_dir(tmp_path, list(zip(s.tolist(), d.tolist()))))
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+
+    e = pd.DataFrame({"src": s, "dst": d})
+    od = e.groupby("src").size()
+    deg_of = lambda v: int(od.get(v, 0))
+    e["nbr"] = e["dst"].map(deg_of)
+    exp = (
+        e.groupby("src")
+        .agg(nbr_outdeg_sum=("nbr", "sum"), n_out=("nbr", "size"))
+        .reset_index()
+        .rename(columns={"src": "vid"})
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert res["vid"].tolist() == exp["vid"].tolist()
+    assert res["nbr_outdeg_sum"].tolist() == exp["nbr_outdeg_sum"].tolist()
+    assert res["n_out"].tolist() == exp["n_out"].tolist()
+
+
+def test_events_transitions_matches_serial(tmp_path):
+    """Markov transition counts equal the pandas lag() computation,
+    including same-ts ties broken by event_id and single-event users
+    contributing nothing."""
+    from everythinggraph_ray.pipelines.queries import q_events_transitions
+
+    rng = np.random.default_rng(3)
+    n = 400
+    types = np.array(["view", "click", "purchase"])
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),
+            # coarse ts so same-user ties happen and event_id must break them
+            "ts": pd.to_datetime(rng.integers(0, 50, n), unit="h", origin="2024-01-01"),
+            "event_type": types[rng.integers(0, 3, n)],
+            "value": np.zeros(n),
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+
+    res = (
+        q_events_transitions(str(d))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    prev = s.groupby("user_id")["event_type"].shift(1)
+    keep = prev.notna()
+    exp = (
+        pd.DataFrame({"prev_type": prev[keep], "next_type": s["event_type"][keep]})
+        .groupby(["prev_type", "next_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    assert res["prev_type"].tolist() == exp["prev_type"].tolist()
+    assert res["next_type"].tolist() == exp["next_type"].tolist()
+    assert res["n"].tolist() == exp["n"].tolist()
+
+
+def test_q6_q18_match_duckdb_on_synthetic(tmp_path):
+    """Q6 (pushed-down filter + exact cents) and Q18 (HAVING + join-back)
+    agree with their SQL oracles on an independent synthetic fixture."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from everythinggraph_ray.pipelines.queries import (
+        ORACLES,
+        q_q6_revenue,
+        q_q18_big_orders,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 150, n).astype(np.int64),
+            "l_partkey": rng.integers(0, 400, n).astype(np.int64),
+            "l_quantity": rng.integers(1, 51, n).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(100, 90000, n), 2),
+            "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
+            "l_shipdate": pd.to_datetime(
+                rng.integers(0, 4 * 365, n), unit="D", origin="1994-06-01"
+            ),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(150, dtype=np.int64),
+            "o_custkey": rng.integers(0, 30, 150).astype(np.int64),
+            "o_totalprice": np.round(rng.uniform(1000, 500000, 150), 2),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(30, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(30)],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet")
+    orders.to_parquet(d / "orders.parquet")
+    cust.to_parquet(d / "customer.parquet")
+
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    con.register("orders", orders)
+    con.register("customer", cust)
+
+    got6 = q_q6_revenue(str(d)).to_pandas()
+    exp6 = con.execute(ORACLES["q6_revenue"]).df()
+    assert int(got6["revenue_c4"].iloc[0]) == int(exp6["revenue_c4"].iloc[0])
+    assert int(got6["n_items"].iloc[0]) == int(exp6["n_items"].iloc[0])
+    assert int(got6["n_items"].iloc[0]) > 0  # the filter kept something
+
+    got18 = (
+        q_q18_big_orders(str(d))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    exp18 = (
+        con.execute(ORACLES["q18_big_orders"]).df().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    assert len(got18) == len(exp18) > 0
+    for c in ["o_orderkey", "total_qty", "c_name", "o_totalprice_c"]:
+        assert got18[c].tolist() == exp18[c].tolist()
