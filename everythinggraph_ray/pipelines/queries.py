@@ -3288,6 +3288,32 @@ def q_rel_modularity(sf_dir):
     )
 
 
+def q_docs_len_rank(sf_dir):
+    """SQL window functions, distributed: ROW_NUMBER and NTILE(4) of
+    every document within its language, ordered by length desc (doc_id
+    tiebreak) — the full-group ranking grouped_top_k can't do. Rides
+    `stages/agg.py grouped_row_number`: per-group range splitters from
+    the exact quantile histogram, searchsorted range-bucketing (equal
+    lengths co-locate), offset table of O(langs × 16) as the only
+    broadcast state, one bucketed co-group for the local sort+rank — a
+    language bigger than any worker still ranks, cell by cell."""
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return grouped_row_number(
+        docs,
+        "lang",
+        "n_chars",
+        "doc_id",
+        ascending=False,
+        rank_col="rn",
+        ntile=4,
+        ntile_col="tile",
+    )
+
+
 def q_events_transitions(sf_dir):
     """Per-user event-type Markov transitions: count consecutive
     (prev_type → next_type) pairs in each user's ts-ordered stream
@@ -4703,6 +4729,13 @@ ORACLES["rel_modularity"] = (
     "FROM rc CROSS JOIN mm"
 )
 
+ORACLES["docs_len_rank"] = (
+    "SELECT doc_id, lang, n_chars, "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn, "
+    "NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tile "
+    "FROM documents"
+)
+
 ORACLES["events_transitions"] = (
     "WITH s AS (SELECT event_type, LAG(event_type) OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
@@ -4843,4 +4876,5 @@ QUERIES = {
     "rel_avg_nbr_degree": q_rel_avg_nbr_degree,
     "rel_modularity": q_rel_modularity,
     "events_transitions": q_events_transitions,
+    "docs_len_rank": q_docs_len_rank,
 }

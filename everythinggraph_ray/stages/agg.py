@@ -310,6 +310,169 @@ def grouped_quantiles(
     return bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"), bucket_of, red, num_buckets=num_buckets)
 
 
+def grouped_row_number(
+    ds: ray.data.Dataset,
+    group_col: str | None,
+    order_col: str,
+    tiebreak_col: str,
+    *,
+    ascending: bool = True,
+    rank_col: str = "rn",
+    ntile: int | None = None,
+    ntile_col: str = "tile",
+    num_range_buckets: int = 16,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Distributed SQL window ``ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY order, tiebreak)`` (+ optional ``NTILE(k)``) — exact, and no
+    worker ever holds a whole group (the gap grouped_top_k leaves open:
+    ranking EVERY row of an unbounded group, not just its head).
+
+    Shape (the classic range-partitioned rank):
+      1. per-group range splitters from ``grouped_quantiles`` (the exact
+         value histogram — integer order columns, same contract);
+      2. every row gets a range-bucket by ``searchsorted`` against its
+         group's splitters (equal values always co-locate, so the
+         composite (order, tiebreak) tie-break resolves locally);
+      3. (group, range-bucket) counts fold to per-bucket START OFFSETS —
+         an O(groups × num_range_buckets) table, the only driver/broadcast
+         state (the grouped_quantiles contract: a group's splitter row
+         fits; the corpus never moves);
+      4. one bucketed co-group sorts each (group, range-bucket) cell
+         locally and emits offset + local rank.
+
+    ``order_col`` / ``tiebreak_col`` must be integer-valued;
+    ``tiebreak_col`` must be unique within its group (ROW_NUMBER's
+    determinism contract). A chronically hot order VALUE (half a group
+    identical) lands one cell on one worker — quantize wider or extend
+    the order key, as with any range-partitioned rank."""
+    import pandas as pd
+    import ray as _ray
+
+    gcols = [group_col] if group_col else []
+    B = max(2, int(num_range_buckets))
+    sign = 1 if ascending else -1
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64) * sign
+        return batch.append_column("__k", pa.array(k, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    # 1. per-group splitters (exact quantiles of the oriented key)
+    qs = [i / B for i in range(1, B)]
+    spl_df = grouped_quantiles(
+        keyed, "__k", qs, group_col=group_col, num_buckets=num_buckets
+    ).to_pandas()
+    qcols = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    spl_mat = spl_df[qcols].to_numpy(np.int64)
+    spl_keys = spl_df[group_col].to_numpy(object) if group_col else [None]
+    splitters = {k: np.sort(spl_mat[i]) for i, k in enumerate(spl_keys)}
+    spl_ref = _ray.put(splitters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        spl = _ray.get(spl_ref)
+        k = batch["__k"].to_numpy(zero_copy_only=False)
+        b = np.zeros(len(k), np.int64)
+        if group_col:
+            gv = batch[group_col].to_pandas().to_numpy(object)
+            for g in pd.unique(gv):
+                m = gv == g
+                b[m] = np.searchsorted(spl[g], k[m], side="left")
+        else:
+            b[:] = np.searchsorted(spl[None], k, side="left")
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    assigned = keyed.map_batches(assign, batch_format="pyarrow")
+
+    # 2. (group, range-bucket) counts → start offsets + group totals
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch[c].to_pandas() for c in gcols}
+            | {"__b": batch["__b"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(gcols + ["__b"], as_index=False, dropna=False).size()
+        cols = {c: pa.Array.from_pandas(g[c]) for c in gcols}
+        cols["__b"] = pa.array(g["__b"].to_numpy(np.int64), pa.int64())
+        cols["__n"] = pa.array(g["size"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def cnt_bucket(batch: pa.Table) -> np.ndarray:
+        from everythinggraph_ray.datapipe.joins import _key_hash
+
+        h = (
+            _key_hash(batch, gcols).astype(np.uint64)
+            if gcols
+            else np.zeros(batch.num_rows, np.uint64)
+        )
+        return (
+            (h ^ mix64(batch["__b"].to_numpy(zero_copy_only=False))).astype(np.int64)
+            & 0x7FFFFFFF
+        )
+
+    def cnt_red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(gcols + ["__b"], as_index=False, dropna=False)["__n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = bucketed_reduce(
+        assigned.map_batches(count_partial, batch_format="pyarrow"),
+        cnt_bucket,
+        cnt_red,
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    offsets: dict = {}
+    totals: dict = {}
+    for key, grp in counts.groupby(gcols, dropna=False) if gcols else [((None,), counts)]:
+        gkey = key[0] if isinstance(key, tuple) else key
+        grp = grp.sort_values("__b")
+        bs = grp["__b"].to_numpy(np.int64)
+        ns = grp["__n"].to_numpy(np.int64)
+        off = np.concatenate([[0], ns.cumsum()[:-1]])
+        offsets[gkey] = dict(zip(bs.tolist(), off.tolist()))
+        totals[gkey] = int(ns.sum())
+    off_ref = _ray.put((offsets, totals))
+
+    # 3. rank each (group, range-bucket) cell locally
+    def cell_bucket(batch: pa.Table) -> np.ndarray:
+        return cnt_bucket(batch)
+
+    def rank_cell(g: pa.Table) -> pa.Table:
+        offs, tots = _ray.get(off_ref)
+        df = g.to_pandas().sort_values(
+            gcols + ["__k", tiebreak_col], kind="stable"
+        )
+        grouper = df.groupby(gcols + ["__b"], sort=False, dropna=False)
+        local = grouper.cumcount().to_numpy(np.int64)
+        if gcols:
+            base = np.fromiter(
+                (offs[gv][bv] for gv, bv in zip(df[group_col].to_numpy(object), df["__b"].to_numpy(np.int64))),
+                np.int64,
+                len(df),
+            )
+            n_g = np.fromiter(
+                (tots[gv] for gv in df[group_col].to_numpy(object)), np.int64, len(df)
+            )
+        else:
+            base = np.fromiter(
+                (offs[None][bv] for bv in df["__b"].to_numpy(np.int64)), np.int64, len(df)
+            )
+            n_g = np.full(len(df), tots[None], np.int64)
+        rn = base + local + 1
+        df = df.drop(columns=["__k", "__b"])
+        df[rank_col] = rn
+        if ntile is not None:
+            t = int(ntile)
+            q, r = n_g // t, n_g % t
+            big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+            df[ntile_col] = np.where(
+                rn <= big, (rn - 1) // np.maximum(q + 1, 1), r + (rn - 1 - big) // np.maximum(q, 1)
+            ).astype(np.int64) + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_reduce(assigned, cell_bucket, rank_cell, num_buckets=num_buckets)
+
+
 def settle(ds: ray.data.Dataset, num_blocks: int = 8) -> ray.data.Dataset:
     """Materialize LOOP-CARRIED state with a bounded block count.
 

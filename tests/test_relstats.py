@@ -196,3 +196,65 @@ def test_q6_q18_match_duckdb_on_synthetic(tmp_path):
     assert len(got18) == len(exp18) > 0
     for c in ["o_orderkey", "total_qty", "c_name", "o_totalprice_c"]:
         assert got18[c].tolist() == exp18[c].tolist()
+
+
+def test_grouped_row_number_matches_sql_semantics():
+    """grouped_row_number == pandas ROW_NUMBER/NTILE on heavy-tie data
+    (ties exercise the equal-values-co-locate range-bucket contract),
+    including groups smaller than the tile count."""
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    rng = np.random.default_rng(5)
+    n = 1200
+    g = np.array(["a", "b", "c", "tiny"])[
+        np.minimum(rng.integers(0, 4, n), np.where(np.arange(n) < 3, 3, 2))
+    ]
+    # only 7 distinct values → massive ties; ids unique
+    v = rng.integers(0, 7, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(g), "val": pa.array(v), "id": pa.array(ids)})
+    )
+    got = (
+        grouped_row_number(
+            ds, "grp", "val", "id", ascending=False, ntile=5, num_range_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["grp", "rn"])
+        .reset_index(drop=True)
+    )
+
+    df = pd.DataFrame({"grp": g, "val": v, "id": ids}).sort_values(
+        ["grp", "val", "id"], ascending=[True, False, True], kind="stable"
+    )
+    df["rn"] = df.groupby("grp", sort=False).cumcount() + 1
+    n_g = df.groupby("grp")["rn"].transform("max").to_numpy()
+    rn = df["rn"].to_numpy()
+    q, r = n_g // 5, n_g % 5
+    big = r * (q + 1)
+    df["tile"] = np.where(
+        rn <= big, (rn - 1) // np.maximum(q + 1, 1), r + (rn - 1 - big) // np.maximum(q, 1)
+    ) + 1
+    exp = df.sort_values(["grp", "rn"]).reset_index(drop=True)
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["rn"].tolist() == exp["rn"].tolist()
+    assert got["tile"].tolist() == exp["tile"].tolist()
+
+
+def test_grouped_row_number_ungrouped_ascending():
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 1000, 500).astype(np.int64)
+    ids = np.arange(500, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"val": pa.array(v), "id": pa.array(ids)}))
+    got = grouped_row_number(ds, None, "val", "id").to_pandas().sort_values("rn")
+    exp = pd.DataFrame({"val": v, "id": ids}).sort_values(["val", "id"], kind="stable")
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["rn"].tolist() == list(range(1, 501))
