@@ -383,9 +383,11 @@ class GraphPartition:
 
     def init_kernel(self, kernel: Kernel, ctx: dict) -> int:
         self.kernel = kernel
-        self.ctx = ctx
-        self.vals = kernel.init_values(self.owned_vids, self.owned_outdeg, ctx)
-        self.active = kernel.init_active(self.owned_vids, ctx)
+        # enrich with partition identity + the storage seam so kernels can
+        # read per-partition side state (warm starts) without O(V) broadcasts
+        self.ctx = dict(ctx, pid=self.pid, n_partitions=self.P, fs=self.fs)
+        self.vals = kernel.init_values(self.owned_vids, self.owned_outdeg, self.ctx)
+        self.active = kernel.init_active(self.owned_vids, self.ctx)
         return int(self.active.sum())
 
     def _hub_snapshot(self):
@@ -541,6 +543,24 @@ class GraphPartition:
         return pa.table(
             {"vid": pa.array(self.owned_vids, pa.int64()), value_col: pa.array(self.vals)}
         )
+
+    def save_state(self, state_dir: str) -> int:
+        """Write this partition's final (vid, value) for warm starts —
+        same layout as checkpoints but kernel-agnostic and meant to
+        outlive the run (checkpoints are lineage-validated against ONE
+        input; warm-start state is deliberately reusable on a CHANGED
+        graph, see WarmStartPageRankKernel)."""
+        fs_mkdirs(self.fs, state_dir)
+        t = pa.table(
+            {
+                "vid": pa.array(self.owned_vids, pa.int64()),
+                "value": pa.array(self.vals),
+            }
+        )
+        pq.write_table(
+            t, os.path.join(state_dir, f"part-{self.pid:05d}.parquet"), filesystem=self.fs
+        )
+        return self.pid
 
     def save_checkpoint(self, ckpt_dir: str, superstep: int) -> int:
         d = os.path.join(ckpt_dir, f"superstep={superstep:05d}")
@@ -868,6 +888,21 @@ class GraphEngine:
         write_text(
             self._fs, os.path.join(ckpt_dir, f"superstep={superstep:05d}", "_SUCCESS"), "ok"
         )
+
+    def save_state(self, state_dir: str):
+        """Persist the fleet's final per-partition (vid, value) state for
+        warm starts on a LATER (possibly grown) graph — see
+        WarmStartPageRankKernel. All parts land in parallel, then
+        meta.json + _SUCCESS publish validity (marker-less dirs are
+        ignored by consumers, matching the checkpoint convention)."""
+        fs_mkdirs(self._fs, state_dir)
+        ray.get([a.save_state.remote(state_dir) for a in self.actors])
+        write_json(
+            self._fs,
+            os.path.join(state_dir, "meta.json"),
+            {"P": self.P, "n_vertices": self.meta["n_vertices"]},
+        )
+        write_text(self._fs, os.path.join(state_dir, "_SUCCESS"), "ok")
 
     def shutdown(self):
         for a in self.actors:

@@ -111,6 +111,54 @@ class PageRankKernel(Kernel):
         return new, np.ones(len(old), dtype=bool), delta
 
 
+class WarmStartPageRankKernel(PageRankKernel):
+    """Incremental PageRank: start power iteration from a PREVIOUS run's
+    ranks instead of the 0.15 init — the daily-recrawl pattern (graph
+    grew by a delta; the old fixpoint is an excellent first guess, so
+    convergence takes a fraction of the supersteps). Each partition
+    reads ONLY its own ``part-{pid}.parquet`` from the prior
+    ``GraphEngine.save_state`` dir via the ctx storage seam — no O(V)
+    broadcast, no driver state. Alignment is by sorted-vid searchsorted:
+    vertices new since the prior run fall back to the cold 0.15 init,
+    removed vertices are ignored. Requires the prior state to be
+    partitioned with the same P and vid%P convention (save_state
+    guarantees it; meta.json is validated)."""
+
+    name = "pagerank_warm"
+
+    def __init__(self, state_dir: str, damping: float = 0.85):
+        super().__init__(damping)
+        self.state_dir = state_dir
+
+    def init_values(self, vids, outdeg, ctx):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from everythinggraph_ray.state.fs import fs_exists, read_json
+
+        fs = ctx["fs"]
+        meta_path = os.path.join(self.state_dir, "meta.json")
+        if fs_exists(fs, meta_path):
+            meta = read_json(fs, meta_path)
+            if int(meta.get("P", ctx["n_partitions"])) != int(ctx["n_partitions"]):
+                raise ValueError(
+                    f"warm-start state has P={meta.get('P')} but this build has "
+                    f"P={ctx['n_partitions']} — repartition the state first"
+                )
+        vals = np.full(len(vids), 0.15, dtype=np.float64)
+        part = os.path.join(self.state_dir, f"part-{ctx['pid']:05d}.parquet")
+        if fs_exists(fs, part):
+            t = pq.read_table(part, filesystem=fs)
+            pv = t["vid"].to_numpy(zero_copy_only=False)
+            pr = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            idx = np.searchsorted(pv, vids)
+            idx_c = np.minimum(idx, max(len(pv) - 1, 0))
+            ok = (idx < len(pv)) & (pv[idx_c] == vids) if len(pv) else np.zeros(len(vids), bool)
+            vals[ok] = pr[idx[ok]]
+        return vals
+
+
 class PersonalizedPageRankKernel(PageRankKernel):
     """Personalized PageRank: teleport mass lands only on a seed set
     instead of uniformly (same scatter/combine as PageRankKernel —

@@ -1,0 +1,103 @@
+"""Warm-start (incremental) PageRank: GraphEngine.save_state +
+WarmStartPageRankKernel — the daily-recrawl recompute pattern. The prior
+fixpoint is read per-partition through the ctx storage seam (no O(V)
+broadcast), new vertices cold-init, and convergence takes far fewer
+supersteps than a cold run on the grown graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from everythinggraph_ray.graph.build import build_graph
+from everythinggraph_ray.graph.engine import GraphEngine
+from everythinggraph_ray.graph.kernels import PageRankKernel, WarmStartPageRankKernel
+
+
+def _edges_ds(sv, dv):
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+    )
+
+
+@pytest.fixture(scope="module")
+def base_and_grown(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    n_base = 3000
+    sv = rng.integers(0, 300, n_base)
+    dv = rng.integers(0, 300, n_base)
+    # delta: 10% new edges, including vertices the base graph never saw
+    sv2 = np.concatenate([sv, rng.integers(0, 330, 300)])
+    dv2 = np.concatenate([dv, rng.integers(0, 330, 300)])
+
+    root = tmp_path_factory.mktemp("warm")
+    base_dir, grown_dir = str(root / "base"), str(root / "grown")
+    build_graph(_edges_ds(sv, dv), base_dir, num_partitions=4, hub_threshold=10**9)
+    build_graph(_edges_ds(sv2, dv2), grown_dir, num_partitions=4, hub_threshold=10**9)
+    return base_dir, grown_dir, str(root / "state")
+
+
+def test_warm_start_same_graph_converges_immediately(base_and_grown):
+    base_dir, _, state_dir = base_and_grown
+    eng = GraphEngine(base_dir)
+    try:
+        cold = eng.run(PageRankKernel(), tol=1e-6)
+        eng.save_state(state_dir)
+        warm = eng.run(WarmStartPageRankKernel(state_dir), tol=1e-6)
+    finally:
+        eng.shutdown()
+    assert cold["iterations"] > 5
+    # starting AT the fixpoint: one superstep re-verifies convergence
+    assert warm["iterations"] <= 2
+    c = cold["dataset"].to_pandas().sort_values("vid")
+    w = warm["dataset"].to_pandas().sort_values("vid")
+    np.testing.assert_allclose(
+        w["pagerank_warm"].to_numpy(), c["pagerank"].to_numpy(), rtol=0, atol=1e-5
+    )
+
+
+def test_warm_start_on_grown_graph_matches_cold_with_fewer_supersteps(base_and_grown):
+    base_dir, grown_dir, state_dir = base_and_grown
+    eng_b = GraphEngine(base_dir)
+    try:
+        eng_b.run(PageRankKernel(), tol=1e-6)
+        eng_b.save_state(state_dir)
+    finally:
+        eng_b.shutdown()
+
+    eng_g = GraphEngine(grown_dir)
+    try:
+        cold = eng_g.run(PageRankKernel(), tol=1e-6)
+        warm = eng_g.run(WarmStartPageRankKernel(state_dir), tol=1e-6)
+    finally:
+        eng_g.shutdown()
+
+    # both runs sit within tol-scale distance of the unique fixpoint
+    c = cold["dataset"].to_pandas().sort_values("vid")
+    w = warm["dataset"].to_pandas().sort_values("vid")
+    assert list(c["vid"]) == list(w["vid"])
+    np.testing.assert_allclose(
+        w["pagerank_warm"].to_numpy(), c["pagerank"].to_numpy(), rtol=0, atol=2e-5
+    )
+    # the point of warm starts: a 10% delta costs a fraction of the supersteps
+    assert warm["iterations"] < cold["iterations"]
+
+
+def test_warm_start_rejects_partition_mismatch(base_and_grown, tmp_path):
+    base_dir, _, state_dir = base_and_grown
+    rng = np.random.default_rng(1)
+    other = str(tmp_path / "p8")
+    build_graph(
+        _edges_ds(rng.integers(0, 300, 1000), rng.integers(0, 300, 1000)),
+        other,
+        num_partitions=8,
+        hub_threshold=10**9,
+    )
+    eng = GraphEngine(other)
+    try:
+        with pytest.raises(Exception, match="P=4"):
+            eng.run(WarmStartPageRankKernel(state_dir), tol=1e-6)
+    finally:
+        eng.shutdown()
