@@ -127,6 +127,16 @@ def pagerank_core() -> dict:
             if best is None or sec_i < best[0]:
                 best = (sec_i, res_i)
         pr_sec, res = best
+        # incremental recompute: persist the fixpoint, warm-start from it
+        # (the daily-recrawl pattern) — shows up as ~1-2 supersteps vs
+        # the cold run's full convergence
+        from everythinggraph_ray.graph.kernels import WarmStartPageRankKernel
+
+        state_dir = os.path.join(bdir, "warm_state")
+        eng.save_state(state_dir)
+        t0 = time.perf_counter()
+        warm = eng.run(WarmStartPageRankKernel(state_dir), tol=1e-6)
+        warm_sec = time.perf_counter() - t0
     finally:
         eng.shutdown()
     iters = res["iterations"]
@@ -142,6 +152,8 @@ def pagerank_core() -> dict:
         "hubs": len(meta["hub_vids"]),
         "median_superstep_sec": round(med, 4),
         "edges_per_sec_superstep": round(meta["n_edges"] / med, 0),
+        "warm_pagerank_sec": round(warm_sec, 3),
+        "warm_iterations": warm["iterations"],
     }
 
 

@@ -26,7 +26,11 @@ def _get_kernel(args):
     from everythinggraph_ray.graph import kernels as K
 
     table = {
-        "pagerank": lambda: K.PageRankKernel(damping=args.damping),
+        "pagerank": lambda: (
+            K.WarmStartPageRankKernel(args.warm_state, damping=args.damping)
+            if args.warm_state
+            else K.PageRankKernel(damping=args.damping)
+        ),
         "ppr": lambda: K.PersonalizedPageRankKernel(
             args.ppr_seed_mod, args.ppr_n_seeds, damping=args.damping
         ),
@@ -115,6 +119,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--save-state",
+        default=None,
+        help="after the run, persist per-partition (vid, value) state here "
+        "for later --warm-state runs (incremental recompute)",
+    )
+    p.add_argument(
+        "--warm-state",
+        default=None,
+        help="pagerank only: warm-start from a prior --save-state dir "
+        "(same partition count; new vertices cold-init)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -339,6 +355,8 @@ def main(argv: list[str] | None = None) -> int:
         # only sees its own vids); counted distributed before the build
         args.ppr_n_seeds = E.seed_vertex_count(edges, args.ppr_seed_mod)
 
+    if args.warm_state and args.kernel != "pagerank":
+        p.error("--warm-state is a pagerank-only flag")
     build_graph(edges, bdir, num_partitions=args.partitions, weighted=weighted)
     eng = GraphEngine(bdir)
     try:
@@ -350,6 +368,8 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
         )
+        if args.save_state:
+            eng.save_state(args.save_state)
         save_results(res, args.out)
     finally:
         eng.shutdown()
