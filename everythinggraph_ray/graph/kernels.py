@@ -138,6 +138,15 @@ class WarmStartPageRankKernel(PageRankKernel):
         from everythinggraph_ray.state.fs import fs_exists, read_json
 
         fs = ctx["fs"]
+        # _SUCCESS is written LAST by save_state: a marker-less dir is a
+        # crashed half-write — fail loudly rather than silently cold-init
+        # (the fixpoint would still be correct, but the operator asked
+        # for a warm start and should know it isn't getting one)
+        if not fs_exists(fs, os.path.join(self.state_dir, "_SUCCESS")):
+            raise ValueError(
+                f"warm-start state dir {self.state_dir!r} has no _SUCCESS "
+                "marker (missing or incomplete save_state output)"
+            )
         meta_path = os.path.join(self.state_dir, "meta.json")
         if fs_exists(fs, meta_path):
             meta = read_json(fs, meta_path)

@@ -101,3 +101,22 @@ def test_warm_start_rejects_partition_mismatch(base_and_grown, tmp_path):
             eng.run(WarmStartPageRankKernel(state_dir), tol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_warm_start_rejects_incomplete_state_dir(base_and_grown, tmp_path):
+    """A state dir without _SUCCESS (crashed half-write) fails loudly
+    instead of silently cold-initialising."""
+    import shutil
+
+    base_dir, _, state_dir = base_and_grown
+    broken = str(tmp_path / "broken_state")
+    shutil.copytree(state_dir, broken)
+    import os
+
+    os.remove(os.path.join(broken, "_SUCCESS"))
+    eng = GraphEngine(base_dir)
+    try:
+        with pytest.raises(Exception, match="_SUCCESS"):
+            eng.run(WarmStartPageRankKernel(broken), tol=1e-6)
+    finally:
+        eng.shutdown()
