@@ -59,6 +59,7 @@ OPS = [
     "dup-spans",
     "cms-heavy",
     "upsert",
+    "rank",
 ]
 
 
@@ -91,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-text", action="store_true", help="pii-redact: keep the redacted text column")
     p.add_argument("--ts-col", default="ts", help="upsert: keep-latest timestamp column")
     p.add_argument("--min-count", type=int, default=100, help="cms-heavy: report tokens with estimate >= N")
+    p.add_argument("--rank-by", default="n_chars", help="rank: integer order column (desc)")
+    p.add_argument("--group-col", default="lang", help="rank: window partition column ('' = global)")
+    p.add_argument("--ntile", type=int, default=0, help="rank: also emit NTILE(N) when > 0")
     args = p.parse_args(argv)
 
     import ray
@@ -240,6 +244,17 @@ def _run(args) -> int:
 
             r = hll_distinct_tokens(docs, text_col=tc, p=args.hll_p)
             res = _pd.DataFrame([r])
+        elif args.op == "rank":
+            from everythinggraph_ray.stages.agg import grouped_row_number
+
+            res = grouped_row_number(
+                docs,
+                args.group_col or None,
+                args.rank_by,
+                id_col,
+                ascending=False,
+                ntile=args.ntile or None,
+            )
         elif args.op == "exact-dedup":
             res = dedup.exact_duplicates(docs, tc)
         elif args.op == "minhash-dedup":

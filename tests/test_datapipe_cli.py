@@ -110,3 +110,30 @@ def test_cli_bigram_lm(tmp_path, capsys):
     back = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
     assert set(back.columns) == {"doc_id", "n_bigrams", "logprob"}
     assert (back["logprob"] <= 0).all() and (back["n_bigrams"] >= 0).all()
+
+
+def test_cli_rank_matches_pandas_window(tmp_path, capsys):
+    out = str(tmp_path / "rank")
+    info = _run(
+        ["rank", "--docs", DOCS, "--out", out, "--ntile", "4"], capsys
+    )
+    assert info["rows"] == 500
+    back = (
+        ray.data.read_parquet(out)
+        .to_pandas()
+        .sort_values(["lang", "rn"])
+        .reset_index(drop=True)
+    )
+    import numpy as np
+
+    df = pd.read_parquet(DOCS).sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True], kind="stable"
+    )
+    df["rn"] = df.groupby("lang", sort=False).cumcount() + 1
+    exp = df.sort_values(["lang", "rn"]).reset_index(drop=True)
+    assert back["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert back["rn"].tolist() == exp["rn"].tolist()
+    # NTILE sizes: within each lang the 4 tiles differ by at most one row
+    sizes = back.groupby(["lang", "tile"]).size()
+    for lang, grp in sizes.groupby(level=0):
+        assert grp.max() - grp.min() <= 1
