@@ -53,10 +53,14 @@ def doc_stats(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
-def quality_values(txt: pa.Array | pa.ChunkedArray) -> np.ndarray:
+def quality_values(txt: pa.Array | pa.ChunkedArray, *, rounded: bool = True) -> np.ndarray:
     """Vectorized quality score in [0,1] for a string array — a pure
     function of the text, so gates can compute it INLINE in the same
-    map_batches as the filter (no broadcast keep-set, no second pass)."""
+    map_batches as the filter (no broadcast keep-set, no second pass).
+    ``rounded=False`` returns the raw IEEE double (consumers that
+    quantize — e.g. rank correlation's floor(q·1e8+0.5) — must start
+    from the unrounded value so a SQL mirror of the expression tree
+    reproduces the identical double)."""
     n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64)
     n_tok = pc.count_substring_regex(txt, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
     n_punct = pc.count_substring_regex(txt, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -71,7 +75,7 @@ def quality_values(txt: pa.Array | pa.ChunkedArray) -> np.ndarray:
     punct_score = np.clip(1.0 - np.abs(punct_ratio - 0.1) * 2.0, 0.0, 1.0)
     stop_score = np.clip(n_stop / tok * 4.0, 0.0, 1.0)
     q = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
-    return np.round(q, 8)
+    return np.round(q, 8) if rounded else q
 
 
 def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:

@@ -3366,6 +3366,60 @@ def q_docs_len_rank(sf_dir):
     )
 
 
+def q_docs_rank_corr(sf_dir):
+    """Per-language Spearman rank agreement between document LENGTH and
+    QUALITY, as exact integers: both signals rank through the distributed
+    window primitive (grouped_row_number, chained — the second ranking
+    runs over the first's output, proving the primitive composes), then
+    Σd² and n fold per language (Spearman ρ = 1 − 6Σd²/(n(n²−1)) is one
+    client-side division). Quality quantizes via floor(q·1e8 + 0.5) —
+    mirrored token-for-token in SQL on the same 8-decimal-rounded score
+    docs_quality already hash-proves."""
+    from ray.data.aggregate import Sum
+
+    from everythinggraph_ray.datapipe.text import quality_values
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars", "text"],
+    )
+
+    def add_qint(batch: pa.Table) -> pa.Table:
+        q = np.asarray(quality_values(batch["text"], rounded=False), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+                "qint": pa.array(np.floor(q * 1e8 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(add_qint, batch_format="pyarrow")
+    r1 = grouped_row_number(
+        scored, "lang", "n_chars", "doc_id", ascending=False, rank_col="rn1"
+    )
+    r2 = grouped_row_number(
+        r1, "lang", "qint", "doc_id", ascending=False, rank_col="rn2"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["rn1"].to_numpy(zero_copy_only=False)
+            - batch["rn2"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "d2": d * d, "one": 1})
+        g = df.groupby("lang", as_index=False).agg(sum_d2=("d2", "sum"), n=("one", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        r2.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("sum_d2", alias_name="sum_d2"), Sum("n", alias_name="n"))
+    )
+
+
 def q_events_transitions(sf_dir):
     """Per-user event-type Markov transitions: count consecutive
     (prev_type → next_type) pairs in each user's ts-ordered stream
@@ -4781,6 +4835,28 @@ ORACLES["rel_modularity"] = (
     "FROM rc CROSS JOIN mm"
 )
 
+# Spearman building blocks: the quality expression tree is mirrored
+# token-for-token on the UNROUNDED score (quality_values rounded=False),
+# so floor(q*1e8 + 0.5) lands the identical int64 on both sides.
+ORACLES["docs_rank_corr"] = (
+    r"WITH s0 AS (SELECT doc_id, lang, n_chars, "
+    r"CAST(length(text) AS DOUBLE) AS nc, "
+    r"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt0, "
+    r"CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS np_, "
+    r"CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is)\b')) AS DOUBLE) AS ns "
+    r"FROM documents), "
+    r"s AS (SELECT doc_id, lang, n_chars, "
+    r"CAST(FLOOR((0.4 * least(nc / 1000.0, 1.0) "
+    r"+ 0.3 * greatest(least(1.0 - abs(np_ / greatest(nt0, 1.0) - 0.1) * 2.0, 1.0), 0.0) "
+    r"+ 0.3 * least(ns / greatest(nt0, 1.0) * 4.0, 1.0)) * 100000000.0 + 0.5) AS BIGINT) AS qint "
+    r"FROM s0), "
+    r"r AS (SELECT lang, "
+    r"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn1, "
+    r"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qint DESC, doc_id) AS rn2 FROM s) "
+    r"SELECT lang, CAST(SUM((rn1 - rn2) * (rn1 - rn2)) AS BIGINT) AS sum_d2, "
+    r"COUNT(*) AS n FROM r GROUP BY lang"
+)
+
 ORACLES["docs_len_rank"] = (
     "SELECT doc_id, lang, n_chars, "
     "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn, "
@@ -4930,4 +5006,5 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "docs_len_rank": q_docs_len_rank,
     "rel_pagerank_warm": q_rel_pagerank_warm,
+    "docs_rank_corr": q_docs_rank_corr,
 }

@@ -258,3 +258,60 @@ def test_grouped_row_number_ungrouped_ascending():
     exp = pd.DataFrame({"val": v, "id": ids}).sort_values(["val", "id"], kind="stable")
     assert got["id"].tolist() == exp["id"].tolist()
     assert got["rn"].tolist() == list(range(1, 501))
+
+
+def test_docs_rank_corr_matches_serial(tmp_path):
+    """Spearman Σd² building blocks equal the serial pandas computation
+    (row_number ranks, doc_id tiebreak) on a synthetic corpus."""
+    from everythinggraph_ray.datapipe.text import quality_values
+    from everythinggraph_ray.pipelines.queries import q_docs_rank_corr
+
+    rng = np.random.default_rng(17)
+    n = 600
+    langs = np.array(["en", "fr", "de"])[rng.integers(0, 3, n)]
+    texts = [
+        " ".join(rng.choice(["the", "and", "data", "graph", "sort.", "x,"], size=rng.integers(3, 40)))
+        for _ in range(n)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": ["s"] * n,
+            "n_chars": np.array([len(t) for t in texts], np.int64),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+
+    got = (
+        q_docs_rank_corr(str(d)).to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+
+    import pyarrow as pa
+
+    q = quality_values(pa.array(texts), rounded=False)
+    docs["qint"] = np.floor(q * 1e8 + 0.5).astype(np.int64)
+    s = docs.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True], kind="stable")
+    s["rn1"] = s.groupby("lang", sort=False).cumcount() + 1
+    s = s.sort_values(["lang", "qint", "doc_id"], ascending=[True, False, True], kind="stable")
+    s["rn2"] = s.groupby("lang", sort=False).cumcount() + 1
+    dd = s["rn1"] - s["rn2"]
+    exp = (
+        pd.DataFrame({"lang": s["lang"], "d2": dd * dd, "one": 1})
+        .groupby("lang", as_index=False)
+        .agg(sum_d2=("d2", "sum"), n=("one", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    assert got["sum_d2"].tolist() == exp["sum_d2"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # derived rho stays in [-1, 1]
+    for _, row in got.iterrows():
+        nn = row["n"]
+        if nn > 1:
+            rho = 1 - 6 * row["sum_d2"] / (nn * (nn * nn - 1))
+            assert -1.0 <= rho <= 1.0
