@@ -429,3 +429,113 @@ def bloom_probe_counts(
         )
 
     return sum_by_key(ds.map_batches(probe, batch_format="pyarrow"), id_col, ["n_flagged"])
+
+
+# ----------------------------------------------------------------------
+# DDSketch-style relative-error quantiles for CONTINUOUS values
+# (Masson/Rim/Lee, VLDB'19 public algorithm). grouped_quantiles
+# (stages/agg.py) is exact but requires a bounded INTEGER value domain
+# (shuffle volume = distinct values); this sketch covers the
+# unbounded/float case its docstring defers: buckets are geometric
+# (gamma = (1+alpha)/(1-alpha)), every estimate is within relative error
+# alpha of the true order statistic, and bucket histograms merge by
+# plain count addition — the whole corpus reduces to O(log-range / alpha)
+# rows per group regardless of input size.
+# ----------------------------------------------------------------------
+_DD_NEG_OFFSET = np.int64(1) << np.int64(40)  # negative-store key offset
+_DD_ZERO_KEY = -(np.int64(1) << np.int64(39))  # zeros sit between neg and pos
+
+
+def _dd_keys(x: np.ndarray, gamma: float) -> np.ndarray:
+    """Sign-aware geometric bucket keys, TOTALLY ORDERED like the values:
+    negative store (most negative first) < zero key < positive store."""
+    k = np.empty(len(x), np.int64)
+    lg = np.log(gamma)
+    pos, neg = x > 0, x < 0
+    k[pos] = np.ceil(np.log(x[pos]) / lg).astype(np.int64)
+    k[neg] = -np.ceil(np.log(-x[neg]) / lg).astype(np.int64) - _DD_NEG_OFFSET
+    k[~(pos | neg)] = _DD_ZERO_KEY
+    return k
+
+
+def _dd_value(key: int, gamma: float) -> float:
+    """Bucket key -> representative value (midpoint in log space)."""
+    if key == _DD_ZERO_KEY:
+        return 0.0
+    if key > _DD_ZERO_KEY:
+        return 2.0 * gamma**key / (gamma + 1.0)
+    b = -(key + int(_DD_NEG_OFFSET))
+    return -2.0 * gamma**b / (gamma + 1.0)
+
+
+def ddsketch_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+    *,
+    alpha: float = 0.01,
+    group_col: str | None = None,
+) -> ray.data.Dataset:
+    """Relative-error quantiles of a float column, optionally per group.
+
+    Shape mirrors grouped_quantiles: per-batch (group, key, count)
+    partials (a batch folds to its DISTINCT buckets — bounded by
+    O(log-range / alpha), not rows), one group-bucketed co-group sums
+    histograms and picks each q at 0-based rank ceil(q*n)-1 (the
+    quantile_disc convention). Deterministic: same input -> same
+    estimate on any cluster size / partitioning (pure log-bucket math,
+    no sampling). Output: group_col + one float column per q (p50,
+    p99, ...), each within relative error ``alpha`` of the exact
+    order statistic ((gamma-1)/(gamma+1) == alpha by construction)."""
+    if not qs or any(not (0 < q <= 1) for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    if not 0 < alpha < 0.5:
+        raise ValueError(f"alpha must be in (0, 0.5), got {alpha}")
+    import pandas as pd
+
+    from everythinggraph_ray.datapipe.joins import _key_hash
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    gcols = [group_col] if group_col else []
+    out_names = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        df = pd.DataFrame(
+            {c: batch[c].to_pandas()[ok] for c in gcols}
+            | {"__k": _dd_keys(x[ok], gamma)}
+        )
+        g = df.groupby(gcols + ["__k"], as_index=False, dropna=False).size()
+        cols = {c: pa.Array.from_pandas(g[c]) for c in gcols}
+        cols["__k"] = pa.array(g["__k"].to_numpy(np.int64), pa.int64())
+        cols["__n"] = pa.array(g["size"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        if not gcols:
+            return np.zeros(batch.num_rows, np.int64)
+        return _key_hash(batch, gcols)
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        rows: dict[str, list] = {c: [] for c in gcols}
+        for on in out_names:
+            rows[on] = []
+        for key, grp in df.groupby(gcols, dropna=False) if gcols else [((), df)]:
+            h = grp.groupby("__k")["__n"].sum().sort_index()
+            keys = h.index.to_numpy(np.int64)
+            cum = h.to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for c, kv in zip(gcols, key if isinstance(key, tuple) else (key,)):
+                rows[c].append(kv)
+            for q, on in zip(qs, out_names):
+                idx = max(int(np.ceil(q * n)), 1) - 1
+                rows[on].append(_dd_value(int(keys[np.searchsorted(cum, idx + 1)]), gamma))
+        cols = {c: pa.Array.from_pandas(pd.Series(rows[c])) for c in gcols}
+        for on in out_names:
+            cols[on] = pa.array(rows[on], pa.float64())
+        return pa.table(cols)
+
+    return bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"), bucket_of, red)

@@ -3366,6 +3366,25 @@ def q_docs_len_rank(sf_dir):
     )
 
 
+def q_events_value_quantiles(sf_dir):
+    """Per-event-type p50/p95/p99 of the CONTINUOUS ``value`` column via
+    the DDSketch-style relative-error sketch (datapipe/sketch.py) —
+    grouped_quantiles' documented unbounded-float complement: geometric
+    buckets, plain-sum mergeable histograms, ≤0.5% relative error,
+    deterministic on any partitioning. Rows-only (the sketch's libm
+    bucket boundaries aren't SQL-reproducible bit-for-bit); exactness
+    vs a serial run of the same sketch and the error bound vs the true
+    quantile are pytest-checked."""
+    from everythinggraph_ray.datapipe.sketch import ddsketch_quantiles
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return ddsketch_quantiles(
+        ev, "value", [0.5, 0.95, 0.99], alpha=0.005, group_col="event_type"
+    )
+
+
 def q_docs_rank_corr(sf_dir):
     """Per-language Spearman rank agreement between document LENGTH and
     QUALITY, as exact integers: both signals rank through the distributed
@@ -5007,4 +5026,5 @@ QUERIES = {
     "docs_len_rank": q_docs_len_rank,
     "rel_pagerank_warm": q_rel_pagerank_warm,
     "docs_rank_corr": q_docs_rank_corr,
+    "events_value_quantiles": q_events_value_quantiles,
 }

@@ -315,3 +315,55 @@ def test_docs_rank_corr_matches_serial(tmp_path):
         if nn > 1:
             rho = 1 - 6 * row["sum_d2"] / (nn * (nn * nn - 1))
             assert -1.0 <= rho <= 1.0
+
+
+def test_ddsketch_quantiles_error_bound_and_invariance():
+    """DDSketch quantiles: within relative error alpha of the exact
+    order statistic (quantile_disc convention), invariant to
+    partitioning, correct on zero/negative values."""
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.datapipe.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    g = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    # heavy-tailed positives + some zeros and negatives in group b
+    v = np.exp(rng.normal(2.0, 1.5, n))
+    v[(g == "b") & (np.arange(n) % 17 == 0)] = 0.0
+    v[(g == "b") & (np.arange(n) % 23 == 0)] *= -1.0
+    ds = ray.data.from_arrow(pa.table({"grp": pa.array(g), "value": pa.array(v)}))
+
+    qs = [0.5, 0.95, 0.99]
+    alpha = 0.01
+    res = (
+        ddsketch_quantiles(ds, "value", qs, alpha=alpha, group_col="grp")
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    assert res["grp"].tolist() == ["a", "b"]
+    for gi, gname in enumerate(["a", "b"]):
+        vals = np.sort(v[g == gname])
+        for q, col in zip(qs, ["p50", "p95", "p99"]):
+            exact = vals[max(int(np.ceil(q * len(vals))), 1) - 1]
+            got = res[col].iloc[gi]
+            if exact == 0.0:
+                assert got == 0.0
+            else:
+                assert abs(got - exact) <= alpha * abs(exact) * 1.0000001, (
+                    gname, q, got, exact
+                )
+
+    # partition invariance: 16-block layout → identical estimates
+    res2 = (
+        ddsketch_quantiles(
+            ds.repartition(16), "value", qs, alpha=alpha, group_col="grp"
+        )
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    for col in ["p50", "p95", "p99"]:
+        assert res[col].tolist() == res2[col].tolist()
