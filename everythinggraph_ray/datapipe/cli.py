@@ -60,6 +60,7 @@ OPS = [
     "cms-heavy",
     "upsert",
     "rank",
+    "dd-quantiles",
 ]
 
 
@@ -93,8 +94,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ts-col", default="ts", help="upsert: keep-latest timestamp column")
     p.add_argument("--min-count", type=int, default=100, help="cms-heavy: report tokens with estimate >= N")
     p.add_argument("--rank-by", default="n_chars", help="rank: integer order column (desc)")
-    p.add_argument("--group-col", default="lang", help="rank: window partition column ('' = global)")
+    p.add_argument("--group-col", default="lang", help="rank/dd-quantiles: group column ('' = global)")
     p.add_argument("--ntile", type=int, default=0, help="rank: also emit NTILE(N) when > 0")
+    p.add_argument("--value-col", default="value", help="dd-quantiles: float value column")
+    p.add_argument("--quantiles", default="0.5,0.95,0.99", help="dd-quantiles: comma list in (0,1]")
+    p.add_argument("--alpha", type=float, default=0.01, help="dd-quantiles: relative error bound")
     args = p.parse_args(argv)
 
     import ray
@@ -254,6 +258,16 @@ def _run(args) -> int:
                 id_col,
                 ascending=False,
                 ntile=args.ntile or None,
+            )
+        elif args.op == "dd-quantiles":
+            from everythinggraph_ray.datapipe.sketch import ddsketch_quantiles
+
+            res = ddsketch_quantiles(
+                docs,
+                args.value_col,
+                [float(x) for x in args.quantiles.split(",")],
+                alpha=args.alpha,
+                group_col=args.group_col or None,
             )
         elif args.op == "exact-dedup":
             res = dedup.exact_duplicates(docs, tc)
