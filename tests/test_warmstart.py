@@ -120,3 +120,29 @@ def test_warm_start_rejects_incomplete_state_dir(base_and_grown, tmp_path):
             eng.run(WarmStartPageRankKernel(broken), tol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_warm_start_with_hub_split_build(tmp_path):
+    """Warm start on a build WITH hub-split vertices (hub_threshold=8):
+    the per-partition state round-trips through save_state across the
+    hub/regular ownership split and still lands the cold fixpoint."""
+    rng = np.random.default_rng(7)
+    # skewed: vertex 0 is a massive hub
+    sv = np.concatenate([np.zeros(800, np.int64), rng.integers(0, 120, 1200)])
+    dv = np.concatenate([rng.integers(0, 120, 800), rng.integers(0, 120, 1200)])
+    bdir = str(tmp_path / "hubby")
+    build_graph(_edges_ds(sv, dv), bdir, num_partitions=4, hub_threshold=8)
+    state = str(tmp_path / "state")
+    eng = GraphEngine(bdir)
+    try:
+        cold = eng.run(PageRankKernel(), tol=1e-6)
+        eng.save_state(state)
+        warm = eng.run(WarmStartPageRankKernel(state), tol=1e-6)
+    finally:
+        eng.shutdown()
+    assert warm["iterations"] <= 2
+    c = cold["dataset"].to_pandas().sort_values("vid")
+    w = warm["dataset"].to_pandas().sort_values("vid")
+    np.testing.assert_allclose(
+        w["pagerank_warm"].to_numpy(), c["pagerank"].to_numpy(), rtol=0, atol=1e-5
+    )
