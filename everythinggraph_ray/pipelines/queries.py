@@ -3366,6 +3366,71 @@ def q_docs_len_rank(sf_dir):
     )
 
 
+PIVOT_SOURCES = [f"src{i}" for i in range(20)]  # generator-fixed source set
+
+
+def _lang_source_counts(sf_dir):
+    """Distributed (lang, source) counts — the heavy pass shared by the
+    pivot and rollup reshapes (per-batch pair-count combiner, tiny final
+    groupby; |langs|×|sources| ≤ 100 rows ever leave the cluster)."""
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pandas(), "source": batch["source"].to_pandas()}
+        )
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        g["n"] = g.pop("size").astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+
+def q_docs_lang_source_pivot(sf_dir):
+    """Crosstab reshape: languages × the 20 fixed sources as a WIDE
+    table (one n_srcK column per source). The count is fully
+    distributed; the reshape runs on the ≤ langs×sources aggregate —
+    the standard pivot plan (never pivot raw rows)."""
+    counts = _lang_source_counts(sf_dir)
+    wide = counts.pivot_table(
+        index="lang", columns="source", values="n", fill_value=0, aggfunc="sum"
+    )
+    out = {"lang": pa.array(wide.index.to_numpy(object), pa.string())}
+    for s in PIVOT_SOURCES:
+        col = wide[s].to_numpy(np.int64) if s in wide.columns else np.zeros(len(wide), np.int64)
+        out[f"n_{s}"] = pa.array(col, pa.int64())
+    return pa.table(out)
+
+
+def q_docs_lang_source_rollup(sf_dir):
+    """GROUP BY ROLLUP(lang, source): counts at all three levels —
+    (lang, source), per-lang subtotal, grand total — derived from ONE
+    distributed finest-level aggregation (the classic rollup plan);
+    rolled levels carry the '(all)' sentinel so the SQL mirror
+    (COALESCE over ROLLUP) hash-matches exactly."""
+    counts = _lang_source_counts(sf_dir)
+    per_lang = counts.groupby("lang", as_index=False)["n"].sum()
+    per_lang["source"] = "(all)"
+    total = pd.DataFrame({"lang": ["(all)"], "source": ["(all)"], "n": [counts["n"].sum()]})
+    allrows = pd.concat([counts, per_lang, total], ignore_index=True)
+    return pa.table(
+        {
+            "lang": pa.array(allrows["lang"].to_numpy(object), pa.string()),
+            "source": pa.array(allrows["source"].to_numpy(object), pa.string()),
+            "n": pa.array(allrows["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_events_value_quantiles(sf_dir):
     """Per-event-type p50/p95/p99 of the CONTINUOUS ``value`` column via
     the DDSketch-style relative-error sketch (datapipe/sketch.py) —
@@ -4854,6 +4919,20 @@ ORACLES["rel_modularity"] = (
     "FROM rc CROSS JOIN mm"
 )
 
+ORACLES["docs_lang_source_pivot"] = (
+    "SELECT lang, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}"
+        for s in [f"src{i}" for i in range(20)]
+    )
+    + " FROM documents GROUP BY lang"
+)
+
+ORACLES["docs_lang_source_rollup"] = (
+    "SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source, "
+    "COUNT(*) AS n FROM documents GROUP BY ROLLUP(lang, source)"
+)
+
 # Spearman building blocks: the quality expression tree is mirrored
 # token-for-token on the UNROUNDED score (quality_values rounded=False),
 # so floor(q*1e8 + 0.5) lands the identical int64 on both sides.
@@ -5027,4 +5106,6 @@ QUERIES = {
     "rel_pagerank_warm": q_rel_pagerank_warm,
     "docs_rank_corr": q_docs_rank_corr,
     "events_value_quantiles": q_events_value_quantiles,
+    "docs_lang_source_pivot": q_docs_lang_source_pivot,
+    "docs_lang_source_rollup": q_docs_lang_source_rollup,
 }
