@@ -31,6 +31,7 @@ def _get_kernel(args):
             if args.warm_state
             else K.PageRankKernel(damping=args.damping)
         ),
+        "pagerank-dangling": lambda: K.DanglingPageRankKernel(damping=args.damping),
         "ppr": lambda: K.PersonalizedPageRankKernel(
             args.ppr_seed_mod, args.ppr_n_seeds, damping=args.damping
         ),
@@ -60,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank",
             "pagerank-pull",
+            "pagerank-dangling",
             "ppr",
             "wpagerank",
             "katz",

@@ -521,21 +521,39 @@ class GraphPartition:
         # newly-reached counts) — a SMALL fixed-size vector per partition,
         # summed by the driver into the superstep's metrics entry
         extra = k.extra_stats(old, new, changed, self.ctx) if k.has_extra_stats else None
-        return float(delta), int(changed.sum()), int(n_msgs), extra
+        # Pregel-style aggregator: the partition's POST-apply contribution
+        # to the next superstep's global scalar (e.g. dangling rank mass);
+        # the driver sums the P floats and broadcasts the total back into
+        # the next round's ctx["global_in"]
+        gp = self.global_partial_now() if k.needs_global else None
+        return float(delta), int(changed.sum()), int(n_msgs), extra, gp
 
     # ------------------------------------------------------------------
-    def step(self, prev_refs=None):
+    def global_partial_now(self) -> float:
+        """This partition's aggregator contribution from CURRENT values
+        (post-init or post-resume seed for the first apply)."""
+        k = self.kernel
+        if not k.needs_global:
+            return 0.0
+        return float(k.global_partial(self.vals, self.owned_outdeg, self.ctx))
+
+    def step(self, prev_refs=None, global_in=None):
         """One fused round: apply superstep i's messages (prev_refs from
         round i), then scatter superstep i+1's. Returns the packed scatter
-        plus this partition's hub snapshot and apply stats."""
+        plus this partition's hub snapshot and apply stats. ``global_in``
+        is the driver-reduced aggregator total for THIS round's apply."""
         stats = None
         if prev_refs is not None:
+            if global_in is not None:
+                self.ctx["global_in"] = float(global_in)
             stats = self._apply(ray.get(list(prev_refs)))
         uniq, agg, off = self._scatter()
         return uniq, agg, off, self._hub_snapshot(), stats
 
-    def apply_only(self, prev_refs):
+    def apply_only(self, prev_refs, global_in=None):
         """Final round: apply without producing further messages."""
+        if global_in is not None:
+            self.ctx["global_in"] = float(global_in)
         return self._apply(ray.get(list(prev_refs)))
 
     # ------------------------------------------------------------------
@@ -743,8 +761,19 @@ class GraphEngine:
             # extra-stats kernels need the stepwise loop: the pipelined
             # path only sees the FINAL round's stats
             and not kernel.has_extra_stats
+            # aggregator kernels need the stepwise loop: the global total
+            # must round-trip through the driver every superstep
+            and not kernel.needs_global
         ):
             return self._run_pipelined(kernel, limit)
+
+        # aggregator seed for the FIRST apply (post-init / post-resume
+        # values; P floats → one total)
+        gin = (
+            sum(ray.get([a.global_partial_now.remote() for a in self.actors]))
+            if kernel.needs_global
+            else None
+        )
 
         it = start_iter
         # round 0: scatter only (messages of superstep start_iter+1) —
@@ -761,16 +790,18 @@ class GraphEngine:
             # ref serializations per superstep — measurable at P=32)
             prev = ray.put(refs)
             if last:
-                results = ray.get([a.apply_only.remote(prev) for a in self.actors])
+                results = ray.get([a.apply_only.remote(prev, gin) for a in self.actors])
                 stats = results
             else:
-                refs = [a.step.remote(prev) for a in self.actors]
+                refs = [a.step.remote(prev, gin) for a in self.actors]
                 outs = ray.get(refs)  # zero-copy: driver reads only stats
                 stats = [o[4] for o in outs]
             delta = max(s[0] for s in stats)
             changed = sum(s[1] for s in stats)
             n_msgs = sum(s[2] for s in stats)
             extras = [s[3] for s in stats if s[3] is not None]
+            if kernel.needs_global:
+                gin = sum(s[4] for s in stats)
             it += 1
             entry = {
                 "superstep": it,

@@ -54,6 +54,16 @@ class Kernel:
     def extra_stats(self, old: np.ndarray, new: np.ndarray, changed: np.ndarray, ctx: dict):
         return None
 
+    # Pregel-style aggregator: kernels that need ONE global scalar per
+    # superstep (dangling rank mass, a global norm) set needs_global and
+    # return their partition's contribution from CURRENT values; the
+    # driver sums the P floats and the total arrives in the NEXT apply
+    # as ctx["global_in"] (seeded from post-init/post-resume values).
+    needs_global = False
+
+    def global_partial(self, vals: np.ndarray, outdeg: np.ndarray, ctx: dict) -> float:
+        return 0.0
+
     def init_values(self, vids: np.ndarray, outdeg: np.ndarray, ctx: dict) -> np.ndarray:
         raise NotImplementedError
 
@@ -107,6 +117,34 @@ class PageRankKernel(Kernel):
 
     def apply(self, old, agg, has_msg, ctx):
         new = (1.0 - self.damping) / max(1, ctx["n_vertices"]) + self.damping * agg
+        delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
+        return new, np.ones(len(old), dtype=bool), delta
+
+
+class DanglingPageRankKernel(PageRankKernel):
+    """TEXTBOOK PageRank (Brin/Page with dangling-mass redistribution) —
+    the variant the reference deliberately drops (pagerank_simple.c loses
+    dangling contributions; our PageRankKernel replicates that). Init
+    1/N; superstep: rank[v] = (1−d)/N + d·(Σ_{u→v} prev[u]/deg[u] +
+    D/N) where D = Σ_{dangling u} prev[u] rides the engine's new
+    Pregel-style aggregator channel (needs_global): each partition's
+    dangling partial is one float to the driver per superstep, the total
+    returns in ctx["global_in"]. Rank mass is conserved (Σ rank → 1),
+    the property the reference variant lacks."""
+
+    name = "pagerank_dangling"
+    needs_global = True
+
+    def init_values(self, vids, outdeg, ctx):
+        return np.full(len(vids), 1.0 / max(1, ctx["n_vertices"]), dtype=np.float64)
+
+    def global_partial(self, vals, outdeg, ctx):
+        return float(vals[outdeg == 0].sum())
+
+    def apply(self, old, agg, has_msg, ctx):
+        n = max(1, ctx["n_vertices"])
+        dm = float(ctx.get("global_in", 0.0))
+        new = (1.0 - self.damping) / n + self.damping * (agg + dm / n)
         delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
         return new, np.ones(len(old), dtype=bool), delta
 

@@ -74,6 +74,40 @@ def pagerank_oracle(
     return vids, prev, it
 
 
+def pagerank_dangling_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iters: int = 200,
+    n_iters: int | None = None,
+):
+    """TEXTBOOK PageRank: init 1/N, dangling mass redistributed uniformly
+    each superstep (DanglingPageRankKernel semantics). Returns
+    (vids, ranks, iterations); Σ rank is conserved at 1."""
+    vids, s, d = _index(src, dst)
+    n = len(vids)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    dangling = outdeg == 0
+    prev = np.full(n, 1.0 / max(1, n), dtype=np.float64)
+    const = (1.0 - damping) / max(1, n)
+    it = 0
+    limit = n_iters if n_iters is not None else max_iters
+    while it < limit:
+        dm = float(prev[dangling].sum())
+        contrib = prev[s] / outdeg[s]
+        rank = np.zeros(n, dtype=np.float64)
+        np.add.at(rank, d, contrib)
+        rank = const + damping * (rank + dm / max(1, n))
+        delta = np.max(np.abs(rank - prev)) if n else 0.0
+        prev = rank
+        it += 1
+        if n_iters is None and delta < tol:
+            break
+    return vids, prev, it
+
+
 def ppr_oracle(
     src: np.ndarray,
     dst: np.ndarray,

@@ -393,6 +393,20 @@ def q_rel_pagerank(sf_dir):
     return df[["vid", "pagerank"]]
 
 
+def q_rel_pagerank10_dangling(sf_dir):
+    """Textbook PageRank with dangling-mass redistribution, fixed 10
+    iterations (DanglingPageRankKernel over the engine's Pregel-style
+    aggregator channel: one dangling-sum float per partition per
+    superstep). The reference drops this mass (pagerank_simple.c);
+    offering both semantics side by side is the mode-comparison habit
+    the reference's paper is built on."""
+    from everythinggraph_ray.graph.kernels import DanglingPageRankKernel
+
+    df = _run_engine(_rel_build(sf_dir), DanglingPageRankKernel(), n_iters=10)
+    df["pagerank"] = np.round(df["pagerank_dangling"].to_numpy(), 7)
+    return df[["vid", "pagerank"]]
+
+
 def q_rel_pagerank_warm(sf_dir):
     """Incremental PageRank (the daily-recrawl pattern): converge on the
     BASE subgraph (lineitems 2+ — ~85% of edges), persist per-partition
@@ -3662,6 +3676,35 @@ def _pagerank10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
 
 
+def _pagerank10_dangling_sql() -> str:
+    """Textbook PageRank, 10 iterations: per level the dangling mass is
+    one scalar subquery (verts with no out-edges), redistributed /n
+    inside the damped term — op order mirrors DanglingPageRankKernel."""
+    # every unrolled level is MATERIALIZED: each r{k} references r{k-1}
+    # twice (contrib join + dangling scalar), so inlining re-expands the
+    # tree ~2^10-fold and never finishes
+    ctes = [
+        f"e AS MATERIALIZED ({SQL_REL_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM e GROUP BY src)",
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vid, (SELECT 1.0/n FROM nv) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        dm = (
+            f"(SELECT coalesce(sum(p.r), 0)/(SELECT n FROM nv) FROM r{k-1} p "
+            f"LEFT JOIN deg ON deg.vid = p.vid WHERE deg.d IS NULL)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vid, (SELECT 0.15/n FROM nv) + 0.85 * "
+            f"(coalesce(s.contrib, 0) + {dm}) AS r "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, sum(p.r / deg.d) AS contrib "
+            f"FROM e JOIN r{k-1} p ON p.vid = e.src JOIN deg ON deg.vid = e.src "
+            f"GROUP BY e.dst) s ON s.vid = v.vid)"
+        )
+    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
+
+
 def _wpagerank10_sql() -> str:
     """Weighted PageRank, 10 iterations: contribution per edge is
     (prev / wdeg_src) * w — op order matches the kernel exactly; srcs
@@ -3962,6 +4005,7 @@ ORACLES: dict[str, str] = {
     "rel_pagerank10": _pagerank10_sql(),
     # pull cross-variant: same rule, same fixed-10 schedule, same rounding
     "rel_pagerank10_pull": _pagerank10_sql(),
+    "rel_pagerank10_dangling": _pagerank10_dangling_sql(),
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
     "rel_kcore": _kcore_sql(),
@@ -5108,4 +5152,5 @@ QUERIES = {
     "events_value_quantiles": q_events_value_quantiles,
     "docs_lang_source_pivot": q_docs_lang_source_pivot,
     "docs_lang_source_rollup": q_docs_lang_source_rollup,
+    "rel_pagerank10_dangling": q_rel_pagerank10_dangling,
 }

@@ -727,3 +727,29 @@ def test_anf_lane_math_pure_numpy():
         assert got.tolist() == want
     with np.testing.assert_raises(ValueError):
         ANFKernel(3, 16)
+
+
+def test_pagerank_dangling_matches_textbook_oracle(engine, small_edges):
+    """Dangling-mass PageRank (the engine's Pregel-style aggregator
+    channel): matches the serial textbook oracle and conserves rank mass
+    (Σ rank = 1) — the property the reference variant drops."""
+    from everythinggraph_ray.graph.kernels import DanglingPageRankKernel
+
+    sv, dv = small_edges
+    res = engine.run(DanglingPageRankKernel(), tol=1e-6)
+    vids, pr = _vals(res, "pagerank_dangling")
+    ovids, opr, oiters = O.pagerank_dangling_oracle(sv, dv, tol=1e-6)
+    assert np.array_equal(vids, ovids)
+    np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-6)
+    assert res["iterations"] == oiters
+    np.testing.assert_allclose(pr.sum(), 1.0, rtol=0, atol=1e-9)
+
+
+def test_pagerank_dangling_fixed10_exact(engine, small_edges):
+    from everythinggraph_ray.graph.kernels import DanglingPageRankKernel
+
+    sv, dv = small_edges
+    res = engine.run(DanglingPageRankKernel(), n_iters=10)
+    _, pr = _vals(res, "pagerank_dangling")
+    _, opr, _ = O.pagerank_dangling_oracle(sv, dv, n_iters=10)
+    np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-12)
