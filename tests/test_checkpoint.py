@@ -327,3 +327,43 @@ def test_resume_rejects_different_kernel_params(small_build, tmp_path):
             )
     finally:
         eng.shutdown()
+
+
+def test_resume_reseeds_aggregator_kernels(small_build, tmp_path):
+    """needs_global kernels (DanglingPageRankKernel) resume bitwise: the
+    aggregator total for the first post-resume apply is recomputed from
+    the LOADED values, not carried stale."""
+    from everythinggraph_ray.graph.kernels import DanglingPageRankKernel
+
+    ckpt = str(tmp_path / "ckpt_dg")
+    eng = GraphEngine(small_build)
+    try:
+        full = eng.run(DanglingPageRankKernel(), n_iters=10)
+        full_df = full["dataset"].to_pandas().sort_values("vid")
+    finally:
+        eng.shutdown()
+
+    eng1 = GraphEngine(small_build)
+    try:
+        eng1.run(
+            DanglingPageRankKernel(), n_iters=6, checkpoint_dir=ckpt, checkpoint_every=3
+        )
+    finally:
+        eng1.shutdown()
+
+    eng2 = GraphEngine(small_build)
+    try:
+        res = eng2.run(
+            DanglingPageRankKernel(),
+            n_iters=10,
+            checkpoint_dir=ckpt,
+            checkpoint_every=3,
+            resume=True,
+        )
+        res_df = res["dataset"].to_pandas().sort_values("vid")
+    finally:
+        eng2.shutdown()
+
+    np.testing.assert_array_equal(
+        res_df["pagerank_dangling"].to_numpy(), full_df["pagerank_dangling"].to_numpy()
+    )
