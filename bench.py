@@ -285,6 +285,13 @@ def full_suite() -> dict:
     # round-3 third batch: substring-level dedup (two bucketed shuffles
     # over every n-token window — the heaviest new text op)
     out["docs_dup_spans"] = _best_of(lambda: Q.q_docs_dup_spans(SF_DIR).to_pandas())
+    # round-3 final batch: the distributed window-rank primitive (range
+    # splitters + offset broadcast + cell co-group) and the per-user
+    # ordered-lag transition count
+    out["docs_len_rank"] = _best_of(lambda: Q.q_docs_len_rank(SF_DIR).to_pandas())
+    out["events_transitions"] = _best_of(
+        lambda: Q.q_events_transitions(SF_DIR).to_pandas()
+    )
 
     out = {k: round(v, 3) for k, v in out.items()}
     return {"queries": out, "extra": extra}
