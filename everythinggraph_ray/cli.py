@@ -83,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
             "scc",
             "msf",
             "matching",
+            "mis",
+            "coloring",
             "truss",
             "coarsen",
             "hits",
@@ -205,6 +207,26 @@ def main(argv: list[str] | None = None) -> int:
         m, rounds = maximal_matching(edges)
         m.write_parquet(os.path.join(args.out, "data"))
         print(json.dumps({"kernel": "matching", "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "mis":
+        import os
+
+        from everythinggraph_ray.graph.mis import maximal_independent_set
+
+        m, rounds = maximal_independent_set(edges)
+        m.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "mis", "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "coloring":
+        import os
+
+        from everythinggraph_ray.graph.coloring import greedy_coloring
+
+        c, rounds = greedy_coloring(edges)
+        c.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "coloring", "rounds": rounds, "out": args.out}))
         return 0
 
     if args.kernel == "truss":

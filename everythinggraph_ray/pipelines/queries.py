@@ -1155,6 +1155,36 @@ def q_rel_mis(sf_dir):
     return res.sort("vid")
 
 
+COLORING_MOD = 23  # sparsifier keep-rate: (src + 7*dst) % 23 == 0
+
+
+def q_rel_coloring(sf_dir):
+    """Greedy graph coloring (fixed-priority Jones–Plassmann whose
+    fixpoint is the sequential greedy coloring in md5-key order —
+    graph/coloring.py) over the deterministically SPARSIFIED rel graph
+    ((src + 7*dst) % 23 == 0): the full rel graph's priority DAG is
+    ~183 rounds deep at sf0.01 (avg degree ~113), far past any sane SQL
+    unroll, while the sparsified one converges in ~15. tail_threshold
+    pinned to 512 (the rel_mis convention) so the correctness gate
+    exercises the distributed annotate→decide rounds before the serial
+    tail; fully-distributed vs serial equality is pytest-checked in
+    tests/test_coloring.py."""
+    from everythinggraph_ray.graph.coloring import greedy_coloring
+
+    def thin(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = (s + 7 * d) % COLORING_MOD == 0
+        return pa.table(
+            {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
+        )
+
+    out, _rounds = greedy_coloring(
+        rel_edges(sf_dir).map_batches(thin, batch_format="pyarrow"), tail_threshold=512
+    )
+    return out.sort("vid")
+
+
 def q_rel_link_predict(sf_dir):
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg '03):
     top-20 NON-adjacent pairs of the simple undirected rel graph by
@@ -3918,6 +3948,58 @@ def _mis_sql(rounds: int = 12) -> str:
     )
 
 
+def _coloring_sql(rounds: int = 22, max_colors: int = 64) -> str:
+    """Unrolled deterministic Jones–Plassmann coloring over the
+    sparsified rel graph (the _mis_sql device + a mex step): round r
+    colors every uncolored vertex whose md5 key is minimal among its
+    uncolored neighbors, with the smallest color its colored neighbors
+    don't use (an anti-joined candidate cross-product — ``max_colors``
+    must exceed the true chromatic usage, measured 6 at sf0.01).
+    ``rounds`` must exceed the true round count (measured 15 at sf0.01;
+    extra rounds run on empty sets). Leftover uncolored vertices after
+    the unroll are deliberately omitted, so an insufficient unroll
+    mismatches loudly."""
+    key = _mis_key_sql
+    ctes = [
+        f"e AS (SELECT * FROM ({SQL_REL_EDGES}) WHERE (src + 7 * dst) % {COLORING_MOD} = 0)",
+        "verts AS (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "adj AS MATERIALIZED (SELECT src AS x, dst AS y FROM e WHERE src <> dst "
+        "UNION SELECT dst AS x, src AS y FROM e WHERE src <> dst)",
+        # isolated vertices (self-loops only) take color 0 up front
+        "c0 AS MATERIALIZED (SELECT vid, CAST(0 AS BIGINT) AS color FROM verts "
+        "WHERE vid NOT IN (SELECT x FROM adj))",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT vid FROM verts "
+            f"WHERE vid NOT IN (SELECT vid FROM c{r}))"
+        )
+        ctes.append(
+            f"nm{r} AS MATERIALIZED (SELECT adj.x AS vid, min({key('adj.y')}) AS mk FROM adj "
+            f"WHERE adj.y NOT IN (SELECT vid FROM c{r}) GROUP BY adj.x)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT a.vid FROM a{r} a LEFT JOIN nm{r} n ON n.vid = a.vid "
+            f"WHERE n.mk IS NULL OR {key('a.vid')} < n.mk)"
+        )
+        ctes.append(
+            f"used{r} AS MATERIALIZED (SELECT w.vid, c.color FROM w{r} w "
+            f"JOIN adj ON adj.x = w.vid JOIN c{r} c ON c.vid = adj.y)"
+        )
+        ctes.append(
+            f"mex{r} AS MATERIALIZED (SELECT w.vid, CAST(min(t.c) AS BIGINT) AS color "
+            f"FROM w{r} w CROSS JOIN range(0, {max_colors}) t(c) "
+            f"WHERE NOT EXISTS (SELECT 1 FROM used{r} uu WHERE uu.vid = w.vid AND uu.color = t.c) "
+            f"GROUP BY w.vid)"
+        )
+        ctes.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT vid, color FROM c{r} "
+            f"UNION ALL SELECT vid, color FROM mex{r})"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT vid, color FROM c{rounds}"
+
+
 def _kcore_sql(k: int = KCORE_K, rounds: int = 8) -> str:
     """Unrolled peel: round r keeps vertices whose degree in the
     surviving simple undirected edge set is >= k. ``rounds`` must exceed
@@ -4197,6 +4279,7 @@ ORACLES: dict[str, str] = {
     # deterministic-Luby MIS, unrolled rounds (md5-key rule shared
     # verbatim with graph/mis.py)
     "rel_mis": _mis_sql(),
+    "rel_coloring": _coloring_sql(),
     # deterministic walks: unrolled per-step successor CTEs sharing the
     # md5(f"{step}:{u}:{v}") rule verbatim with stages/walk.py
     "rel_walks": _walks_sql(),
@@ -5060,6 +5143,7 @@ QUERIES = {
     "rel_anf": q_rel_anf,
     "rel_effective_diameter": q_rel_effective_diameter,
     "rel_mis": q_rel_mis,
+    "rel_coloring": q_rel_coloring,
     "rel_sssp_hops": q_rel_sssp_hops,
     "rel_sssp_hops_pull": q_rel_sssp_hops_pull,
     "rel_sssp_weighted_pull": q_rel_sssp_weighted_pull,
