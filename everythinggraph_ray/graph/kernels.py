@@ -149,6 +149,48 @@ class DanglingPageRankKernel(PageRankKernel):
         return new, np.ones(len(old), dtype=bool), delta
 
 
+def _load_warm_state(state_dir: str, vids, ctx, cold, dtype) -> "np.ndarray":
+    """Per-partition warm-start state load (the storage-seam pattern
+    shared by WarmStartPageRankKernel and WarmStartWCCKernel): read ONLY
+    this partition's ``part-{pid}.parquet`` from a prior
+    ``GraphEngine.save_state`` dir — no O(V) broadcast, no driver state.
+    Alignment is by sorted-vid searchsorted: vertices new since the
+    prior run keep the ``cold`` init, removed vertices are ignored.
+    Validates the _SUCCESS marker (marker-less = crashed half-write) and
+    the partition count in meta.json."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from everythinggraph_ray.state.fs import fs_exists, read_json
+
+    fs = ctx["fs"]
+    if not fs_exists(fs, os.path.join(state_dir, "_SUCCESS")):
+        raise ValueError(
+            f"warm-start state dir {state_dir!r} has no _SUCCESS "
+            "marker (missing or incomplete save_state output)"
+        )
+    meta_path = os.path.join(state_dir, "meta.json")
+    if fs_exists(fs, meta_path):
+        meta = read_json(fs, meta_path)
+        if int(meta.get("P", ctx["n_partitions"])) != int(ctx["n_partitions"]):
+            raise ValueError(
+                f"warm-start state has P={meta.get('P')} but this build has "
+                f"P={ctx['n_partitions']} — repartition the state first"
+            )
+    vals = cold
+    part = os.path.join(state_dir, f"part-{ctx['pid']:05d}.parquet")
+    if fs_exists(fs, part):
+        t = pq.read_table(part, filesystem=fs)
+        pv = t["vid"].to_numpy(zero_copy_only=False)
+        pr = t["value"].to_numpy(zero_copy_only=False).astype(dtype)
+        idx = np.searchsorted(pv, vids)
+        idx_c = np.minimum(idx, max(len(pv) - 1, 0))
+        ok = (idx < len(pv)) & (pv[idx_c] == vids) if len(pv) else np.zeros(len(vids), bool)
+        vals[ok] = pr[idx[ok]]
+    return vals
+
+
 class WarmStartPageRankKernel(PageRankKernel):
     """Incremental PageRank: start power iteration from a PREVIOUS run's
     ranks instead of the 0.15 init — the daily-recrawl pattern (graph
@@ -169,41 +211,12 @@ class WarmStartPageRankKernel(PageRankKernel):
         self.state_dir = state_dir
 
     def init_values(self, vids, outdeg, ctx):
-        import os
-
-        import pyarrow.parquet as pq
-
-        from everythinggraph_ray.state.fs import fs_exists, read_json
-
-        fs = ctx["fs"]
         # _SUCCESS is written LAST by save_state: a marker-less dir is a
         # crashed half-write — fail loudly rather than silently cold-init
         # (the fixpoint would still be correct, but the operator asked
         # for a warm start and should know it isn't getting one)
-        if not fs_exists(fs, os.path.join(self.state_dir, "_SUCCESS")):
-            raise ValueError(
-                f"warm-start state dir {self.state_dir!r} has no _SUCCESS "
-                "marker (missing or incomplete save_state output)"
-            )
-        meta_path = os.path.join(self.state_dir, "meta.json")
-        if fs_exists(fs, meta_path):
-            meta = read_json(fs, meta_path)
-            if int(meta.get("P", ctx["n_partitions"])) != int(ctx["n_partitions"]):
-                raise ValueError(
-                    f"warm-start state has P={meta.get('P')} but this build has "
-                    f"P={ctx['n_partitions']} — repartition the state first"
-                )
-        vals = np.full(len(vids), 0.15, dtype=np.float64)
-        part = os.path.join(self.state_dir, f"part-{ctx['pid']:05d}.parquet")
-        if fs_exists(fs, part):
-            t = pq.read_table(part, filesystem=fs)
-            pv = t["vid"].to_numpy(zero_copy_only=False)
-            pr = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-            idx = np.searchsorted(pv, vids)
-            idx_c = np.minimum(idx, max(len(pv) - 1, 0))
-            ok = (idx < len(pv)) & (pv[idx_c] == vids) if len(pv) else np.zeros(len(vids), bool)
-            vals[ok] = pr[idx[ok]]
-        return vals
+        cold = np.full(len(vids), 0.15, dtype=np.float64)
+        return _load_warm_state(self.state_dir, vids, ctx, cold, np.float64)
 
 
 class PersonalizedPageRankKernel(PageRankKernel):
@@ -323,6 +336,30 @@ class LabelPropKernel(WCCKernel):
             ok = (idx < len(vids)) & (vids[np.minimum(idx, len(vids) - 1)] == svids)
             lab[idx[ok]] = slabs[ok]
         return lab
+
+
+class WarmStartWCCKernel(WCCKernel):
+    """Incremental WCC (the daily-recrawl pattern for components): min-
+    label propagation warm-started from a PRIOR run's labels read
+    partition-local through the storage seam (same layout and
+    validation as WarmStartPageRankKernel, via _load_warm_state).
+    Exactness, not just a good guess: a prior label L(v) is the min vid
+    of v's sub-component over the OLD edge subset, so L(v) <= v and
+    L(v) lies in v's component of the grown graph (old edges are a
+    subset); the min-semiring fixpoint is min over each full component
+    of the initial labels = the component's min vid — bit-identical to
+    cold WCC, reached in a fraction of the supersteps because labels
+    start pre-propagated. Vertices new since the prior run cold-init to
+    their own vid."""
+
+    name = "wcc_warm"
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+
+    def init_values(self, vids, outdeg, ctx):
+        cold = vids.astype(np.int64).copy()
+        return _load_warm_state(self.state_dir, vids, ctx, cold, np.int64)
 
 
 class BFSKernel(Kernel):

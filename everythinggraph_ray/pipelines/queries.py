@@ -464,6 +464,57 @@ def q_rel_wcc(sf_dir):
     return df.rename(columns={"wcc": "component"})[["vid", "component"]]
 
 
+def q_rel_wcc_incremental(sf_dir):
+    """Incremental WCC (the daily-recrawl pattern for components):
+    converge min-label propagation on the BASE subgraph (lineitems 2+ —
+    ~85% of edges, undirected), persist per-partition labels via
+    GraphEngine.save_state, then warm-start on the FULL undirected
+    graph with WarmStartWCCKernel — prior labels read partition-local
+    through the storage seam, new vertices cold-init to their own vid.
+    Unlike warm PageRank (tol-scale agreement), the warm WCC fixpoint is
+    BIT-IDENTICAL to cold WCC (min-semiring over pre-propagated labels
+    — see the kernel docstring), so this query shares rel_wcc's SQL
+    oracle; the superstep saving is pytest-checked."""
+    from everythinggraph_ray.graph.kernels import WarmStartWCCKernel
+
+    base_bdir = build_dir_for(f"relbaseu|{sf_dir}", 8)
+    base_li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+
+    def derive_base(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["l_linenumber"], 2)
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "src": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False) % REL_V, pa.int64()
+                ),
+                "dst": pa.array(
+                    b["l_partkey"].to_numpy(zero_copy_only=False) % REL_V, pa.int64()
+                ),
+            }
+        )
+
+    build_graph(
+        undirect_edges(base_li.map_batches(derive_base, batch_format="pyarrow")),
+        base_bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+    )
+    state_dir = os.path.join(base_bdir, "wcc_state")
+    eng = GraphEngine(base_bdir)
+    try:
+        eng.run(WCCKernel())
+        eng.save_state(state_dir)
+    finally:
+        eng.shutdown()
+
+    df = _run_engine(_rel_build(sf_dir, undirect=True), WarmStartWCCKernel(state_dir))
+    return df.rename(columns={"wcc_warm": "component"})[["vid", "component"]]
+
+
 def q_rel_labelprop(sf_dir):
     """Label propagation = WCC machinery with arbitrary seed labels (here:
     default own-vid labels → equals wcc by construction, so it shares
@@ -3294,6 +3345,98 @@ def q_q18_big_orders(sf_dir):
     return joined.map_batches(attach, batch_format="pyarrow")
 
 
+COPURCHASE_MINSUP = 2
+
+
+def q_part_copurchase(sf_dir):
+    """Frequent co-purchased part pairs (market-basket pair mining over
+    lineitem — the 'customers who bought X also bought Y' primitive).
+    Orders co-locate by orderkey hash in ONE bucketed reduce; pair
+    emission inside each bucket is a vectorized self-merge on orderkey
+    (TPC-H shape bounds an order at 7 lineitems, so the per-order pair
+    blowup is <= 21 — document the partitioning assumption: a pathological
+    mega-basket would need a per-order pair cap). Per-bucket pre-counts
+    are the combiner; the global count is the two-key bucketed sum; the
+    support filter (>= COPURCHASE_MINSUP) prunes the 1-count long tail
+    (97% of pairs at sf0.01) before anything else sees it."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, sum_by_key_pair
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def bucket_of(b: pa.Table) -> np.ndarray:
+        return mix64(b["l_orderkey"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        ) & 0x7FFFFFFF
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_x", "_y"))
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        # per-bucket pre-count (combiner): same pair across this bucket's
+        # orders collapses to one row before the pair shuffle
+        c = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False).size().reset_index()
+        return pa.table(
+            {
+                "a": pa.array(c["l_partkey_x"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(c["l_partkey_y"].to_numpy(np.int64), pa.int64()),
+                "cnt": pa.array(c[0].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = bucketed_reduce(li, bucket_of, emit_pairs)
+    counts = sum_by_key_pair(pairs, "a", "b", ["cnt"])
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], COPURCHASE_MINSUP)),
+        batch_format="pyarrow",
+    )
+
+
+def q_orders_skyline(sf_dir):
+    """2-D skyline (Pareto frontier) of orders on (min o_totalprice, min
+    o_orderdate) — 'no other order is both cheaper-or-equal and
+    earlier-or-equal with one strict'. Dominance is a strict partial
+    order, so skyline(union of per-batch skylines) == global skyline
+    (any dominator eliminated locally is itself dominated transitively
+    by a local survivor); the per-batch pass is the combiner — each
+    batch forwards only its O(log n)-expected frontier — and the final
+    pass reduces the tiny union on one partition. Both passes share one
+    vectorized lexsort+prefix-min kernel; equal (price, date) twins
+    don't dominate each other and all survive, matching the SQL
+    NOT-EXISTS oracle exactly."""
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((d, p))
+        p_s, d_s = p[order], d[order]
+        first = np.r_[True, p_s[1:] != p_s[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        # sorted by date within a price group: the group's first row IS its min
+        groupmin = d_s[grp_start]
+        prefmin = np.minimum.accumulate(d_s)
+        prev = grp_start - 1
+        cheaper_min = np.where(prev >= 0, prefmin[np.maximum(prev, 0)], np.iinfo(np.int64).max)
+        keep = (d_s == groupmin) & (d_s < cheaper_min)
+        return batch.take(pa.array(np.sort(order[keep])))
+
+    o = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return (
+        o.map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: the single repartitioned block IS one batch —
+        # the final pass must see the whole (tiny) union at once
+        .map_batches(local_skyline, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_rel_avg_nbr_degree(sf_dir):
     """Average-neighbour-degree building blocks (Barrat/Newman `knn(v)`):
     for every src vertex, the SUM of its out-neighbours' out-degrees and
@@ -4720,6 +4863,9 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["rel_bfs_pull"] = ORACLES["rel_bfs"]
+# warm-start WCC's fixpoint is bit-identical to cold WCC (min-semiring
+# over pre-propagated labels — WarmStartWCCKernel docstring)
+ORACLES["rel_wcc_incremental"] = ORACLES["rel_wcc"]
 ORACLES["rel_sssp_hops_pull"] = ORACLES["rel_sssp_hops"]
 ORACLES["rel_sssp_weighted_pull"] = ORACLES["rel_sssp_weighted"]
 
@@ -5016,6 +5162,19 @@ ORACLES["q18_big_orders"] = (
     "FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey "
     "JOIN customer c ON c.c_custkey = o.o_custkey"
 )
+ORACLES["part_copurchase"] = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "p AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(*) AS cnt "
+    "FROM d l1 JOIN d l2 ON l1.l_orderkey = l2.l_orderkey "
+    "AND l1.l_partkey < l2.l_partkey GROUP BY 1, 2) "
+    f"SELECT a, b, cnt FROM p WHERE cnt >= {COPURCHASE_MINSUP}"
+)
+ORACLES["orders_skyline"] = (
+    "SELECT s.o_orderkey, s.o_totalprice, s.o_orderdate FROM orders s "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders t "
+    "WHERE t.o_totalprice <= s.o_totalprice AND t.o_orderdate <= s.o_orderdate "
+    "AND (t.o_totalprice < s.o_totalprice OR t.o_orderdate < s.o_orderdate))"
+)
 
 ORACLES["rel_avg_nbr_degree"] = (
     "WITH "
@@ -5123,6 +5282,7 @@ QUERIES = {
     "rel_neighbor_sample": q_rel_neighbor_sample,
     "rel_pagerank": q_rel_pagerank,
     "rel_wcc": q_rel_wcc,
+    "rel_wcc_incremental": q_rel_wcc_incremental,
     "rel_scc": q_rel_scc,
     "rel_wcc_stats": q_rel_wcc_stats,
     "rel_sssp_maxdist": q_rel_sssp_maxdist,
@@ -5227,6 +5387,8 @@ QUERIES = {
     "q4_late_orders": q_q4_late_orders,
     "q6_revenue": q_q6_revenue,
     "q18_big_orders": q_q18_big_orders,
+    "part_copurchase": q_part_copurchase,
+    "orders_skyline": q_orders_skyline,
     "rel_avg_nbr_degree": q_rel_avg_nbr_degree,
     "rel_modularity": q_rel_modularity,
     "events_transitions": q_events_transitions,

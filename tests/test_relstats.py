@@ -367,3 +367,81 @@ def test_ddsketch_quantiles_error_bound_and_invariance():
     )
     for col in ["p50", "p95", "p99"]:
         assert res[col].tolist() == res2[col].tolist()
+
+
+def test_part_copurchase_serial_oracle(tmp_path):
+    """Random baskets vs a brute-force pair count, including duplicate
+    (order, part) rows that must collapse before pairing."""
+    from itertools import combinations
+
+    from everythinggraph_ray.pipelines.queries import (
+        COPURCHASE_MINSUP,
+        q_part_copurchase,
+    )
+
+    rng = np.random.default_rng(5)
+    pairs = [
+        (int(o), int(p))
+        for o in range(40)
+        for p in rng.integers(0, 25, rng.integers(2, 6))
+    ]
+    pairs += pairs[:10]  # duplicated lineitems: same (order, part) twice
+    res = q_part_copurchase(_lineitem_dir(tmp_path, pairs)).to_pandas()
+    got = {(a, b): c for a, b, c in zip(res["a"], res["b"], res["cnt"])}
+
+    baskets: dict[int, set[int]] = {}
+    for o, p in pairs:
+        baskets.setdefault(o, set()).add(p)
+    want: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    want = {k: v for k, v in want.items() if v >= COPURCHASE_MINSUP}
+    assert got == want
+
+
+def _orders_dir(tmp_path, okeys, prices, dates):
+    d = tmp_path / "sfo"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "o_orderkey": np.asarray(okeys, np.int64),
+            "o_totalprice": np.asarray(prices, np.float64),
+            "o_orderdate": pd.to_datetime(dates),
+        }
+    ).to_parquet(d / "orders.parquet")
+    return str(d)
+
+
+def test_orders_skyline_matches_bruteforce(tmp_path):
+    """Random orders with forced price/date ties AND one exact-duplicate
+    pair (neither dominates the other: both must survive) vs the O(n^2)
+    dominance definition."""
+    from everythinggraph_ray.pipelines.queries import q_orders_skyline
+
+    rng = np.random.default_rng(9)
+    n = 300
+    prices = rng.choice([10.0, 20.0, 20.0, 35.5, 50.0, 80.0], n)
+    base = pd.Timestamp("1994-01-01")
+    dates = [base + pd.Timedelta(days=int(x)) for x in rng.integers(0, 12, n)]
+    # exact duplicate twins, placed at the frontier corner
+    okeys = list(range(n)) + [900, 901]
+    prices = np.r_[prices, [5.0, 5.0]]
+    dates = dates + [base, base]
+
+    res = q_orders_skyline(_orders_dir(tmp_path, okeys, prices, dates)).to_pandas()
+    got = set(res["o_orderkey"])
+
+    pts = list(zip(okeys, prices, [pd.Timestamp(d) for d in dates]))
+    want = {
+        k
+        for k, p, d in pts
+        if not any(
+            (p2 <= p and d2 <= d and (p2 < p or d2 < d)) for _, p2, d2 in pts
+        )
+    }
+    assert 900 in want and 901 in want  # duplicate twins both on the frontier
+    assert got == want
+    # and the surviving rows carry their original values
+    row = res[res["o_orderkey"] == 900].iloc[0]
+    assert row["o_totalprice"] == 5.0 and pd.Timestamp(row["o_orderdate"]) == base
