@@ -4214,6 +4214,110 @@ def _ppr10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 9) AS ppr FROM r10"
 
 
+# --- snapshot delta (daily recrawl diff) ------------------------------------
+# Two deterministic snapshots derived from `documents`: "yesterday" (A) omits
+# doc_id % SNAP_ADD_MOD == 3 (those appear today → added), "today" (B) omits
+# doc_id % SNAP_DEL_MOD == 2 (→ removed) and revises the text of
+# doc_id % SNAP_CHG_MOD == 1 (→ changed).
+SNAP_ADD_MOD = 11
+SNAP_DEL_MOD = 7
+SNAP_CHG_MOD = 5
+SNAP_REV_SUFFIX = " (rev2)"
+
+
+def q_docs_snapshot_delta(sf_dir):
+    """Daily-recrawl snapshot diff — the incremental-corpus companion to
+    warm-start PageRank (`rel_pagerank_warm`) and incremental WCC: classify
+    every url of two crawl snapshots as added / removed / changed /
+    unchanged.
+
+    Scale shape: document texts NEVER shuffle. Each side is reduced to
+    (doc_id, md5(text), side) inside one map_batches pass (the 16-byte
+    digest is the comparison key — the CDC/fingerprint convention; the
+    per-doc md5 loop is inherent to hashing text, as in exact dedup), the
+    tagged union is hash-bucketed by doc_id, and ONE vectorized pandas
+    outer-merge per bucket classifies all of that bucket's ids. At 100 TB
+    the exchange moves ~25 bytes/doc regardless of document size."""
+    import hashlib
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def sides(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        in_a = (ids % SNAP_ADD_MOD) != 3
+        in_b = (ids % SNAP_DEL_MOD) != 2
+        chg = (ids % SNAP_CHG_MOD) == 1
+        h0 = [hashlib.md5((t or "").encode()).digest() for t in texts]
+        hb = [
+            hashlib.md5(((t or "") + SNAP_REV_SUFFIX).encode()).digest() if c else h
+            for t, c, h in zip(texts, chg, h0)
+        ]
+        a_idx = np.flatnonzero(in_a)
+        b_idx = np.flatnonzero(in_b)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids[a_idx], ids[b_idx]]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a_idx), np.int8), np.ones(len(b_idx), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "h": pa.array(
+                    [h0[i] for i in a_idx] + [hb[i] for i in b_idx], pa.binary()
+                ),
+            }
+        )
+
+    tagged = docs.map_batches(sides, batch_format="pyarrow")
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        a = df[df["side"] == 0][["doc_id", "h"]]
+        b = df[df["side"] == 1][["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["h_a"].isna(),
+            "added",
+            np.where(
+                m["h_b"].isna(),
+                "removed",
+                np.where(m["h_a"] != m["h_b"], "changed", "unchanged"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
+                "status": pa.array(status.astype(object), pa.string()),
+            }
+        )
+
+    return bucketed_reduce(tagged, bucket_of, red)
+
+
+SQL_SNAPSHOT_DELTA = f"""
+WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % {SNAP_ADD_MOD} <> 3),
+     b AS (SELECT doc_id,
+                  CASE WHEN doc_id % {SNAP_CHG_MOD} = 1 THEN text || '{SNAP_REV_SUFFIX}'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> 2)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.text <> b.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
 ORACLES: dict[str, str] = {
     "rel_edges": SQL_REL_EDGES,
     "rel_degree": (
@@ -5255,6 +5359,8 @@ ORACLES["events_transitions"] = (
     "FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type"
 )
 
+ORACLES["docs_snapshot_delta"] = SQL_SNAPSHOT_DELTA
+
 QUERIES = {
     "rel_edges": q_rel_edges,
     "rel_degree": q_rel_degree,
@@ -5399,4 +5505,5 @@ QUERIES = {
     "docs_lang_source_pivot": q_docs_lang_source_pivot,
     "docs_lang_source_rollup": q_docs_lang_source_rollup,
     "rel_pagerank10_dangling": q_rel_pagerank10_dangling,
+    "docs_snapshot_delta": q_docs_snapshot_delta,
 }
