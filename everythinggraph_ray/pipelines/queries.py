@@ -323,6 +323,58 @@ def q_rel_scc(sf_dir):
     return comps
 
 
+def q_rel_scc_condensation(sf_dir):
+    """Condensation DAG of the SCC partition — the web bowtie's
+    IN→CORE→OUT super-edges: distinct (c_src, c_dst) pairs of DIFFERENT
+    component labels over the simple directed edge set. Composes the
+    distributed SCC labels with two bucketed hash_joins (labels attach
+    endpoint-by-endpoint — only (vid, scc) pairs and the deduped edge
+    list shuffle, never a V-sized broadcast) and reuses dedup_edges'
+    bucketed distinct for the super-edge set."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.graph.scc import scc
+    from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops
+
+    comps, _rounds = scc(rel_edges(sf_dir))
+    edges = dedup_edges(filter_self_loops(rel_edges(sf_dir)))
+
+    def tag_src(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["dst"], "c_src": b["scc"]})
+
+    j1 = hash_join(
+        edges, comps, on="src", right_on="vid", right_cols=["scc"]
+    ).map_batches(tag_src, batch_format="pyarrow")
+
+    def tag_dst(b: pa.Table) -> pa.Table:
+        cs = b["c_src"].to_numpy(zero_copy_only=False)
+        cd = b["scc"].to_numpy(zero_copy_only=False)
+        keep = cs != cd
+        return pa.table(
+            {
+                "src": pa.array(cs[keep], pa.int64()),
+                "dst": pa.array(cd[keep], pa.int64()),
+            }
+        )
+
+    j2 = hash_join(
+        j1, comps, on="dst", right_on="vid", right_cols=["scc"]
+    ).map_batches(tag_dst, batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({"c_src": b["src"], "c_dst": b["dst"]})
+
+    df = dedup_edges(j2).map_batches(final, batch_format="pyarrow").to_pandas()
+    if df.empty:  # 0-row Datasets lose their schema in to_pandas (a
+        # strongly-connected graph has an edgeless condensation)
+        df = pd.DataFrame(
+            {
+                "c_src": pd.Series([], dtype="int64"),
+                "c_dst": pd.Series([], dtype="int64"),
+            }
+        )
+    return df
+
+
 def q_rel_katz10(sf_dir):
     """Katz centrality, 10 fixed iterations (alpha=0.01, beta=1): the
     PageRank machinery without the outdegree divide — same engine, same
@@ -5361,6 +5413,22 @@ ORACLES["events_transitions"] = (
 
 ORACLES["docs_snapshot_delta"] = SQL_SNAPSHOT_DELTA
 
+ORACLES["rel_scc_condensation"] = (
+    "WITH RECURSIVE "
+    + _sql_graph_prelude(no_self=True)
+    + ", e3 AS (SELECT DISTINCT src, dst FROM e2)"
+    ", r(s, d) AS (SELECT src, dst FROM e3 UNION "
+    "SELECT r.s, e3.dst FROM r JOIN e3 ON e3.src = r.d)"
+    ", m AS (SELECT r1.s AS v, r1.d AS u FROM r r1 "
+    "JOIN r r2 ON r2.s = r1.d AND r2.d = r1.s)"
+    ", comp AS (SELECT v.vid AS vid, "
+    "CAST(least(v.vid, coalesce(min(m.u), v.vid)) AS BIGINT) AS scc "
+    "FROM verts v LEFT JOIN m ON m.v = v.vid GROUP BY v.vid) "
+    "SELECT DISTINCT cs.scc AS c_src, cd.scc AS c_dst "
+    "FROM e3 JOIN comp cs ON cs.vid = e3.src JOIN comp cd ON cd.vid = e3.dst "
+    "WHERE cs.scc <> cd.scc"
+)
+
 QUERIES = {
     "rel_edges": q_rel_edges,
     "rel_degree": q_rel_degree,
@@ -5506,4 +5574,5 @@ QUERIES = {
     "docs_lang_source_rollup": q_docs_lang_source_rollup,
     "rel_pagerank10_dangling": q_rel_pagerank10_dangling,
     "docs_snapshot_delta": q_docs_snapshot_delta,
+    "rel_scc_condensation": q_rel_scc_condensation,
 }
