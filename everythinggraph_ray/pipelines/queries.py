@@ -2005,6 +2005,78 @@ def q_events_hourly(sf_dir):
     )
 
 
+def q_events_hourly_uniques(sf_dir):
+    """Exact COUNT(DISTINCT user) per tumbling hour — the canonical
+    two-exchange distinct-count plan (the exact complement of the HLL
+    sketch in docs_vocab_hll): (1) per-batch np.unique on (hour, user)
+    pairs (the combiner — repeat visitors within a batch collapse before
+    anything moves), (2) bucketed GLOBAL distinct on the pair (each
+    (hour, user) lands in exactly one mix64 bucket), reduced straight to
+    per-hour PARTIAL counts inside the bucket, (3) tiny bucketed sum by
+    hour. The corpus never shuffles twice — only (hour, user) pairs,
+    then (hour, partial) rows."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, mix64_pair
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        u = np.unique(np.stack([hour, uid], axis=1), axis=0)
+        return pa.table(
+            {
+                "hour_bucket": pa.array(u[:, 0], pa.int64()),
+                "user_id": pa.array(u[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = ev.map_batches(local_distinct, batch_format="pyarrow", batch_size=256 * 1024)
+
+    def pair_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["hour_bucket"].to_numpy(zero_copy_only=False),
+            batch["user_id"].to_numpy(zero_copy_only=False),
+        )
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [
+                g["hour_bucket"].to_numpy(zero_copy_only=False),
+                g["user_id"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        u = np.unique(arr, axis=0)
+        hours, counts = np.unique(u[:, 0], return_counts=True)
+        return pa.table(
+            {
+                "hour_bucket": pa.array(hours, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = bucketed_reduce(pairs, pair_bucket, count_distinct)
+
+    def hour_bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["hour_bucket"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        ) & 0x7FFFFFFF
+
+    def sum_hours(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("hour_bucket", as_index=False)["c"].sum()
+        return pa.table(
+            {
+                "hour_bucket": pa.array(df["hour_bucket"].to_numpy(np.int64), pa.int64()),
+                "n_users": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(partials, hour_bucket_of, sum_hours)
+
+
 def q_events_sessions(sf_dir):
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
@@ -4950,6 +5022,11 @@ ORACLES: dict[str, str] = {
         "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_u "
         "FROM events GROUP BY user_id, hour_bucket"
     ),
+    "events_hourly_uniques": (
+        "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY hour_bucket"
+    ),
     "events_sessions": (
         "WITH x AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL "
         "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns "
@@ -5525,6 +5602,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
     "events_hourly": q_events_hourly,
+    "events_hourly_uniques": q_events_hourly_uniques,
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,
     "events_asof_prev": q_events_asof_prev,
