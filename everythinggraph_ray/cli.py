@@ -37,6 +37,7 @@ def _get_kernel(args):
         ),
         "wpagerank": lambda: K.WeightedPageRankKernel(damping=args.damping),
         "katz": lambda: K.KatzKernel(alpha=args.katz_alpha, beta=args.katz_beta),
+        "eigenvector": lambda: K.EigenvectorKernel(),
         "wcc": lambda: K.WCCKernel(),
         "labelprop": lambda: K.LabelPropKernel(),
         "bfs": lambda: K.BFSKernel(args.root),
@@ -65,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
             "ppr",
             "wpagerank",
             "katz",
+            "eigenvector",
             "wcc",
             "labelprop",
             "anf",

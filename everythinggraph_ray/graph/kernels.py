@@ -296,6 +296,35 @@ class KatzKernel(Kernel):
         return new, np.ones(len(old), dtype=bool), delta
 
 
+class EigenvectorKernel(Kernel):
+    """Eigenvector centrality by L1-normalized power iteration:
+    x_{t+1}[v] = (Σ_{u→v} x_t[u]) / ‖x_t‖₁. Same gather-scatter as
+    PageRank (pagerank_simple.c:31-36 machinery) but the per-superstep
+    normalizer is a GLOBAL scalar, so it rides the Pregel-style
+    aggregator channel (needs_global): each partition ships one float
+    (its Σ x_t partial) to the driver per superstep and the total comes
+    back in ctx["global_in"]. Duplicate edges add multiplicity, matching
+    the engine's scatter and the SQL oracle's plain edge join. x0 = 1.
+    Fixed-iteration mode (the reference's -i flag); convergence mode
+    stops on max|Δ| like PageRank."""
+
+    name = "eigenvector"
+    combine = "sum"
+    needs_global = True
+
+    def init_values(self, vids, outdeg, ctx):
+        return np.ones(len(vids), dtype=np.float64)
+
+    def global_partial(self, vals, outdeg, ctx):
+        return float(vals.sum())
+
+    def apply(self, old, agg, has_msg, ctx):
+        norm = float(ctx.get("global_in", 0.0)) or 1.0
+        new = agg / norm
+        delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
+        return new, np.ones(len(old), dtype=bool), delta
+
+
 class WCCKernel(Kernel):
     """Symmetric min-label propagation (wcc.c:211-216): labels init to own
     vid; run on the UNDIRECTED edge table (build with undirect=True) which is

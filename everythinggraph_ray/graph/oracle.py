@@ -179,6 +179,19 @@ def katz_oracle(
     return vids, prev
 
 
+def eigenvector_oracle(src: np.ndarray, dst: np.ndarray, *, n_iters: int = 10):
+    """Eigenvector centrality serial oracle: x0 = 1;
+    x_k = (A^T x_{k-1}) / ||x_{k-1}||_1. Returns (vids, x float64)."""
+    vids, s, d = _index(src, dst)
+    n = len(vids)
+    prev = np.ones(n, dtype=np.float64)
+    for _ in range(n_iters):
+        agg = np.zeros(n, dtype=np.float64)
+        np.add.at(agg, d, prev[s])
+        prev = agg / (prev.sum() or 1.0)
+    return vids, prev
+
+
 def wcc_oracle(src: np.ndarray, dst: np.ndarray, labels: np.ndarray | None = None):
     """Symmetric min-label propagation to fixpoint. Returns (vids, labels).
 

@@ -386,6 +386,19 @@ def q_rel_katz10(sf_dir):
     return df[["vid", "katz"]]
 
 
+def q_rel_eigen10(sf_dir):
+    """Eigenvector centrality, 10 L1-normalized power iterations: the
+    Katz gather WITHOUT the additive term, with a per-superstep GLOBAL
+    normalizer riding the Pregel-style aggregator channel — one float
+    per partition per superstep (graph/kernels.py EigenvectorKernel).
+    Rounded to 7 decimals against the unrolled SQL recursion."""
+    from everythinggraph_ray.graph.kernels import EigenvectorKernel
+
+    df = _run_engine(_rel_build(sf_dir), EigenvectorKernel(), n_iters=10)
+    df["eigenvector"] = np.round(df["eigenvector"].to_numpy(), 7)
+    return df[["vid", "eigenvector"]]
+
+
 def q_rel_wpagerank10(sf_dir):
     """Weighted PageRank, 10 fixed iterations: rank splits over
     out-edges proportionally to the synthesized weight (w = src%10 +
@@ -3238,6 +3251,100 @@ def q_q5_region_revenue(sf_dir):
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = np.datetime64("1998-06-01")
+
+
+def q_q3_shipping_priority(sf_dir):
+    """TPC-H Q3-lite (shipping priority): top-10 unshipped orders of one
+    market segment by revenue. Predicates push to the reads (segment,
+    both date cuts as per-batch arrow masks), the segment's customers
+    SEMI-filter orders through the distributed hash_join (no broadcast —
+    1/5 of all customers is big-side at scale), lineitem revenue joins
+    the surviving orders, and the final per-order sums are a groupby on
+    the functionally-dependent (orderkey, date, priority) triple so one
+    exchange finishes it. Revenue is exact integer cents (floor(x+0.5),
+    the q5 convention shared verbatim with the oracle); the top-10 sort
+    is over the small aggregated table."""
+    from ray.data.aggregate import Sum
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["c_mktsegment"], Q3_SEGMENT)
+        return batch.filter(keep).select(["c_custkey"])
+
+    building = cust.map_batches(seg_keys, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def before_cut(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(od < Q3_CUTOFF, pa.bool_()))
+
+    open_orders = hash_join(
+        orders.map_batches(before_cut, batch_format="pyarrow"),
+        building,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="semi",
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_after_cut(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship > Q3_CUTOFF
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                # floor(x+0.5): DuckDB rounds half away from zero (q5 note)
+                "rev_c": pa.array(
+                    np.floor(p * (1.0 - d) * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(rev_after_cut, batch_format="pyarrow"),
+        open_orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"],
+    )
+    agg = j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_c", alias_name="revenue_c")
+    )
+    # distributed top-10: sort + limit stay on the cluster (the aggregated
+    # table is one row per open order — never pulled to the driver)
+    df = (
+        agg.sort(
+            ["revenue_c", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(10)
+        .to_pandas()
+    )
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})
+    return df[["o_orderkey", "revenue_c", "o_orderdate", "o_orderpriority"]]
+
+
 def q_q4_late_orders(sf_dir):
     """TPC-H Q4-lite: per order priority, the number of DISTINCT orders
     with at least one lineitem shipped more than 60 days after the order
@@ -4314,6 +4421,29 @@ def _katz10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS katz FROM r10"
 
 
+def _eigen10_sql() -> str:
+    """Eigenvector centrality, 10 L1-normalized power iterations:
+    x_k[v] = (Σ_{u→v} x_{k-1}[u]) / (Σ x_{k-1}). Each level references
+    r{k-1} twice (the contrib join + the norm scalar), so levels are
+    MATERIALIZED to stop DuckDB re-expanding the tree 2^10-fold."""
+    ctes = [
+        f"e AS MATERIALIZED ({SQL_REL_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "r0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vid, "
+            f"coalesce(s.contrib, 0) / (SELECT sum(p.r) FROM r{k-1} p) AS r "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS vid, sum(p.r) AS contrib "
+            f"FROM e JOIN r{k-1} p ON p.vid = e.src "
+            f"GROUP BY e.dst) s ON s.vid = v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS eigenvector FROM r10"
+    )
+
+
 def _ppr10_sql() -> str:
     """Personalized PageRank, 10 iterations: identical recursion to
     _pagerank10_sql but teleport mass lands on the seed set
@@ -4461,6 +4591,7 @@ ORACLES: dict[str, str] = {
     "rel_pagerank10_dangling": _pagerank10_dangling_sql(),
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
+    "rel_eigen10": _eigen10_sql(),
     "rel_kcore": _kcore_sql(),
     "rel_hits10": _hits10_sql(),
     "rel_wpagerank10": _wpagerank10_sql(),
@@ -5070,6 +5201,18 @@ ORACLES: dict[str, str] = {
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c2, "
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
+    "q3_shipping_priority": (
+        "SELECT l.l_orderkey AS o_orderkey, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_c, o.o_orderdate, o.o_orderpriority "
+        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE c.c_mktsegment = '{Q3_SEGMENT}' "
+        "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+        "ORDER BY revenue_c DESC, o.o_orderdate, o_orderkey LIMIT 10"
+    ),
     "q4_late_orders": (
         "SELECT o.o_orderpriority, "
         "CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_late "
@@ -5515,6 +5658,7 @@ QUERIES = {
     "rel_pagerank10_pull": q_rel_pagerank10_pull,
     "rel_ppr": q_rel_ppr,
     "rel_katz10": q_rel_katz10,
+    "rel_eigen10": q_rel_eigen10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,
     "rel_wpagerank10": q_rel_wpagerank10,
@@ -5636,6 +5780,7 @@ QUERIES = {
     "q1_returnflag": q_q1_returnflag,
     "mktsegment_revenue": q_mktsegment_revenue,
     "q5_region_revenue": q_q5_region_revenue,
+    "q3_shipping_priority": q_q3_shipping_priority,
     "q4_late_orders": q_q4_late_orders,
     "q6_revenue": q_q6_revenue,
     "q18_big_orders": q_q18_big_orders,

@@ -101,6 +101,21 @@ def test_katz_matches_numpy_oracle(engine, small_edges):
     np.testing.assert_allclose(x, ox, rtol=0, atol=1e-10)
 
 
+def test_eigenvector_matches_numpy_oracle(engine, small_edges):
+    from everythinggraph_ray.graph.kernels import EigenvectorKernel
+
+    sv, dv = small_edges
+    res = engine.run(EigenvectorKernel(), n_iters=10)
+    vids, x = _vals(res, "eigenvector")
+    ovids, ox = O.eigenvector_oracle(sv, dv, n_iters=10)
+    assert np.array_equal(vids, ovids)
+    np.testing.assert_allclose(x, ox, rtol=0, atol=1e-10)
+    # direction converges: one more normalized step barely moves (power
+    # iteration has settled near the principal eigvec on this graph)
+    _, ox11 = O.eigenvector_oracle(sv, dv, n_iters=11)
+    assert np.max(np.abs(ox11 / ox11.sum() - ox / ox.sum())) < 0.05
+
+
 def test_wpagerank_matches_oracle_with_hub_split(tmp_path):
     import pyarrow as pa
 
