@@ -38,6 +38,8 @@ def _get_kernel(args):
         "wpagerank": lambda: K.WeightedPageRankKernel(damping=args.damping),
         "katz": lambda: K.KatzKernel(alpha=args.katz_alpha, beta=args.katz_beta),
         "eigenvector": lambda: K.EigenvectorKernel(),
+        # caller contract: the input edge table must be a DAG
+        "dag-depth": lambda: K.DagDepthKernel(),
         "wcc": lambda: K.WCCKernel(),
         "labelprop": lambda: K.LabelPropKernel(),
         "bfs": lambda: K.BFSKernel(args.root),
@@ -67,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             "wpagerank",
             "katz",
             "eigenvector",
+            "dag-depth",
             "wcc",
             "labelprop",
             "anf",

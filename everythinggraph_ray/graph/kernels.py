@@ -789,6 +789,37 @@ class WidestPathKernel(Kernel):
         return new, improved, 0.0
 
 
+class DagDepthKernel(Kernel):
+    """Longest-path depth on a DAG — the MAX-PLUS semiring (the additive
+    dual of SSSP's min-plus, wcc.c:21-27 writeMin machinery inverted):
+    depth(v) = max(0, max_{u→v} depth(u) + 1). Every vertex starts
+    active at depth 0; improvements propagate frontier-style and
+    converge in exactly longest-path-length supersteps. Resends are
+    idempotent under max, so the engine's dense-resend direction switch
+    applies unchanged. ONLY terminates on DAGs (the degree-orientation
+    of an undirected graph, a condensation, a dependency graph) — on a
+    cycle the iteration cap trips."""
+
+    name = "dag_depth"
+    combine = "max"
+    frontier = True
+    skip_self_loops = True
+    dtype = np.int64
+    resend_safe = True
+
+    def init_values(self, vids, outdeg, ctx):
+        return np.zeros(len(vids), dtype=np.int64)
+
+    def src_messages(self, vals, outdeg):
+        return vals + 1
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg > old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
 class SpMVKernel(Kernel):
     """One gather-scatter step (spmv.c:98-106): y[v] = sum 0.001*x[u] over
     in-edges, x[u] = u."""

@@ -1407,6 +1407,39 @@ def q_rel_widest(sf_dir):
     return out
 
 
+def q_rel_dag_depth(sf_dir):
+    """Longest-path depth over the degree-orientation DAG (triangle
+    counting's orientation reused as a first-class DAG source): orient
+    every distinct undirected edge from lower to higher (degree, vid),
+    then run the MAX-PLUS DagDepthKernel — depth(v) = longest oriented
+    path ending at v, the per-vertex degeneracy-ordering depth (a lower
+    bound witness for coloring/core structure). Converges in exactly
+    max-depth supersteps; acyclicity is guaranteed by the strict total
+    order. Shares _oriented_with_degrees' cost-based degree attach
+    (broadcast under 5M vertices, bucketed co-group above)."""
+    from everythinggraph_ray.graph.kernels import DagDepthKernel
+    from everythinggraph_ray.graph.triangles import (
+        BROADCAST_V_THRESHOLD,
+        _oriented_with_degrees,
+    )
+
+    oriented, deg, _ = _oriented_with_degrees(
+        rel_edges(sf_dir), BROADCAST_V_THRESHOLD
+    )
+    if oriented is None:
+        return pd.DataFrame(
+            {"vid": pd.Series([], dtype="int64"), "depth": pd.Series([], dtype="int64")}
+        )
+    dag = oriented.map_batches(
+        lambda t: pa.table({"src": t["u"], "dst": t["v"]}), batch_format="pyarrow"
+    )
+    tag = f"dagdepth|{sf_dir}"
+    bdir = build_dir_for(tag, 8)
+    build_graph(dag, bdir, num_partitions=8, hub_threshold=10**9)
+    df = _run_engine(bdir, DagDepthKernel())
+    return df.rename(columns={"dag_depth": "depth"})[["vid", "depth"]]
+
+
 # ----------------------------------------------------------------------
 # web-graph queries (url corpus; rows-only checks, pytest-validated)
 # ----------------------------------------------------------------------
@@ -1843,6 +1876,32 @@ def q_emb_allpairs_sim(sf_dir):
         allpairs_similarity(emb, threshold=0.40),
         {"a": "int64", "b": "int64", "sim_milli": "int64"},
     )
+
+
+EMB_CLUSTER_THRESHOLD = 0.40
+
+
+def q_emb_sim_clusters(sf_dir):
+    """Embedding similarity CLUSTERS: the cosine-threshold pair table
+    (emb_allpairs_sim's exact baseline) fed straight into the
+    distributed WCCKernel clustering (datapipe/pairs.py cluster_pairs)
+    — the 'group near-duplicate vectors, keep one per cluster' primitive
+    of embedding-level corpus dedup, here with FULL DuckDB hash parity:
+    pairs via list_cosine_similarity, components via the recursive
+    min-label CTE (rel_wcc's oracle shape). Output one row per vector
+    that has at least one neighbor: (vec_id, cluster_id = min member).
+    At 100 TB the pair generator swaps to the LSH candidate path
+    (emb_near_dup) while this clustering tail is unchanged."""
+    from everythinggraph_ray.datapipe.knn import allpairs_similarity
+    from everythinggraph_ray.datapipe.pairs import cluster_pairs
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = allpairs_similarity(emb, threshold=EMB_CLUSTER_THRESHOLD)
+    out = cluster_pairs(pairs).map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    return _typed_collect(out, {"vec_id": "int64", "cluster_id": "int64"})
 
 
 def q_docs_candidate_starred(sf_dir):
@@ -4920,6 +4979,24 @@ ORACLES: dict[str, str] = {
         "FROM verts v LEFT JOIN (SELECT vid, max(c) AS c FROM r GROUP BY vid) m "
         "ON m.vid = v.vid"
     ),
+    # longest-path depth on the degree-orientation DAG: the recursion
+    # enumerates (vid, depth) pairs — bounded by V × (max depth + 1)
+    # because UNION dedups and the orientation is acyclic by the strict
+    # (degree, vid) total order. Tie order matches the engine: a < b
+    # always, so u = a exactly when deg(a) <= deg(b).
+    "rel_dag_depth": (
+        f"WITH RECURSIVE e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst), "
+        "deg AS (SELECT vid, count(*) AS d FROM "
+        "(SELECT a AS vid FROM und UNION ALL SELECT b AS vid FROM und) GROUP BY vid), "
+        "dag AS (SELECT CASE WHEN da.d <= db.d THEN u.a ELSE u.b END AS u, "
+        "CASE WHEN da.d <= db.d THEN u.b ELSE u.a END AS v "
+        "FROM und u JOIN deg da ON da.vid = u.a JOIN deg db ON db.vid = u.b), "
+        "r(vid, dpt) AS (SELECT vid, 0 FROM deg "
+        "UNION SELECT dag.v, r.dpt + 1 FROM r JOIN dag ON dag.u = r.vid) "
+        "SELECT vid, CAST(max(dpt) AS BIGINT) AS depth FROM r GROUP BY vid"
+    ),
     "rel_spmv_edgecentric": (
         "WITH "
         + _sql_graph_prelude()
@@ -5517,6 +5594,20 @@ ORACLES["emb_allpairs_sim"] = (
     "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"
 )
 
+# similarity clustering = the allpairs threshold graph + rel_wcc's
+# recursive min-label CTE; only vectors with >= 1 neighbor appear
+ORACLES["emb_sim_clusters"] = (
+    "WITH RECURSIVE p AS (SELECT a.vec_id AS a, b.vec_id AS b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
+    f">= {EMB_CLUSTER_THRESHOLD}), "
+    "und AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p), "
+    "verts AS (SELECT DISTINCT u AS vid FROM und), "
+    "r(vid, lab) AS (SELECT vid, vid FROM verts "
+    "UNION SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
+    "SELECT vid AS vec_id, min(lab) AS cluster_id FROM r GROUP BY vid"
+)
+
 # Q6-lite: same double expression tree (ep * disc * 10000 + 0.5, then
 # floor) as the Ray partial — identical IEEE result before the cast.
 ORACLES["q6_revenue"] = (
@@ -5707,6 +5798,7 @@ QUERIES = {
     "rel_spmv_edgecentric": q_rel_spmv_edgecentric,
     "rel_sssp_weighted": q_rel_sssp_weighted,
     "rel_widest": q_rel_widest,
+    "rel_dag_depth": q_rel_dag_depth,
     "rel_msf": q_rel_msf,
     "rel_triangles": q_rel_triangles,
     "rel_lcc": q_rel_lcc,
@@ -5734,6 +5826,7 @@ QUERIES = {
     "docs_simhash_dedup": q_docs_simhash_dedup,
     "emb_near_dup": q_emb_near_dup,
     "emb_allpairs_sim": q_emb_allpairs_sim,
+    "emb_sim_clusters": q_emb_sim_clusters,
     "docs_minhash_md5": q_docs_minhash_md5,
     "docs_candidate_starred": q_docs_candidate_starred,
     "multimodal_features": q_multimodal_features,

@@ -101,6 +101,58 @@ def test_katz_matches_numpy_oracle(engine, small_edges):
     np.testing.assert_allclose(x, ox, rtol=0, atol=1e-10)
 
 
+def test_dag_depth_matches_serial_topological_dp(tmp_path):
+    """DagDepthKernel (max-plus) over a degree-oriented random graph vs a
+    serial Kahn-style longest-path DP."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import DagDepthKernel
+
+    rng = np.random.default_rng(29)
+    sv = rng.integers(0, 150, 3000).astype(np.int64)
+    dv = rng.integers(0, 150, 3000).astype(np.int64)
+    keep = sv != dv
+    sv, dv = sv[keep], dv[keep]
+    # canonical undirected distinct pairs + degree orientation (serial)
+    lo, hi = np.minimum(sv, dv), np.maximum(sv, dv)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    vid, cnt = np.unique(pairs.ravel(), return_counts=True)
+    deg = dict(zip(vid.tolist(), cnt.tolist()))
+    u = np.where(
+        [deg[a] <= deg[b] for a, b in pairs], pairs[:, 0], pairs[:, 1]
+    )
+    v = np.where(
+        [deg[a] <= deg[b] for a, b in pairs], pairs[:, 1], pairs[:, 0]
+    )
+    # serial longest-path DP in (deg, vid) topological order
+    order = sorted(vid.tolist(), key=lambda x: (deg[x], x))
+    depth = {x: 0 for x in order}
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, []).append(b)
+    for x in order:
+        for y in adj.get(x, []):
+            depth[y] = max(depth[y], depth[x] + 1)
+
+    bdir = str(tmp_path / "dag_build")
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(u, pa.int64()), "dst": pa.array(v, pa.int64())})
+    )
+    build_graph(ds, bdir, num_partitions=4, hub_threshold=10**9)
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(DagDepthKernel())
+    finally:
+        eng.shutdown()
+    vids, x = _vals(res, "dag_depth")
+    assert np.array_equal(vids, np.sort(vid))
+    assert np.array_equal(x, np.array([depth[i] for i in vids]))
+    assert x.max() > 0  # the graph is dense enough that depth propagates
+
+
 def test_eigenvector_matches_numpy_oracle(engine, small_edges):
     from everythinggraph_ray.graph.kernels import EigenvectorKernel
 
