@@ -1878,6 +1878,27 @@ def q_emb_allpairs_sim(sf_dir):
     )
 
 
+JACCARD_JOIN_MILLI = 500
+
+
+def q_docs_jaccard_join(sf_dir):
+    """EXACT set-similarity self-join (distinct-word Jaccard >= 0.5)
+    via prefix filtering (datapipe/setjoin.py — AllPairs/PPJoin lemma:
+    candidates only from shared rarest-df prefix tokens, so the join is
+    exact without the |corpus|^2 scan; MinHash's exact complement).
+    Integer similarity (1000*inter)//union keeps the threshold test and
+    the DuckDB oracle bit-identical."""
+    from everythinggraph_ray.datapipe.setjoin import jaccard_join
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _typed_collect(
+        jaccard_join(docs, threshold_milli=JACCARD_JOIN_MILLI),
+        {"a": "int64", "b": "int64", "jac_milli": "int64"},
+    )
+
+
 EMB_CLUSTER_THRESHOLD = 0.40
 
 
@@ -5594,6 +5615,21 @@ ORACLES["emb_allpairs_sim"] = (
     "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"
 )
 
+# exact Jaccard self-join: the quadratic spec of the prefix-filtered
+# distributed join — all integers, so the threshold and similarity agree
+# bit-for-bit with the Ray side
+ORACLES["docs_jaccard_join"] = (
+    "WITH tok AS (SELECT DISTINCT doc_id, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i "
+    "FROM tok x JOIN tok y ON x.t = y.t AND x.doc_id < y.doc_id "
+    "GROUP BY x.doc_id, y.doc_id), "
+    "j AS (SELECT a, b, i, sa.n + sb.n - i AS u FROM inter "
+    "JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b) "
+    f"SELECT a, b, (1000 * i) // u AS jac_milli FROM j WHERE 1000 * i >= {JACCARD_JOIN_MILLI} * u"
+)
+
 # similarity clustering = the allpairs threshold graph + rel_wcc's
 # recursive min-label CTE; only vectors with >= 1 neighbor appear
 ORACLES["emb_sim_clusters"] = (
@@ -5827,6 +5863,7 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "emb_allpairs_sim": q_emb_allpairs_sim,
     "emb_sim_clusters": q_emb_sim_clusters,
+    "docs_jaccard_join": q_docs_jaccard_join,
     "docs_minhash_md5": q_docs_minhash_md5,
     "docs_candidate_starred": q_docs_candidate_starred,
     "multimodal_features": q_multimodal_features,

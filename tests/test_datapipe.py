@@ -876,3 +876,75 @@ def test_bloom_build_partition_invariance():
     a = bloom_build(ray.data.from_pandas(df), values_of, m_bits=1 << 12, k=3)
     b = bloom_build(ray.data.from_pandas(df).repartition(7), values_of, m_bits=1 << 12, k=3)
     assert (a == b).all() and a.any()
+
+
+def test_jaccard_join_matches_serial_quadratic():
+    """Prefix-filtered distributed join == the quadratic serial spec,
+    including boundary pairs at exactly tau and integer similarities."""
+    from everythinggraph_ray.datapipe.setjoin import jaccard_join, jaccard_join_serial
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": [
+                base,                                   # 0
+                base,                                   # 1 exact dup of 0
+                base + " iota",                         # 2 jac 8/9
+                "alpha beta gamma delta",               # 3 jac 4/8 = exactly 0.5 vs 0
+                "alpha beta gamma",                     # 4 jac 3/8 < 0.5 vs 0
+                "totally different words here now",     # 5
+                "totally different words here now",     # 6 dup of 5
+                "ALPHA beta GAMMA delta",               # 7 case-folds to 3
+                "",                                     # 8 empty
+                "unrelated solitary document",          # 9
+                base + " " + base,                      # 10 same SET as 0
+                "alpha alpha alpha beta",               # 11 distinct set {alpha, beta}
+            ],
+        }
+    )
+    got = (
+        jaccard_join(ray.data.from_pandas(docs), threshold_milli=500, num_buckets=8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = jaccard_join_serial(docs, threshold_milli=500)
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["a", "b", "jac_milli"]], want)
+    # the boundary pair (0, 3) at exactly 0.5 must be INcluded
+    assert ((want["a"] == 0) & (want["b"] == 3)).any()
+    # and (0, 4) below it excluded
+    assert not ((want["a"] == 0) & (want["b"] == 4)).any()
+
+
+def test_jaccard_join_partition_invariance():
+    from everythinggraph_ray.datapipe.setjoin import jaccard_join, jaccard_join_serial
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 25)))
+        for _ in range(60)
+    ]
+    # plant near-duplicates so the expected output is non-trivially sized
+    texts += [t + " w0" for t in texts[:20]]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = (
+        jaccard_join(
+            ray.data.from_pandas(docs).repartition(9),
+            threshold_milli=700,
+            num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        jaccard_join_serial(docs, threshold_milli=700)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["a", "b", "jac_milli"]], want)
