@@ -1878,6 +1878,25 @@ def q_emb_allpairs_sim(sf_dir):
     )
 
 
+def q_emb_quantize_sq(sf_dir):
+    """SQ8 scalar quantization of the embedding corpus (datapipe/
+    quantize.py): per-dim global min/max (one streaming pass → 2·d
+    driver floats), then vectorized per-batch coding with the range
+    broadcast once via ray.put. Surfaced as (vec_id, md5 of the code
+    CSV, code sum) — both sides of the oracle evaluate the identical
+    float64 expression tree, so the uint8 codes are bit-exact vs
+    DuckDB."""
+    from everythinggraph_ray.datapipe.quantize import sq8_quantize
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return _typed_collect(
+        sq8_quantize(emb),
+        {"vec_id": "int64", "code_md5": "object", "code_sum": "int64"},
+    )
+
+
 JACCARD_JOIN_MILLI = 500
 
 
@@ -5615,6 +5634,18 @@ ORACLES["emb_allpairs_sim"] = (
     "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"
 )
 
+# SQ8: identical float64 expression tree on both sides → bit-exact codes
+ORACLES["emb_quantize_sq"] = (
+    "WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val, "
+    "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+    "mm AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim), "
+    "codes AS (SELECT vec_id, v.dim, CASE WHEN mx = mn THEN 0 "
+    "ELSE CAST(least(greatest(floor((val - mn) * 255 / (mx - mn)), 0), 255) AS BIGINT) "
+    "END AS code FROM v JOIN mm ON mm.dim = v.dim) "
+    "SELECT vec_id, md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS code_md5, "
+    "CAST(sum(code) AS BIGINT) AS code_sum FROM codes GROUP BY vec_id"
+)
+
 # exact Jaccard self-join: the quadratic spec of the prefix-filtered
 # distributed join — all integers, so the threshold and similarity agree
 # bit-for-bit with the Ray side
@@ -5864,6 +5895,7 @@ QUERIES = {
     "emb_allpairs_sim": q_emb_allpairs_sim,
     "emb_sim_clusters": q_emb_sim_clusters,
     "docs_jaccard_join": q_docs_jaccard_join,
+    "emb_quantize_sq": q_emb_quantize_sq,
     "docs_minhash_md5": q_docs_minhash_md5,
     "docs_candidate_starred": q_docs_candidate_starred,
     "multimodal_features": q_multimodal_features,

@@ -948,3 +948,40 @@ def test_jaccard_join_partition_invariance():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["a", "b", "jac_milli"]], want)
+
+
+def test_sq8_quantize_partition_invariant_and_exact():
+    from everythinggraph_ray.datapipe.quantize import sq8_minmax, sq8_quantize
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(64, 8)).astype(np.float32)
+    mat[:, 3] = 1.25  # constant dim -> code 0
+    df = pd.DataFrame(
+        {"vec_id": np.arange(64, dtype=np.int64), "embedding": list(mat)}
+    )
+    ds = ray.data.from_pandas(df)
+    mn, mx = sq8_minmax(ds)
+    assert np.allclose(mn, mat.astype(np.float64).min(axis=0))
+    assert np.allclose(mx, mat.astype(np.float64).max(axis=0))
+    got = sq8_quantize(ds).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # serial reference: same expression tree
+    m = mat.astype(np.float64)
+    span = mx - mn
+    codes = np.floor((m - mn) * 255.0 / np.where(span == 0, 1, span))
+    codes = np.where(span == 0, 0.0, codes)
+    codes = np.clip(codes, 0, 255).astype(np.int64)
+    import hashlib as _h
+
+    want_md5 = [
+        _h.md5(",".join(str(c) for c in row).encode()).hexdigest() for row in codes
+    ]
+    assert got["code_md5"].tolist() == want_md5
+    assert got["code_sum"].tolist() == codes.sum(axis=1).tolist()
+    # partition invariance: min/max and codes are order-free
+    got2 = (
+        sq8_quantize(ds.repartition(7))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got2["code_md5"].tolist() == want_md5
