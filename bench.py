@@ -292,6 +292,14 @@ def full_suite() -> dict:
     out["events_transitions"] = _best_of(
         lambda: Q.q_events_transitions(SF_DIR).to_pandas()
     )
+    # round-3 session-4 batch: the exact prefix-filtered set-similarity
+    # join (barrier-dominated at this sf — six sequential bucketed
+    # stages; amortizes with corpus size like docs_minhash) and the SQ8
+    # embedding quantizer (two streaming passes)
+    out["docs_jaccard_join"] = _best_of(
+        lambda: Q.q_docs_jaccard_join(SF_DIR)
+    )
+    out["emb_quantize_sq"] = _best_of(lambda: Q.q_emb_quantize_sq(SF_DIR))
 
     out = {k: round(v, 3) for k, v in out.items()}
     return {"queries": out, "extra": extra}

@@ -498,3 +498,113 @@ def local_clustering(
         )
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def four_cycle_count(edges: ray.data.Dataset) -> int:
+    """Exact (non-induced) 4-cycle count: C4 = (1/2) Σ_{a<b} C(w(a,b), 2)
+    where w(a,b) = common neighbors of the unordered pair — every cycle
+    a–x–b–y is counted once by its (a,b) diagonal and once by (x,y),
+    hence the final halve (all-integer, exact).
+
+    Shape: symmetric adjacency rows bucket by MIDPOINT; each bucket
+    emits canonical (a<b) co-neighbor pairs with run-length counts (the
+    triangle family's packed-key combiner reused), one bucketed sum
+    gives w per pair, and Σ C(w,2) folds per batch. Work is Σ deg(m)²
+    wedges — the classical common-neighbor bound; at web scale split
+    chronic hub midpoints upstream (the triangle orientation trick does
+    NOT apply here: the diagonal pair needs ALL midpoints, ordered or
+    not)."""
+    from everythinggraph_ray.stages.agg import sum_by_key, sum_by_key_pair
+
+    und = _canonical_undirected(edges).materialize()  # consumed 1-2x below
+    mx = und.max("dst") if und.count() else None
+    if mx is None:
+        return 0
+    packed = int(mx) < (1 << 31)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array(np.concatenate([a, b]), pa.int64()),
+                "n": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    rows = und.map_batches(sym, batch_format="pyarrow")
+
+    def mid_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["m"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def _emit(g: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        m = g["m"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((n, m))  # per midpoint: neighbors vid-ascending ⇒ a<b canonical
+        m, n = m[o], n[o]
+        st = np.flatnonzero(np.r_[True, m[1:] != m[:-1]]) if len(m) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(m)] if len(st) else st
+        a_out, b_out = [], []
+        for s, e in zip(st, ends):
+            nb = n[s:e]
+            if len(nb) >= 2:
+                i, j = np.triu_indices(len(nb), k=1)
+                a_out.append(nb[i])
+                b_out.append(nb[j])
+        if not a_out:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(a_out), np.concatenate(b_out)
+
+    if packed:
+
+        def emit_pairs(g: pa.Table) -> pa.Table:
+            wa, wb = _emit(g)
+            key = np.sort((wa << np.int64(31)) | wb)
+            st = (
+                np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+                if len(key)
+                else np.empty(0, np.int64)
+            )
+            cnt = np.diff(np.r_[st, len(key)]) if len(st) else np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(key[st] if len(key) else key, pa.int64()),
+                    "w": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        pair_partials = bucketed_reduce(rows, mid_bucket, emit_pairs)
+        w = sum_by_key(pair_partials, "key", ["w"])
+    else:
+
+        def emit_pairs2(g: pa.Table) -> pa.Table:
+            wa, wb = _emit(g)
+            if not len(wa):
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64()),
+                    }
+                )
+            o = np.lexsort((wb, wa))
+            wa, wb = wa[o], wb[o]
+            st = np.flatnonzero(np.r_[True, (wa[1:] != wa[:-1]) | (wb[1:] != wb[:-1])])
+            cnt = np.diff(np.r_[st, len(wa)])
+            return pa.table(
+                {
+                    "a": pa.array(wa[st], pa.int64()),
+                    "b": pa.array(wb[st], pa.int64()),
+                    "w": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        pair_partials = bucketed_reduce(rows, mid_bucket, emit_pairs2)
+        w = sum_by_key_pair(pair_partials, "a", "b", ["w"])
+
+    def choose2(batch: pa.Table) -> pa.Table:
+        c = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int((c * (c - 1) // 2).sum())], pa.int64())})
+
+    total = w.map_batches(choose2, batch_format="pyarrow").sum("s")
+    return int(total or 0) // 2

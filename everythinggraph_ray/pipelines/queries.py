@@ -1181,6 +1181,17 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_rel_4cycles(sf_dir):
+    """Exact non-induced 4-cycle count via the diagonal-pair identity
+    C4 = (1/2)·Σ_{a<b} C(common_nbrs(a,b), 2) — midpoint-bucketed wedge
+    emit with run-length combiner, one bucketed pair sum, all integers
+    (graph/triangles.py four_cycle_count)."""
+    from everythinggraph_ray.graph.triangles import four_cycle_count
+
+    n = four_cycle_count(rel_edges(sf_dir))
+    return pa.table({"c4": pa.array([n], pa.int64())})
+
+
 def _anf_run(sf_dir):
     from everythinggraph_ray.graph.kernels import ANFKernel
 
@@ -5105,6 +5116,17 @@ ORACLES: dict[str, str] = {
         "SELECT count(*) AS n_triangles FROM und a "
         "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v"
     ),
+    # 4-cycles: the diagonal-pair identity — every cycle a–x–b–y is
+    # counted by both its diagonals, hence the integer halve
+    "rel_4cycles": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e "
+        "WHERE src <> dst), "
+        "sym AS (SELECT a AS m, b AS n FROM und UNION ALL SELECT b AS m, a AS n FROM und), "
+        "w AS (SELECT x.n AS a, y.n AS b, count(*) AS w FROM sym x "
+        "JOIN sym y ON x.m = y.m AND x.n < y.n GROUP BY x.n, y.n) "
+        "SELECT CAST(sum(w * (w - 1) // 2) // 2 AS BIGINT) AS c4 FROM w"
+    ),
     # per-vertex triangles: each x<y<z triangle credits its 3 corners;
     # lcc = tri / (deg*(deg-1)//2) is one int/int IEEE division (exact
     # on both sides — no rounding needed)
@@ -5868,6 +5890,7 @@ QUERIES = {
     "rel_dag_depth": q_rel_dag_depth,
     "rel_msf": q_rel_msf,
     "rel_triangles": q_rel_triangles,
+    "rel_4cycles": q_rel_4cycles,
     "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,
     "web_edges": q_web_edges,

@@ -97,3 +97,40 @@ def test_sampled_triangle_estimate_accuracy(tmp_path):
     # p=1/2 on a dense graph: estimate within 40% (fixed sample, no flake)
     assert abs(est["estimate"] - exact) / exact < 0.4
     assert est["estimate"] == est["tri_sampled"] * 8
+
+
+def test_four_cycles_matches_bruteforce():
+    """four_cycle_count == O(V^4)-free serial reference (common-neighbor
+    matrix identity) on random graphs, including the packed and the
+    63-bit (two-column) pair paths."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.triangles import four_cycle_count
+
+    rng = np.random.default_rng(17)
+    for n_v, big_vids in ((40, False), (30, True)):
+        sv = rng.integers(0, n_v, 500).astype(np.int64)
+        dv = rng.integers(0, n_v, 500).astype(np.int64)
+        if big_vids:  # force the non-packed path: 63-bit vid offsets
+            off = np.int64(1) << np.int64(40)
+            sv, dv = sv + off, dv + off
+        ds = ray.data.from_arrow(
+            pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+        )
+        got = four_cycle_count(ds)
+
+        # serial: adjacency matrix A, W = A@A common-neighbor counts
+        ids = np.unique(np.concatenate([sv, dv]))
+        idx = {int(x): i for i, x in enumerate(ids)}
+        A = np.zeros((len(ids), len(ids)), dtype=np.int64)
+        for s, d in zip(sv, dv):
+            if s != d:
+                A[idx[int(s)], idx[int(d)]] = 1
+                A[idx[int(d)], idx[int(s)]] = 1
+        W = A @ A
+        iu = np.triu_indices(len(ids), k=1)
+        w = W[iu]
+        want = int((w * (w - 1) // 2).sum()) // 2
+        assert got == want and want > 0
