@@ -3978,6 +3978,80 @@ def q_events_value_quantiles(sf_dir):
     )
 
 
+BPE_MERGES = 8
+
+
+def q_docs_bpe_merges(sf_dir):
+    """BPE tokenizer TRAINING (datapipe/bpe.py): learn the first 8
+    merges over the corpus — corpus read once into a word-frequency
+    vocabulary, then each merge step is one bucketed pair sum + a
+    distributed argmax (two strings to the driver) + a vocabulary
+    rewrite. Rows-only (iterative rewriting has no SQL form); exactness
+    vs the serial dict reference is pytest-checked."""
+    from everythinggraph_ray.datapipe.bpe import bpe_train
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    df = bpe_train(docs, n_merges=BPE_MERGES)
+    return df.astype(
+        {"rank": "int64", "left": "object", "right": "object", "pair_count": "int64"}
+    )
+
+
+def q_events_conversion_quantiles(sf_dir):
+    """Conversion-latency percentiles: per user, the first 'view' and the
+    first 'purchase' at-or-after it; p50/p90/p99 of the exact integer
+    microsecond delta across converting users. One user-bucketed
+    co-group computes the per-user funnel delta vectorized (two
+    groupby-mins + one merge per bucket), then the distributed
+    value-histogram quantile aggregate finishes — never a global sort,
+    never per-user driver state."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, grouped_quantiles, mix64
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def pare(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "is_p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int8()),
+            }
+        )
+
+    rows = ev.map_batches(pare, batch_format="pyarrow")
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(
+            batch["user_id"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        views = df[df["is_p"] == 0].groupby("user_id")["ts"].min().rename("vts")
+        purch = df[df["is_p"] == 1].merge(
+            views, left_on="user_id", right_index=True
+        )
+        purch = purch[purch["ts"] >= purch["vts"]]
+        if not len(purch):
+            return pa.table({"delta_us": pa.array([], pa.int64())})
+        fp = purch.groupby("user_id").agg(pts=("ts", "min"), vts=("vts", "first"))
+        delta = (fp["pts"] - fp["vts"]).to_numpy().astype("timedelta64[us]")
+        return pa.table(
+            {"delta_us": pa.array(delta.astype(np.int64), pa.int64())}
+        )
+
+    deltas = bucketed_reduce(rows, bucket_of, red)
+    return grouped_quantiles(deltas, "delta_us", [0.5, 0.9, 0.99])
+
+
 def q_docs_rank_corr(sf_dir):
     """Per-language Spearman rank agreement between document LENGTH and
     QUALITY, as exact integers: both signals rank through the distributed
@@ -5656,6 +5730,21 @@ ORACLES["emb_allpairs_sim"] = (
     "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"
 )
 
+# conversion latency: exact integer microsecond deltas; quantile_disc
+# == grouped_quantiles' ceil(q*n)-1 pick
+ORACLES["events_conversion_quantiles"] = (
+    "WITH fv AS (SELECT user_id, min(ts) AS vts FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "fp AS (SELECT e.user_id, min(e.ts) AS pts FROM events e "
+    "JOIN fv ON fv.user_id = e.user_id AND e.ts >= fv.vts "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+    "d AS (SELECT CAST(date_diff('microsecond', fv.vts, fp.pts) AS BIGINT) AS delta_us "
+    "FROM fv JOIN fp ON fp.user_id = fv.user_id) "
+    "SELECT CAST(quantile_disc(delta_us, 0.5) AS BIGINT) AS p50, "
+    "CAST(quantile_disc(delta_us, 0.9) AS BIGINT) AS p90, "
+    "CAST(quantile_disc(delta_us, 0.99) AS BIGINT) AS p99 FROM d"
+)
+
 # SQ8: identical float64 expression tree on both sides → bit-exact codes
 ORACLES["emb_quantize_sq"] = (
     "WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val, "
@@ -5974,6 +6063,8 @@ QUERIES = {
     "rel_avg_nbr_degree": q_rel_avg_nbr_degree,
     "rel_modularity": q_rel_modularity,
     "events_transitions": q_events_transitions,
+    "events_conversion_quantiles": q_events_conversion_quantiles,
+    "docs_bpe_merges": q_docs_bpe_merges,
     "docs_len_rank": q_docs_len_rank,
     "rel_pagerank_warm": q_rel_pagerank_warm,
     "docs_rank_corr": q_docs_rank_corr,

@@ -985,3 +985,33 @@ def test_sq8_quantize_partition_invariant_and_exact():
         .reset_index(drop=True)
     )
     assert got2["code_md5"].tolist() == want_md5
+
+
+def test_bpe_train_matches_serial_reference():
+    from everythinggraph_ray.datapipe.bpe import bpe_train, bpe_train_serial
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "the the the them theme",
+    ] * 3
+    ds = _docs_ds(texts)
+    got = bpe_train(ds, n_merges=6)
+    want = bpe_train_serial(texts, n_merges=6)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 6
+    # merges compose: a later merge may consume an earlier merged symbol
+    syms = set(got["left"]).union(got["right"])
+    assert any(len(s) > 1 for s in syms)
+
+
+def test_bpe_train_partition_invariant():
+    from everythinggraph_ray.datapipe.bpe import bpe_train, bpe_train_serial
+
+    rng = np.random.default_rng(23)
+    words = ["alpha", "alphabet", "beta", "betamax", "gamma", "gam"]
+    texts = [" ".join(rng.choice(words, size=12)) for _ in range(40)]
+    got = bpe_train(_docs_ds(texts).repartition(7), n_merges=5)
+    want = bpe_train_serial(texts, n_merges=5)
+    pd.testing.assert_frame_equal(got, want)
