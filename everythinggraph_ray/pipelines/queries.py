@@ -1418,6 +1418,19 @@ def q_rel_widest(sf_dir):
     return out
 
 
+def q_rel_louvain(sf_dir):
+    """One-level Louvain community detection (graph/community.py):
+    synchronous parity-scheduled greedy modularity moves with
+    all-integer gain scores — 3 rounds over the simple undirected
+    graph. Rows-only (iterative argmax rewiring has no SQL form);
+    serial-rule equality and modularity-improvement are
+    pytest-checked."""
+    from everythinggraph_ray.graph.community import louvain_one_level
+
+    out = louvain_one_level(rel_edges(sf_dir), n_rounds=3)
+    return _typed_collect(out, {"vid": "int64", "community": "int64"})
+
+
 def q_rel_dag_depth(sf_dir):
     """Longest-path depth over the degree-orientation DAG (triangle
     counting's orientation reused as a first-class DAG source): orient
@@ -5977,6 +5990,7 @@ QUERIES = {
     "rel_sssp_weighted": q_rel_sssp_weighted,
     "rel_widest": q_rel_widest,
     "rel_dag_depth": q_rel_dag_depth,
+    "rel_louvain": q_rel_louvain,
     "rel_msf": q_rel_msf,
     "rel_triangles": q_rel_triangles,
     "rel_4cycles": q_rel_4cycles,
