@@ -1902,6 +1902,43 @@ def q_emb_allpairs_sim(sf_dir):
     )
 
 
+def q_emb_dim_recall(sf_dir):
+    """Truncated-dimension recall eval (the Matryoshka-embeddings
+    question: how much ANN recall survives halving the vector?): for the
+    KNN_QUERIES smallest vec_ids, exact top-10 by FULL-dim cosine vs
+    top-10 by FIRST-HALF-dim cosine, reported as the per-query overlap
+    count. Both sides are the broadcast-matmul brute-force path; the
+    truncation is a per-batch arrow slice. Integer overlaps → full hash
+    parity."""
+    from everythinggraph_ray.datapipe.knn import knn_bruteforce, smallest_ids
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
+    full = knn_bruteforce(emb, ids, k=KNN_K)
+
+    def halve(batch: pa.Table) -> pa.Table:
+        vecs = [v[: len(v) // 2] for v in batch["embedding"].to_pylist()]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.array(vecs, batch["embedding"].type),
+            }
+        )
+
+    half = knn_bruteforce(
+        emb.map_batches(halve, batch_format="pyarrow"), ids, k=KNN_K
+    )
+    m = full.merge(half, on=["query_id", "neighbor_id"], how="left", suffixes=("", "_h"))
+    out = (
+        m.groupby("query_id", as_index=False)
+        .agg(n_overlap=("rank_h", "count"))
+        .astype({"query_id": "int64", "n_overlap": "int64"})
+    )
+    return out[["query_id", "n_overlap"]]
+
+
 def q_emb_quantize_sq(sf_dir):
     """SQ8 scalar quantization of the embedding corpus (datapipe/
     quantize.py): per-dim global min/max (one streaming pass → 2·d
@@ -5758,6 +5795,25 @@ ORACLES["events_conversion_quantiles"] = (
     "CAST(quantile_disc(delta_us, 0.99) AS BIGINT) AS p99 FROM d"
 )
 
+# truncated-dim recall: the two rank tables share knn_top10's idiom;
+# half-dim = list slice [1:len//2]; overlap = LEFT-join count per query
+ORACLES["emb_dim_recall"] = (
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id "
+    f"LIMIT {KNN_QUERIES}), "
+    "full_r AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, "
+    f"e.vec_id) AS rank FROM q, embeddings e WHERE e.vec_id <> q.vec_id QUALIFY rank <= {KNN_K}), "
+    "half_r AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "list_cosine_similarity(CAST(q.embedding[1:len(q.embedding)//2] AS DOUBLE[]), "
+    "CAST(e.embedding[1:len(e.embedding)//2] AS DOUBLE[])) DESC, "
+    f"e.vec_id) AS rank FROM q, embeddings e WHERE e.vec_id <> q.vec_id QUALIFY rank <= {KNN_K}) "
+    "SELECT f.query_id, CAST(count(h.neighbor_id) AS BIGINT) AS n_overlap "
+    "FROM full_r f LEFT JOIN half_r h ON h.query_id = f.query_id "
+    "AND h.neighbor_id = f.neighbor_id GROUP BY f.query_id"
+)
+
 # SQ8: identical float64 expression tree on both sides → bit-exact codes
 ORACLES["emb_quantize_sq"] = (
     "WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val, "
@@ -6022,6 +6078,7 @@ QUERIES = {
     "emb_sim_clusters": q_emb_sim_clusters,
     "docs_jaccard_join": q_docs_jaccard_join,
     "emb_quantize_sq": q_emb_quantize_sq,
+    "emb_dim_recall": q_emb_dim_recall,
     "docs_minhash_md5": q_docs_minhash_md5,
     "docs_candidate_starred": q_docs_candidate_starred,
     "multimodal_features": q_multimodal_features,
