@@ -4102,6 +4102,32 @@ def q_events_conversion_quantiles(sf_dir):
     return grouped_quantiles(deltas, "delta_us", [0.5, 0.9, 0.99])
 
 
+MARKOV_ITERS = 10
+
+
+def q_events_markov_stationary(sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain:
+    the transitions query's count table row-normalizes into P (|types|²
+    driver floats — the one bounded-size object here), then x ← xP for
+    10 iterations from uniform. The heavy lift is the distributed
+    transition count (user-bucketed lag pairs); the |types|-dim
+    iteration is driver math by design. Rounded to 7 decimals against
+    the unrolled SQL recursion."""
+    counts = q_events_transitions(sf_dir).to_pandas()
+    types = sorted(set(counts["prev_type"]) | set(counts["next_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)), dtype=np.float64)
+    for p_, n_, c in counts.itertuples(index=False):
+        P[idx[p_], idx[n_]] = float(c)
+    P = P / P.sum(axis=1, keepdims=True)  # every type has out-transitions here
+    x = np.full(len(types), 1.0 / len(types), dtype=np.float64)
+    for _ in range(MARKOV_ITERS):
+        x = x @ P
+    return pd.DataFrame(
+        {"event_type": types, "stationary": np.round(x, 7)}
+    ).astype({"event_type": "object", "stationary": "float64"})
+
+
 def q_docs_rank_corr(sf_dir):
     """Per-language Spearman rank agreement between document LENGTH and
     QUALITY, as exact integers: both signals rank through the distributed
@@ -5795,6 +5821,37 @@ ORACLES["events_conversion_quantiles"] = (
     "CAST(quantile_disc(delta_us, 0.99) AS BIGINT) AS p99 FROM d"
 )
 
+# Markov stationary: P from the transitions oracle, 10 unrolled xP
+# levels (each xK referenced once; p/types MATERIALIZED — referenced by
+# every level)
+def _markov_stationary_sql() -> str:
+    ctes = [
+        "s AS (SELECT event_type, LAG(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)",
+        "cnt AS (SELECT prev AS a, event_type AS b, count(*) AS c FROM s "
+        "WHERE prev IS NOT NULL GROUP BY prev, event_type)",
+        "rt AS (SELECT a, sum(c) AS tot FROM cnt GROUP BY a)",
+        "p AS MATERIALIZED (SELECT cnt.a, cnt.b, cnt.c / rt.tot AS prob "
+        "FROM cnt JOIN rt ON rt.a = cnt.a)",
+        "types AS MATERIALIZED (SELECT DISTINCT a AS t FROM cnt "
+        "UNION SELECT DISTINCT b AS t FROM cnt)",
+        "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM types)",
+        "x0 AS (SELECT t, (SELECT 1.0/n FROM nt) AS val FROM types)",
+    ]
+    for k in range(1, MARKOV_ITERS + 1):
+        ctes.append(
+            f"x{k} AS (SELECT p.b AS t, sum(x.val * p.prob) AS val "
+            f"FROM x{k-1} x JOIN p ON p.a = x.t GROUP BY p.b)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT t AS event_type, round(val, 7) AS stationary FROM x{MARKOV_ITERS}"
+    )
+
+
+ORACLES["events_markov_stationary"] = _markov_stationary_sql()
+
 # truncated-dim recall: the two rank tables share knn_top10's idiom;
 # half-dim = list slice [1:len//2]; overlap = LEFT-join count per query
 ORACLES["emb_dim_recall"] = (
@@ -6135,6 +6192,7 @@ QUERIES = {
     "rel_modularity": q_rel_modularity,
     "events_transitions": q_events_transitions,
     "events_conversion_quantiles": q_events_conversion_quantiles,
+    "events_markov_stationary": q_events_markov_stationary,
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_len_rank": q_docs_len_rank,
     "rel_pagerank_warm": q_rel_pagerank_warm,
