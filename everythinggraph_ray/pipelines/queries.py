@@ -1598,11 +1598,10 @@ def q_web_curation(sf_dir):
     return pa.table({c: pa.array([tot[c]], pa.int64()) for c in ("n_pages", "n_quality", "n_unique")})
 
 
-def q_web_top_per_domain(sf_dir):
-    """Composed: PageRank over the web graph, then the top-3 pages per
-    DOMAIN by rank (grouped top-k over a rank⋈url co-group — the corpus
-    curation 'best pages per site' shape). Rows-only check; grouped_top_k
-    exactness is pytest-covered."""
+def _web_rank_domain_table(sf_dir):
+    """Shared head of the per-domain web queries: PageRank over the web
+    graph joined to (url → domain) via a vid-bucketed co-group. Returns
+    a Dataset (vid, domain, pagerank rounded 1e-8)."""
     from urllib.parse import urlsplit
 
     from everythinggraph_ray.hashing import urls_to_vids
@@ -1662,9 +1661,62 @@ def q_web_top_per_domain(sf_dir):
             }
         )
 
-    joined = bucketed_reduce(unioned, by_vid, join)
+    return bucketed_reduce(unioned, by_vid, join)
+
+
+def q_web_top_per_domain(sf_dir):
+    """Composed: PageRank over the web graph, then the top-3 pages per
+    DOMAIN by rank (grouped top-k over a rank⋈url co-group — the corpus
+    curation 'best pages per site' shape). Rows-only check; grouped_top_k
+    exactness is pytest-covered."""
+    from everythinggraph_ray.stages.agg import grouped_top_k
+
+    joined = _web_rank_domain_table(sf_dir)
     return grouped_top_k(
         joined, "domain", [("pagerank", False), ("vid", True)], 3, rank_col="rk"
+    )
+
+
+def q_web_crawl_schedule(sf_dir):
+    """Politeness-scheduled recrawl frontier: EVERY page ranked within
+    its host by PageRank (desc, vid tiebreak) through the distributed
+    window primitive — slot k means "fetch in wave k" (one page per
+    host per wave), the crawl-scheduling shape a link-graph tier runs
+    daily. Unlike web_top_per_domain's top-3 head, this ranks every row
+    of unbounded host groups (grouped_row_number: range-partitioned
+    rank, no worker holds a whole host). Rows-only check (url-hash
+    vids); the window primitive's exactness is pytest/SQL-covered via
+    docs_len_rank."""
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    joined = _web_rank_domain_table(sf_dir)
+
+    def to_int_order(batch: pa.Table) -> pa.Table:
+        pr = batch["pagerank"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch["vid"],
+                "domain": batch["domain"],
+                # rank on the NEGATED nano-grid so ascending rank = best
+                # first (the window primitive's integer-order contract)
+                "neg_pr_nano": pa.array(
+                    (-np.floor(pr * 1e9)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranked = grouped_row_number(
+        joined.map_batches(to_int_order, batch_format="pyarrow"),
+        "domain",
+        "neg_pr_nano",
+        "vid",
+        rank_col="slot",
+    )
+    return ranked.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "domain": t["domain"], "slot": t["slot"]}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -6117,6 +6169,7 @@ QUERIES = {
     "web_hits": q_web_hits,
     "web_kcore": q_web_kcore,
     "web_top_per_domain": q_web_top_per_domain,
+    "web_crawl_schedule": q_web_crawl_schedule,
     "web_curation": q_web_curation,
     "doc_stats": q_doc_stats,
     "docs_exact_dedup": q_docs_exact_dedup,
