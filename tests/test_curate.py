@@ -604,3 +604,24 @@ def test_hash_join_exact_at_63bit_keys():
     assert set(t["k"]) == set(base)
     assert all(v is None or v == k * 2 + 1 for k, v in zip(t["k"], t["val"]))
     assert sum(v is not None for v in t["val"]) == len(kset)
+
+
+def test_web_crawl_schedule_slot_semantics():
+    """Per-host slots are exactly 1..n_host (unique, contiguous), and
+    slot 1 of each host is its top-PageRank page (matches
+    web_top_per_domain's rank-1 rows)."""
+    from everythinggraph_ray.pipelines.queries import (
+        q_web_crawl_schedule,
+        q_web_top_per_domain,
+    )
+
+    df = q_web_crawl_schedule("/root/testdata/sf0.001").to_pandas()
+    g = df.groupby("domain")["slot"]
+    assert (g.min() == 1).all()
+    assert (g.max() == g.count()).all()
+    assert g.apply(lambda s: s.is_unique).all()
+
+    top = q_web_top_per_domain("/root/testdata/sf0.001").to_pandas()
+    want_first = top[top["rk"] == 1].set_index("domain")["vid"].to_dict()
+    got_first = df[df["slot"] == 1].set_index("domain")["vid"].to_dict()
+    assert got_first == want_first
