@@ -61,6 +61,9 @@ OPS = [
     "upsert",
     "rank",
     "dd-quantiles",
+    "jaccard-join",
+    "bpe-train",
+    "sq8",
 ]
 
 
@@ -99,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--value-col", default="value", help="dd-quantiles: float value column")
     p.add_argument("--quantiles", default="0.5,0.95,0.99", help="dd-quantiles: comma list in (0,1]")
     p.add_argument("--alpha", type=float, default=0.01, help="dd-quantiles: relative error bound")
+    p.add_argument("--threshold-milli", type=int, default=500, help="jaccard-join: integer tau*1000")
+    p.add_argument("--n-merges", type=int, default=8, help="bpe-train: merges to learn")
     args = p.parse_args(argv)
 
     import ray
@@ -182,6 +187,18 @@ def _run(args) -> int:
             num_shards=args.shards or 16,
         )
         print(json.dumps({"op": "upsert", "out": args.out, "shards_touched": len(touched), "rows": int(sum(touched.values()))}))
+        return 0
+
+    if args.op == "sq8":
+        if not args.embeddings:
+            print("error: sq8 needs --embeddings", file=sys.stderr)
+            return 2
+        from everythinggraph_ray.datapipe.quantize import sq8_quantize
+
+        emb = ray.data.read_parquet(args.embeddings)
+        res = sq8_quantize(emb, id_col=args.id_col or "vec_id")
+        n = _write(res, args, args.id_col or "vec_id")
+        print(json.dumps({"op": "sq8", "out": args.out, "rows": n}))
         return 0
 
     if args.op in ("knn", "knn-ivf", "knn-lsh", "emb-near-dup"):
@@ -269,6 +286,16 @@ def _run(args) -> int:
                 alpha=args.alpha,
                 group_col=args.group_col or None,
             )
+        elif args.op == "jaccard-join":
+            from everythinggraph_ray.datapipe.setjoin import jaccard_join
+
+            res = jaccard_join(
+                docs, threshold_milli=args.threshold_milli, id_col=id_col, text_col=tc
+            )
+        elif args.op == "bpe-train":
+            from everythinggraph_ray.datapipe.bpe import bpe_train
+
+            res = bpe_train(docs, n_merges=args.n_merges, text_col=tc)
         elif args.op == "exact-dedup":
             res = dedup.exact_duplicates(docs, tc)
         elif args.op == "minhash-dedup":

@@ -137,3 +137,27 @@ def test_cli_rank_matches_pandas_window(tmp_path, capsys):
     sizes = back.groupby(["lang", "tile"]).size()
     for lang, grp in sizes.groupby(level=0):
         assert grp.max() - grp.min() <= 1
+
+
+def test_cli_jaccard_join_bpe_sq8(tmp_path, capsys):
+    out = str(tmp_path / "jj")
+    info = _run(
+        ["jaccard-join", "--docs", DOCS, "--out", out, "--threshold-milli", "900"],
+        capsys,
+    )
+    assert info["rows"] > 0
+    back = ray.data.read_parquet(out).to_pandas()
+    assert set(back.columns) == {"a", "b", "jac_milli"}
+    assert (back["jac_milli"] >= 900).all()
+
+    out2 = str(tmp_path / "bpe")
+    info2 = _run(["bpe-train", "--docs", DOCS, "--out", out2, "--n-merges", "4"], capsys)
+    assert info2["rows"] == 4
+    merges = ray.data.read_parquet(out2).to_pandas()
+    assert merges["rank"].tolist() == [0, 1, 2, 3]
+
+    out3 = str(tmp_path / "sq8")
+    info3 = _run(["sq8", "--embeddings", EMB, "--out", out3], capsys)
+    assert info3["rows"] == 500
+    codes = ray.data.read_parquet(out3).to_pandas()
+    assert set(codes.columns) == {"vec_id", "code_md5", "code_sum"}
