@@ -228,3 +228,66 @@ def bpe_train_serial(
         merges.append((rank, l, r, c))
         vocab = {w: (_merge_word(s, l, r), n) for w, (s, n) in vocab.items()}
     return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+
+
+class BPEApplyStage:
+    """Actor-pool merge-table application: the learned merges broadcast
+    once per actor (``__init__``), each batch tokenizes per word with a
+    per-actor word→n_tokens cache (zipfian text → most words hit the
+    cache). Emits (id_col, n_bpe_tokens, n_words)."""
+
+    def __init__(self, merges: list[tuple[str, str]], id_col: str, text_col: str):
+        self.merges = list(merges)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.rx = re.compile(WORD_RE)
+        self._cache: dict[str, int] = {}
+
+    def _word_tokens(self, w: str) -> int:
+        n = self._cache.get(w)
+        if n is None:
+            syms = list(w)
+            for left, right in self.merges:
+                syms = _merge_word(syms, left, right)
+            n = len(syms)
+            if len(self._cache) < 2_000_000:  # bound actor memory
+                self._cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch[self.id_col]
+        n_tok: list[int] = []
+        n_words: list[int] = []
+        for t in pc.utf8_lower(batch[self.text_col]).to_pylist():
+            ws = self.rx.findall(t)
+            n_words.append(len(ws))
+            n_tok.append(sum(self._word_tokens(w) for w in ws))
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        )
+
+
+def bpe_apply(
+    docs: ray.data.Dataset,
+    merges: pd.DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Token counts under a learned merge table — the apply side of
+    bpe_train (train on a sample, apply to the corpus: the production
+    tokenizer split). Stateful actor stage: merges load once per actor."""
+    pairs = list(zip(merges["left"].tolist(), merges["right"].tolist()))
+    return docs.map_batches(
+        BPEApplyStage,
+        fn_constructor_args=(pairs, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

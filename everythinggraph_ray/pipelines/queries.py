@@ -4101,6 +4101,24 @@ def q_docs_bpe_merges(sf_dir):
     )
 
 
+def q_docs_bpe_tokens(sf_dir):
+    """The apply side of BPE (train on the corpus, tokenize the corpus):
+    per-doc token counts under the learned 8-merge table, via the
+    stateful actor stage (merges load once per actor, per-actor word
+    cache — datapipe/bpe.py BPEApplyStage). Rows-only; word-level
+    serial equality is pytest-checked."""
+    from everythinggraph_ray.datapipe.bpe import bpe_apply, bpe_train
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    merges = bpe_train(docs, n_merges=BPE_MERGES)
+    return _typed_collect(
+        bpe_apply(docs, merges),
+        {"doc_id": "int64", "n_bpe_tokens": "int64", "n_words": "int64"},
+    )
+
+
 def q_events_conversion_quantiles(sf_dir):
     """Conversion-latency percentiles: per user, the first 'view' and the
     first 'purchase' at-or-after it; p50/p90/p99 of the exact integer
@@ -6247,6 +6265,7 @@ QUERIES = {
     "events_conversion_quantiles": q_events_conversion_quantiles,
     "events_markov_stationary": q_events_markov_stationary,
     "docs_bpe_merges": q_docs_bpe_merges,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_len_rank": q_docs_len_rank,
     "rel_pagerank_warm": q_rel_pagerank_warm,
     "docs_rank_corr": q_docs_rank_corr,

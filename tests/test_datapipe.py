@@ -1015,3 +1015,42 @@ def test_bpe_train_partition_invariant():
     got = bpe_train(_docs_ds(texts).repartition(7), n_merges=5)
     want = bpe_train_serial(texts, n_merges=5)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_apply_matches_serial_application():
+    from everythinggraph_ray.datapipe.bpe import (
+        _merge_word,
+        bpe_apply,
+        bpe_train,
+        bpe_train_serial,
+    )
+    import re
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    texts = ["low lower lowest low low", "new newer newest new newer"] * 4
+    ds = _docs_ds(texts)
+    merges = bpe_train(ds, n_merges=5)
+    got = (
+        bpe_apply(ds, merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rx = re.compile(WORD_RE)
+    pairs = list(zip(merges["left"], merges["right"]))
+
+    def count(t):
+        n = 0
+        for w in rx.findall(t.lower()):
+            syms = list(w)
+            for l, r in pairs:
+                syms = _merge_word(syms, l, r)
+            n += len(syms)
+        return n
+
+    assert got["n_bpe_tokens"].tolist() == [count(t) for t in texts]
+    assert got["n_words"].tolist() == [len(rx.findall(t.lower())) for t in texts]
+    # merging strictly reduces token counts vs raw chars
+    raw = [sum(len(w) for w in rx.findall(t.lower())) for t in texts]
+    assert all(g < r for g, r in zip(got["n_bpe_tokens"], raw))
