@@ -92,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             "coloring",
             "truss",
             "coarsen",
+            "louvain",
+            "c4",
             "hits",
         ],
     )
@@ -115,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--k", type=int, default=10, help="kcore/truss: k parameter")
     p.add_argument("--groups", type=int, default=64, help="coarsen: number of vertex groups")
+    p.add_argument("--rounds", type=int, default=3, help="louvain: parity move rounds")
     p.add_argument("--katz-alpha", type=float, default=0.01)
     p.add_argument("--katz-beta", type=float, default=1.0)
     p.add_argument(
@@ -246,6 +249,23 @@ def main(argv: list[str] | None = None) -> int:
                 {"kernel": "truss", "k": max(args.k, 3), "rounds": rounds, "out": args.out}
             )
         )
+        return 0
+
+    if args.kernel == "louvain":
+        import os
+
+        from everythinggraph_ray.graph.community import louvain_one_level
+
+        comm = louvain_one_level(edges, n_rounds=args.rounds)
+        comm.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "louvain", "rounds": args.rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "c4":
+        from everythinggraph_ray.graph.triangles import four_cycle_count
+
+        n = four_cycle_count(edges)
+        print(json.dumps({"kernel": "c4", "n_4cycles": n, "out": args.out}))
         return 0
 
     if args.kernel == "coarsen":
