@@ -1054,3 +1054,31 @@ def test_bpe_apply_matches_serial_application():
     # merging strictly reduces token counts vs raw chars
     raw = [sum(len(w) for w in rx.findall(t.lower())) for t in texts]
     assert all(g < r for g, r in zip(got["n_bpe_tokens"], raw))
+
+
+def test_dedup_keep_best_rule_exact():
+    """keep_doc_id is the max-quality (doc_id-asc tiebreak) member of its
+    cluster, n_members matches the cluster table, one row per cluster."""
+    from everythinggraph_ray.pipelines.queries import (
+        q_docs_dedup_keep_best,
+        q_docs_minhash_clusters,
+        q_docs_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = q_docs_dedup_keep_best(sf)
+    clusters = q_docs_minhash_clusters(sf)
+    qual = q_docs_quality(sf).to_pandas()
+    m = clusters.merge(qual, on="doc_id")
+    m["q8"] = np.round(m["quality"].to_numpy(), 8)
+    want = (
+        m.sort_values(["cluster_id", "quality", "doc_id"], ascending=[True, False, True])
+        .groupby("cluster_id", as_index=False)
+        .first()
+    )
+    sizes = m.groupby("cluster_id", as_index=False).size()
+    assert len(kept) == clusters["cluster_id"].nunique()
+    got = kept.sort_values("cluster_id").reset_index(drop=True)
+    assert got["keep_doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["quality"].tolist() == want["q8"].tolist()
+    assert got["n_members"].tolist() == sizes["size"].tolist()
