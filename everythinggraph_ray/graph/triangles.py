@@ -608,3 +608,137 @@ def four_cycle_count(edges: ray.data.Dataset) -> int:
 
     total = w.map_batches(choose2, batch_format="pyarrow").sum("s")
     return int(total or 0) // 2
+
+
+def directed_triad_counts(edges: ray.data.Dataset) -> tuple[int, int]:
+    """(n_transitive, n_cyclic) directed-triangle counts over the
+    DISTINCT directed edge set (self-loops dropped): transitive =
+    tuples a→b→c with the shortcut a→c (each feed-forward triangle has
+    exactly one such labeling), cyclic = closed walks a→b→c→a over
+    distinct vertices, counted once per triangle (the raw rotation
+    count divides by 3). The digraph complement of triangle_count's
+    undirected close: wedges key on the MIDDLE vertex (work is
+    Σ indeg(b)·outdeg(b) — split chronic hubs upstream), partial
+    (a, c) multiplicities combine per bucket, and both closes ride one
+    shared (a, c)-bucketed match against the edge set (forward for
+    transitive, reversed for cyclic)."""
+    from everythinggraph_ray.stages.agg import mix64_pair
+    from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops
+
+    e = dedup_edges(filter_self_loops(edges.select_columns(["src", "dst"]))).materialize()
+
+    # wedges a→b→c: co-locate by middle b (in-rows and out-rows union)
+    def mid_rows(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array(np.concatenate([d, s]), pa.int64()),
+                "v": pa.array(np.concatenate([s, d]), pa.int64()),
+                # 0 = v→b (in-edge of b), 1 = b→v (out-edge of b)
+                "role": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(s), np.int8), np.ones(len(s), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    def mid_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["b"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        a_out: list[np.ndarray] = []
+        c_out: list[np.ndarray] = []
+        for _, grp in df.groupby("b", sort=False):
+            ins = grp[grp["role"] == 0]["v"].to_numpy(np.int64)
+            outs = grp[grp["role"] == 1]["v"].to_numpy(np.int64)
+            if len(ins) and len(outs):
+                A = np.repeat(ins, len(outs))
+                C = np.tile(outs, len(ins))
+                keep = A != C
+                a_out.append(A[keep])
+                c_out.append(C[keep])
+        if not a_out:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(a_out)
+        c = np.concatenate(c_out)
+        o = np.lexsort((c, a))
+        a, c = a[o], c[o]
+        st = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])])
+        cnt = np.diff(np.r_[st, len(a)])
+        return pa.table(
+            {
+                "a": pa.array(a[st], pa.int64()),
+                "c": pa.array(c[st], pa.int64()),
+                "w": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    wedges = bucketed_reduce(
+        e.map_batches(mid_rows, batch_format="pyarrow"), mid_bucket, wedge_pairs
+    )
+
+    # one shared close: wedge rows + forward-edge rows + reverse-edge rows
+    # co-locate by the UNDIRECTED pair key so both matches happen in one pass
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(s, pa.int64()),
+                "c": pa.array(d, pa.int64()),
+                "w": pa.array(np.full(len(s), -1, np.int64), pa.int64()),  # -1 = edge
+            }
+        )
+
+    tagged = wedges.union(e.map_batches(tag_edges, batch_format="pyarrow"))
+
+    def pair_bucket(batch: pa.Table) -> np.ndarray:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        # canonical undirected key: (a,c) and (c,a) co-locate
+        return mix64_pair(np.minimum(a, c), np.maximum(a, c))
+
+    def _match_sum(wa, wc, ww, ea, ec) -> int:
+        """Σ ww over wedge pairs present in the edge pair set — the
+        count_matches lexsort densification (vectorized, 63-bit safe)."""
+        if not len(wa) or not len(ea):
+            return 0
+        alla = np.concatenate([wa, ea])
+        allc = np.concatenate([wc, ec])
+        order = np.lexsort((allc, alla))
+        sa, sc = alla[order], allc[order]
+        gid_sorted = np.r_[0, np.cumsum((sa[1:] != sa[:-1]) | (sc[1:] != sc[:-1]))]
+        ids = np.empty(len(alla), np.int64)
+        ids[order] = gid_sorted
+        wid, eid = ids[: len(wa)], ids[len(wa):]
+        is_edge = np.zeros(int(gid_sorted[-1]) + 1, dtype=bool)
+        is_edge[eid] = True
+        return int(ww[is_edge[wid]].sum())
+
+    def close(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        em = w < 0
+        wa, wc, ww = a[~em], c[~em], w[~em]
+        ea, ec = a[em], c[em]
+        trans = _match_sum(wa, wc, ww, ea, ec)
+        cyc = _match_sum(wa, wc, ww, ec, ea)  # reversed edge direction
+        return pa.table(
+            {"trans": pa.array([trans], pa.int64()), "cyc": pa.array([cyc], pa.int64())}
+        )
+
+    per_bucket = bucketed_reduce(tagged, pair_bucket, close).materialize()
+    n_trans = int(per_bucket.sum("trans") or 0)
+    n_cyc_raw = int(per_bucket.sum("cyc") or 0)
+    return n_trans, n_cyc_raw // 3

@@ -1181,6 +1181,22 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_rel_triad_census(sf_dir):
+    """Directed triad census: transitive (a→b→c with shortcut a→c) vs
+    cyclic (a→b→c→a) triangle counts over the distinct directed edge
+    set — the digraph complement of the undirected triangle close
+    (graph/triangles.py directed_triad_counts). All-integer."""
+    from everythinggraph_ray.graph.triangles import directed_triad_counts
+
+    n_trans, n_cyc = directed_triad_counts(rel_edges(sf_dir))
+    return pa.table(
+        {
+            "n_trans": pa.array([n_trans], pa.int64()),
+            "n_cyclic": pa.array([n_cyc], pa.int64()),
+        }
+    )
+
+
 def q_rel_4cycles(sf_dir):
     """Exact non-induced 4-cycle count via the diagonal-pair identity
     C4 = (1/2)·Σ_{a<b} C(common_nbrs(a,b), 2) — midpoint-bucketed wedge
@@ -5396,6 +5412,15 @@ ORACLES: dict[str, str] = {
         "SELECT count(*) AS n_triangles FROM und a "
         "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v"
     ),
+    # directed triads: transitive tuples are uniquely labeled; cyclic
+    # closed walks count each triangle 3x (rotations), hence // 3
+    "rel_triad_census": (
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES}) WHERE src <> dst), "
+        "w AS (SELECT e1.src AS a, e2.dst AS c FROM e e1 "
+        "JOIN e e2 ON e2.src = e1.dst WHERE e1.src <> e2.dst) "
+        "SELECT CAST((SELECT count(*) FROM w JOIN e ON e.src = w.a AND e.dst = w.c) AS BIGINT) AS n_trans, "
+        "CAST((SELECT count(*) FROM w JOIN e ON e.src = w.c AND e.dst = w.a) AS BIGINT) // 3 AS n_cyclic"
+    ),
     # 4-cycles: the diagonal-pair identity — every cycle a–x–b–y is
     # counted by both its diagonals, hence the integer halve
     "rel_4cycles": (
@@ -6237,6 +6262,7 @@ QUERIES = {
     "rel_msf": q_rel_msf,
     "rel_triangles": q_rel_triangles,
     "rel_4cycles": q_rel_4cycles,
+    "rel_triad_census": q_rel_triad_census,
     "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,
     "web_edges": q_web_edges,

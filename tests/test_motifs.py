@@ -134,3 +134,39 @@ def test_four_cycles_matches_bruteforce():
         w = W[iu]
         want = int((w * (w - 1) // 2).sum()) // 2
         assert got == want and want > 0
+
+
+def test_directed_triads_match_bruteforce():
+    """directed_triad_counts == dense boolean-matrix reference, with
+    reciprocal edges and both the 31-bit and 63-bit vid paths."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from everythinggraph_ray.graph.triangles import directed_triad_counts
+
+    rng = np.random.default_rng(31)
+    for n_v, off in ((30, 0), (25, np.int64(1) << np.int64(40))):
+        sv = rng.integers(0, n_v, 400).astype(np.int64) + off
+        dv = rng.integers(0, n_v, 400).astype(np.int64) + off
+        ds = ray.data.from_arrow(
+            pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+        )
+        got = directed_triad_counts(ds)
+
+        ids = np.unique(np.concatenate([sv, dv]))
+        idx = {int(x): i for i, x in enumerate(ids)}
+        A = np.zeros((len(ids), len(ids)), dtype=bool)
+        for s, d in zip(sv, dv):
+            if s != d:
+                A[idx[int(s)], idx[int(d)]] = True
+        trans = 0
+        cyc3 = 0
+        Ai = A.astype(np.int64)
+        # wedges a->b->c (a != c): W = A@A minus the a==c diagonal walks
+        W = Ai @ Ai
+        np.fill_diagonal(W, 0)
+        trans = int((W * Ai).sum())
+        cyc3 = int((W * Ai.T).sum()) // 3
+        assert got == (trans, cyc3), (got, (trans, cyc3))
+        assert trans > 0 and cyc3 > 0
