@@ -3543,6 +3543,63 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = np.datetime64("1998-06-01")
 
 
+def q_orders_rfm(sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary): one
+    groupby folds orders to per-customer (last order µs, order count,
+    integer-cent spend), then the distributed window primitive assigns
+    NTILE(5) scores per measure (desc, custkey tiebreak) — three
+    range-partitioned rank passes over the customer table, the
+    classic CRM scoring pipeline. All integers → full hash parity."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def pare(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "last_us": pa.array(od, pa.int64()),
+                # floor(x+0.5): DuckDB rounds half away from zero (q5 note)
+                "cents": pa.array(
+                    np.floor(tp * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(pare, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Count(alias_name="n_orders"),
+            Sum("cents", alias_name="total_c"),
+        )
+    )
+    scored = per_cust
+    for measure, col in (("last_us", "r_score"), ("n_orders", "f_score"), ("total_c", "m_score")):
+        scored = grouped_row_number(
+            scored,
+            None,
+            measure,
+            "c_custkey",
+            ascending=False,
+            ntile=5,
+            ntile_col=col,
+            rank_col=f"__rn_{col}",
+        )
+    return scored.map_batches(
+        lambda t: t.select(["c_custkey", "r_score", "f_score", "m_score"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_q3_shipping_priority(sf_dir):
     """TPC-H Q3-lite (shipping priority): top-10 unshipped orders of one
     market segment by revenue. Predicates push to the reads (segment,
@@ -5645,6 +5702,18 @@ ORACLES: dict[str, str] = {
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c2, "
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
+    "orders_rfm": (
+        "WITH c AS (SELECT o_custkey AS c_custkey, "
+        "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', max(o_orderdate)) AS BIGINT) AS last_us, "
+        "count(*) AS n_orders, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT c_custkey, "
+        "CAST(NTILE(5) OVER (ORDER BY last_us DESC, c_custkey) AS BIGINT) AS r_score, "
+        "CAST(NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey) AS BIGINT) AS f_score, "
+        "CAST(NTILE(5) OVER (ORDER BY total_c DESC, c_custkey) AS BIGINT) AS m_score "
+        "FROM c"
+    ),
     "q3_shipping_priority": (
         "SELECT l.l_orderkey AS o_orderkey, "
         "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
@@ -6341,6 +6410,7 @@ QUERIES = {
     "mktsegment_revenue": q_mktsegment_revenue,
     "q5_region_revenue": q_q5_region_revenue,
     "q3_shipping_priority": q_q3_shipping_priority,
+    "orders_rfm": q_orders_rfm,
     "q4_late_orders": q_q4_late_orders,
     "q6_revenue": q_q6_revenue,
     "q18_big_orders": q_q18_big_orders,
