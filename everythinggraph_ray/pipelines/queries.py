@@ -1181,6 +1181,73 @@ def q_rel_triangles(sf_dir):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_rel_two_hop_count(sf_dir):
+    """EXACT 2-hop neighborhood size per vertex over the simple
+    undirected graph — the exact baseline the ANF sketch estimates at
+    h=2 (rel_anf). Midpoint-bucketed wedge emit (Σ deg² work, same
+    contract as rel_4cycles) with per-bucket DISTINCT (v, u) partials,
+    then one bucketed distinct-count keyed by v."""
+    from everythinggraph_ray.graph.triangles import _canonical_undirected
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    und = _canonical_undirected(rel_edges(sf_dir))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array(np.concatenate([a, b]), pa.int64()),
+                "n": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    rows = und.map_batches(sym, batch_format="pyarrow")
+
+    def mid_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["m"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def pairs_1_2hop(g: pa.Table) -> pa.Table:
+        m = g["m"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((n, m))
+        m, n = m[o], n[o]
+        st = np.flatnonzero(np.r_[True, m[1:] != m[:-1]]) if len(m) else np.empty(0, np.int64)
+        ends = np.r_[st[1:], len(m)] if len(st) else st
+        v_out: list[np.ndarray] = []
+        u_out: list[np.ndarray] = []
+        for s, e in zip(st, ends):
+            nb = n[s:e]  # neighbors of midpoint m[s]
+            # 1-hop pairs: (nb_i, m) ride along; 2-hop: (nb_i, nb_j) i≠j
+            v_out.append(nb)
+            u_out.append(np.full(len(nb), m[s], np.int64))
+            if len(nb) >= 2:
+                i, j = np.triu_indices(len(nb), k=1)
+                v_out.extend([nb[i], nb[j]])
+                u_out.extend([nb[j], nb[i]])
+        v = np.concatenate(v_out)
+        u = np.concatenate(u_out)
+        keep = v != u
+        df = pd.DataFrame({"v": v[keep], "u": u[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = bucketed_reduce(rows, mid_bucket, pairs_1_2hop)
+
+    def v_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["v"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        d = g.to_pandas().drop_duplicates().groupby("v", as_index=False).size()
+        return pa.table(
+            {
+                "vid": pa.array(d["v"].to_numpy(np.int64), pa.int64()),
+                "n_2hop": pa.array(d["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(cand, v_bucket, count_distinct)
+
+
 def q_rel_triad_census(sf_dir):
     """Directed triad census: transitive (a→b→c with shortcut a→c) vs
     cyclic (a→b→c→a) triangle counts over the distinct directed edge
@@ -5469,6 +5536,17 @@ ORACLES: dict[str, str] = {
         "SELECT count(*) AS n_triangles FROM und a "
         "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v"
     ),
+    # exact 2-hop neighborhood size (ANF's h=2 exact baseline)
+    "rel_two_hop_count": (
+        f"WITH e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst), "
+        "sym AS (SELECT a AS m, b AS n FROM und UNION ALL SELECT b AS m, a AS n FROM und), "
+        "r AS (SELECT m AS v, n AS u FROM sym "
+        "UNION SELECT s1.n AS v, s2.n AS u FROM sym s1 "
+        "JOIN sym s2 ON s2.m = s1.m WHERE s2.n <> s1.n) "
+        "SELECT v AS vid, CAST(count(*) AS BIGINT) AS n_2hop FROM r GROUP BY v"
+    ),
     # directed triads: transitive tuples are uniquely labeled; cyclic
     # closed walks count each triangle 3x (rotations), hence // 3
     "rel_triad_census": (
@@ -6332,6 +6410,7 @@ QUERIES = {
     "rel_triangles": q_rel_triangles,
     "rel_4cycles": q_rel_4cycles,
     "rel_triad_census": q_rel_triad_census,
+    "rel_two_hop_count": q_rel_two_hop_count,
     "rel_lcc": q_rel_lcc,
     "web_extract_text": q_web_extract_text,
     "web_edges": q_web_edges,
