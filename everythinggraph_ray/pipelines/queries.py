@@ -4372,6 +4372,79 @@ def q_events_conversion_quantiles(sf_dir):
     return grouped_quantiles(deltas, "delta_us", [0.5, 0.9, 0.99])
 
 
+def q_events_audience_overlap(sf_dir):
+    """Audience-overlap matrix: exact Jaccard between the user sets of
+    every event-type pair — the 'do clickers also purchase' audience
+    analysis. One user-bucketed co-group turns each user's distinct
+    type set into per-pair co-occurrence partials (vectorized bitmask
+    dot inside the bucket), tiny |types|² sums finish. All integers →
+    full hash parity."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    types = sorted(
+        ev.groupby("event_type").count().to_pandas()["event_type"].tolist()
+    )
+    t_idx = {t: i for i, t in enumerate(types)}
+    K = len(types)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(
+            batch["user_id"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) & 0x7FFFFFFF
+
+    def pair_partials(g: pa.Table, _idx=t_idx, _k=K) -> pa.Table:
+        df = g.to_pandas().drop_duplicates()
+        df["ti"] = df["event_type"].map(_idx)
+        # per-user indicator matrix (users × types) → co-occurrence M^T M
+        piv = (
+            df.assign(one=1)
+            .pivot_table(index="user_id", columns="ti", values="one", fill_value=0)
+            .reindex(columns=range(_k), fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        co = piv.T @ piv  # diag = per-type user counts, off-diag = overlaps
+        i, j = np.triu_indices(_k, k=1)
+        return pa.table(
+            {
+                "ti": pa.array(np.r_[i, np.arange(_k)], pa.int64()),
+                "tj": pa.array(np.r_[j, np.arange(_k)], pa.int64()),
+                "c": pa.array(np.r_[co[i, j], np.diag(co)], pa.int64()),
+            }
+        )
+
+    partials = bucketed_reduce(ev, bucket_of, pair_partials).to_pandas()
+    co = partials.groupby(["ti", "tj"], as_index=False)["c"].sum()
+    tot = {int(r.ti): int(r.c) for r in co[co["ti"] == co["tj"]].itertuples()}
+    off = co[co["ti"] != co["tj"]]
+    rows = []
+    for r in off.itertuples(index=False):
+        inter = int(r.c)
+        union = tot[int(r.ti)] + tot[int(r.tj)] - inter
+        rows.append(
+            (
+                types[int(r.ti)],
+                types[int(r.tj)],
+                inter,
+                union,
+                (1000 * inter) // union if union else 0,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_common", "n_union", "jac_milli"]
+    ).astype(
+        {
+            "type_a": "object",
+            "type_b": "object",
+            "n_common": "int64",
+            "n_union": "int64",
+            "jac_milli": "int64",
+        }
+    )
+
+
 MARKOV_ITERS = 10
 
 
@@ -6123,6 +6196,19 @@ ORACLES["events_conversion_quantiles"] = (
     "CAST(quantile_disc(delta_us, 0.99) AS BIGINT) AS p99 FROM d"
 )
 
+# audience overlap: distinct (user, type) pairs, exact pair Jaccard
+ORACLES["events_audience_overlap"] = (
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+    "tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type), "
+    "p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c "
+    "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+    "GROUP BY a.event_type, b.event_type) "
+    "SELECT ta AS type_a, tb AS type_b, CAST(c AS BIGINT) AS n_common, "
+    "CAST(na.n + nb.n - c AS BIGINT) AS n_union, "
+    "(1000 * c) // (na.n + nb.n - c) AS jac_milli "
+    "FROM p JOIN tot na ON na.event_type = ta JOIN tot nb ON nb.event_type = tb"
+)
+
 # Markov stationary: P from the transitions oracle, 10 unrolled xP
 # levels (each xK referenced once; p/types MATERIALIZED — referenced by
 # every level)
@@ -6500,6 +6586,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_conversion_quantiles": q_events_conversion_quantiles,
     "events_markov_stationary": q_events_markov_stationary,
+    "events_audience_overlap": q_events_audience_overlap,
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_len_rank": q_docs_len_rank,
