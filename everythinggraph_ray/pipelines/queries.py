@@ -3610,6 +3610,73 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = np.datetime64("1998-06-01")
 
 
+def q_supplier_nation_revenue(sf_dir):
+    """Revenue attributed per SUPPLIER nation (the last untouched
+    input table): nation names ride as a 25-row ray.put broadcast onto
+    suppliers, lineitem ⋈ supplier goes through the distributed
+    bucketed hash_join, integer-cent revenue folds per nation. The
+    supplier-side complement of q5's customer-side chain."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count, Sum
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    nation = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    nmap = _ray.put(
+        dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    )
+
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        m = _ray.get(nmap)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = pd.Series(nk).map(m)
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "n_name": pa.array(names.astype(str), pa.string()),
+            }
+        )
+
+    supp_n = supp.map_batches(attach_nation, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                # floor(x+0.5): the q5 half-away convention
+                "rev_c": pa.array(
+                    np.floor(p * (1.0 - d) * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        supp_n,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        right_cols=["n_name"],
+    )
+    return (
+        j.groupby("n_name")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_items"))
+    )
+
+
 def q_orders_rfm(sf_dir):
     """RFM customer segmentation (recency / frequency / monetary): one
     groupby folds orders to per-customer (last order µs, order count,
@@ -5853,6 +5920,14 @@ ORACLES: dict[str, str] = {
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c2, "
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
+    "supplier_nation_revenue": (
+        "SELECT n.n_name, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_c, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey "
+        "JOIN lineitem l ON l.l_suppkey = s.s_suppkey "
+        "GROUP BY n.n_name"
+    ),
     "orders_rfm": (
         "WITH c AS (SELECT o_custkey AS c_custkey, "
         "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', max(o_orderdate)) AS BIGINT) AS last_us, "
@@ -6576,6 +6651,7 @@ QUERIES = {
     "q5_region_revenue": q_q5_region_revenue,
     "q3_shipping_priority": q_q3_shipping_priority,
     "orders_rfm": q_orders_rfm,
+    "supplier_nation_revenue": q_supplier_nation_revenue,
     "q4_late_orders": q_q4_late_orders,
     "q6_revenue": q_q6_revenue,
     "q18_big_orders": q_q18_big_orders,
