@@ -3677,6 +3677,49 @@ def q_supplier_nation_revenue(sf_dir):
     )
 
 
+def q_part_brand_revenue(sf_dir):
+    """Revenue per part BRAND: lineitem ⋈ part on partkey through the
+    distributed bucketed hash_join (the part dimension scales with SF —
+    big side at 100 TB, so no broadcast), integer-cent revenue + item
+    counts per brand. Completes per-table coverage: every driver table
+    now has a hash-checked consumer."""
+    from ray.data.aggregate import Count, Sum
+
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "rev_c": pa.array(
+                    np.floor(p * (1.0 - d) * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        right_cols=["p_brand"],
+    )
+    return (
+        j.groupby("p_brand")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"), Count(alias_name="n_items"))
+    )
+
+
 def q_orders_rfm(sf_dir):
     """RFM customer segmentation (recency / frequency / monetary): one
     groupby folds orders to per-customer (last order µs, order count,
@@ -5928,6 +5971,13 @@ ORACLES: dict[str, str] = {
         "JOIN lineitem l ON l.l_suppkey = s.s_suppkey "
         "GROUP BY n.n_name"
     ),
+    "part_brand_revenue": (
+        "SELECT p.p_brand, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_c, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey "
+        "GROUP BY p.p_brand"
+    ),
     "orders_rfm": (
         "WITH c AS (SELECT o_custkey AS c_custkey, "
         "CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', max(o_orderdate)) AS BIGINT) AS last_us, "
@@ -6652,6 +6702,7 @@ QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "orders_rfm": q_orders_rfm,
     "supplier_nation_revenue": q_supplier_nation_revenue,
+    "part_brand_revenue": q_part_brand_revenue,
     "q4_late_orders": q_q4_late_orders,
     "q6_revenue": q_q6_revenue,
     "q18_big_orders": q_q18_big_orders,
