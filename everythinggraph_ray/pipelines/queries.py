@@ -1760,6 +1760,121 @@ def q_web_top_per_domain(sf_dir):
     )
 
 
+def q_web_hostrank(sf_dir):
+    """HOST-level link graph + weighted PageRank (domain authority) —
+    the production link-graph-tier product: page→page links contract to
+    (src_host, dst_host, weight = link count), intra-host links drop,
+    and WeightedPageRankKernel runs fixed-10 over the weighted build
+    (rank splits proportionally to inter-host link multiplicity).
+    Host vids are the same stable 63-bit url hash applied to the
+    domain string; names join back through a bucketed co-group.
+    Rows-only (hash vids); serial weighted-PR equality in pytest."""
+    from urllib.parse import urlsplit
+
+    from everythinggraph_ray.graph.kernels import WeightedPageRankKernel
+    from everythinggraph_ray.hashing import urls_to_vids
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, sum_by_key_pair
+    from everythinggraph_ray.stages.extract import dedup_keep_latest, explode_links, extract_pages
+
+    corpus = _corpus_for(sf_dir)
+    url_edges = explode_links(
+        dedup_keep_latest(extract_pages(ray.data.read_parquet(corpus)))
+    )
+
+    def to_host_vids(batch: pa.Table) -> pa.Table:
+        sh = [urlsplit(u).netloc.lower() for u in batch["src_url"].to_pylist()]
+        dh = [urlsplit(u).netloc.lower() for u in batch["dst_url"].to_pylist()]
+        return pa.table(
+            {
+                "src": pa.array(urls_to_vids(pa.array(sh, pa.string())), pa.int64()),
+                "dst": pa.array(urls_to_vids(pa.array(dh, pa.string())), pa.int64()),
+                "w": pa.array(np.ones(len(sh), np.int64), pa.int64()),
+            }
+        )
+
+    hedges = url_edges.map_batches(to_host_vids, batch_format="pyarrow")
+    hedges = hedges.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t["src"].to_numpy(zero_copy_only=False)
+                != t["dst"].to_numpy(zero_copy_only=False),
+                pa.bool_(),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    weighted = sum_by_key_pair(hedges, "src", "dst", ["w"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "weight": pc.cast(t["w"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tag = f"webhost|{corpus}"
+    bdir = build_dir_for(tag, 8)
+    build_graph(weighted, bdir, num_partitions=8, weighted=True)
+    eng = GraphEngine(bdir)
+    try:
+        ranks_ds = eng.run(WeightedPageRankKernel(), n_iters=10)["dataset"].map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "hostrank": pc.round(t["wpagerank"], ndigits=8),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    finally:
+        eng.shutdown()
+
+    # name join stays DISTRIBUTED (hosts scale with the crawl): per-batch
+    # distinct (host_vid, domain) rows, bucketed-dedup, one hash_join
+    def host_rows(batch: pa.Table) -> pa.Table:
+        hosts = sorted({urlsplit(u).netloc.lower() for u in batch["url"].to_pylist()})
+        return pa.table(
+            {
+                "vid": pa.array(
+                    urls_to_vids(pa.array(hosts, pa.string())), pa.int64()
+                ),
+                "domain": pa.array(hosts, pa.string()),
+            }
+        )
+
+    def vid_bucket(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    names = bucketed_reduce(
+        ray.data.read_parquet(corpus, columns=["url"]).map_batches(
+            host_rows, batch_format="pyarrow"
+        ),
+        vid_bucket,
+        lambda g: pa.Table.from_pandas(
+            g.to_pandas().drop_duplicates("vid"), preserve_index=False
+        ),
+    )
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    out = hash_join(ranks_ds, names, on="vid", right_cols=["domain"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": t["vid"],
+                # linked-to but never-crawled hosts carry no name
+                "domain": pc.fill_null(t["domain"], ""),
+                "hostrank": t["hostrank"],
+            }
+        )
+
+    return _typed_collect(
+        out.map_batches(finish, batch_format="pyarrow"),
+        {"vid": "int64", "domain": "object", "hostrank": "float64"},
+    )
+
+
 def q_web_crawl_schedule(sf_dir):
     """Politeness-scheduled recrawl frontier: EVERY page ranked within
     its host by PageRank (desc, vid tiebreak) through the distributed
@@ -6633,6 +6748,7 @@ QUERIES = {
     "web_kcore": q_web_kcore,
     "web_top_per_domain": q_web_top_per_domain,
     "web_crawl_schedule": q_web_crawl_schedule,
+    "web_hostrank": q_web_hostrank,
     "web_curation": q_web_curation,
     "doc_stats": q_doc_stats,
     "docs_exact_dedup": q_docs_exact_dedup,

@@ -625,3 +625,61 @@ def test_web_crawl_schedule_slot_semantics():
     want_first = top[top["rk"] == 1].set_index("domain")["vid"].to_dict()
     got_first = df[df["slot"] == 1].set_index("domain")["vid"].to_dict()
     assert got_first == want_first
+
+
+def test_web_hostrank_matches_serial_weighted_pagerank():
+    """Host-graph contraction + weighted PR == the serial reference:
+    same keep-latest, same link extraction, same host hashing, same
+    weight aggregation, wpagerank_oracle for the 10 iterations."""
+    from urllib.parse import urlsplit
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from everythinggraph_ray.graph.oracle import wpagerank_oracle
+    from everythinggraph_ray.hashing import urls_to_vids
+    from everythinggraph_ray.html import extract_links
+    from everythinggraph_ray.pipelines.queries import _corpus_for, q_web_hostrank
+
+    sf = "/root/testdata/sf0.001"
+    got = q_web_hostrank(sf).sort_values("vid").reset_index(drop=True)
+
+    t = pq.read_table(_corpus_for(sf))
+    df = pd.DataFrame(
+        {
+            "url": t["url"].to_pylist(),
+            "ts": t["warc_ts"].to_pandas(),
+            "html": t["html"].to_pylist(),
+        }
+    )
+    df = df.sort_values("ts").groupby("url", as_index=False).tail(1)
+    sh, dh = [], []
+    for u, h in zip(df["url"], df["html"]):
+        hu = urlsplit(u).netloc.lower()
+        for l in extract_links(h, u):
+            hl = urlsplit(l).netloc.lower()
+            if hu != hl:
+                sh.append(hu)
+                dh.append(hl)
+    import pyarrow as pa
+
+    sv = urls_to_vids(pa.array(sh, pa.string()))
+    dv = urls_to_vids(pa.array(dh, pa.string()))
+    # aggregate multiplicities
+    e = pd.DataFrame({"s": sv, "d": dv}).groupby(["s", "d"], as_index=False).size()
+    vids, ranks = wpagerank_oracle(
+        e["s"].to_numpy(np.int64),
+        e["d"].to_numpy(np.int64),
+        e["size"].to_numpy(np.float64),
+        n_iters=10,
+    )
+    assert np.array_equal(got["vid"].to_numpy(), vids)
+    np.testing.assert_allclose(got["hostrank"].to_numpy(), ranks, rtol=0, atol=1e-7)
+    # crawled hosts carry names; every named domain hashes to its vid
+    named = got[got["domain"] != ""]
+    assert len(named) > 0
+    assert np.array_equal(
+        urls_to_vids(pa.array(named["domain"].tolist(), pa.string())),
+        named["vid"].to_numpy(),
+    )
