@@ -4597,6 +4597,64 @@ def q_events_conversion_quantiles(sf_dir):
     return grouped_quantiles(deltas, "delta_us", [0.5, 0.9, 0.99])
 
 
+RATE_WINDOW_US = 60_000_000  # 60 s
+RATE_FLAG_MIN = 2  # events per window that flags a user (the synthetic
+# streams are sparse: max observed burst is 2, so 2 splits the population)
+
+
+def q_events_rate_flags(sf_dir):
+    """Burst-rate abuse flags: per user, the MAX number of events in any
+    trailing 60 s window (peers at the boundary included — SQL RANGE
+    semantics), flagged when >= 2. One user-bucketed co-group; inside a
+    bucket each user's window counts are two vectorized searchsorted
+    passes over the ts array (never a per-event loop). All integers."""
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(
+            batch["user_id"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df["ts_us"] = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        users_out: list[int] = []
+        maxes: list[int] = []
+        for uid, grp in df.groupby("user_id", sort=False):
+            ts = grp["ts_us"].to_numpy()
+            hi = np.searchsorted(ts, ts, side="right")
+            lo = np.searchsorted(ts, ts - RATE_WINDOW_US, side="left")
+            users_out.append(int(uid))
+            maxes.append(int((hi - lo).max()))
+        return pa.table(
+            {
+                "user_id": pa.array(users_out, pa.int64()),
+                "max_per_min": pa.array(maxes, pa.int64()),
+            }
+        )
+
+    out = bucketed_reduce(ev, bucket_of, red)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = t["max_per_min"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "max_per_min": t["max_per_min"],
+                "flagged": pa.array(
+                    (m >= RATE_FLAG_MIN).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(flag, batch_format="pyarrow")
+
+
 def q_events_audience_overlap(sf_dir):
     """Audience-overlap matrix: exact Jaccard between the user sets of
     every event-type pair — the 'do clickers also purchase' audience
@@ -6436,6 +6494,16 @@ ORACLES["events_conversion_quantiles"] = (
     "CAST(quantile_disc(delta_us, 0.99) AS BIGINT) AS p99 FROM d"
 )
 
+# burst rate: SQL RANGE window (peers included) == the two-searchsorted
+# trailing-window count
+ORACLES["events_rate_flags"] = (
+    "WITH w AS (SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING AND CURRENT ROW) AS cnt FROM events) "
+    "SELECT user_id, CAST(max(cnt) AS BIGINT) AS max_per_min, "
+    f"CAST(max(cnt) >= {RATE_FLAG_MIN} AS BIGINT) AS flagged "
+    "FROM w GROUP BY user_id"
+)
+
 # audience overlap: distinct (user, type) pairs, exact pair Jaccard
 ORACLES["events_audience_overlap"] = (
     "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
@@ -6830,6 +6898,7 @@ QUERIES = {
     "events_conversion_quantiles": q_events_conversion_quantiles,
     "events_markov_stationary": q_events_markov_stationary,
     "events_audience_overlap": q_events_audience_overlap,
+    "events_rate_flags": q_events_rate_flags,
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_len_rank": q_docs_len_rank,
