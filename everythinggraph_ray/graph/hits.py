@@ -37,10 +37,11 @@ import ray.data
 from everythinggraph_ray.graph.engine import _read_part_dir
 
 
-@ray.remote
-class HITSPartition:
+class _HITSPartitionImpl:
     """One HITS partition: in-edge CSC + src-sorted view of the same
-    edges, plus the owned vertices' (auth, hub) state."""
+    edges, plus the owned vertices' (auth, hub) state. (Plain class so
+    SALSA can subclass it; the actor handles are the decorated aliases
+    below.)"""
 
     def __init__(self, pid: int, build_dir: str, meta: dict, filesystem=None):
         self.pid = pid
@@ -185,6 +186,9 @@ class HITSPartition:
         )
 
 
+HITSPartition = ray.remote(_HITSPartitionImpl)
+
+
 def hits(build_dir: str, *, n_iters: int = 10, filesystem=None) -> dict:
     """Run HITS over a ``partition_edges_by='dst'`` build; returns
     {dataset(vid, auth, hub), iterations, metrics, ...}."""
@@ -266,5 +270,223 @@ def hits_serial(src: np.ndarray, dst: np.ndarray, *, n_iters: int = 10):
         raw = np.zeros(n, dtype=np.float64)
         np.add.at(raw, s, auth[d])
         nh = np.sqrt(np.dot(raw, raw))
+        hub = raw / nh if nh > 0 else raw
+    return vids, auth, hub
+
+
+class _SALSAPartitionImpl(_HITSPartitionImpl):
+    """SALSA (Lempel & Moran, WWW'00): HITS's power iteration on the
+    degree-normalized bipartite walk instead of A^T A. Per iteration
+    ``auth[v] = Σ_{u→v} hub[u]/outdeg(u)`` then
+    ``hub[u] = Σ_{u→v} auth[v]/indeg(v)``, each phase L1-normalized (the
+    scores are walk distributions). Same dst-partitioned layout and
+    routing as HITS — the only structural addition is a one-time
+    out-degree exchange (dst-partitioned builds scatter a src's edges
+    across partitions, so outdeg rides the reversed need-list routing
+    once; indeg is local by layout). Edge multiset semantics match HITS
+    (multi-edges count)."""
+
+    def __init__(self, pid: int, build_dir: str, meta: dict, filesystem=None):
+        super().__init__(pid, build_dir, meta, filesystem)
+        # indeg of every owned vid is LOCAL: all in-edges live here.
+        self.indeg = np.zeros(len(self.owned_vids), dtype=np.float64)
+        if len(self.c_red_starts):
+            counts = np.diff(np.r_[self.c_red_starts, self.n_edges])
+            self.indeg[self.c_dst_pos] = counts
+        self.owned_outdeg = np.zeros(len(self.owned_vids), dtype=np.float64)
+        self.src_outdeg = np.ones(len(self.need_srcs), dtype=np.float64)
+
+    # --- one-time out-degree exchange (reuses the hub routing) ---
+    def outdeg_partials(self):
+        """Local edge count per need_src, sliced per owner."""
+        partial = np.zeros(len(self.need_srcs), dtype=np.float64)
+        if len(self.s_red_starts):
+            partial[:] = np.diff(np.r_[self.s_red_starts, self.n_edges])
+        packed = partial[self.recv_perm]
+        out = tuple(
+            packed[self.recv_offsets[q] : self.recv_offsets[q + 1]] for q in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
+
+    def outdeg_accumulate(self, partial_refs) -> None:
+        parts = ray.get(list(partial_refs))
+        for p, vals in enumerate(parts):
+            idx = self.send_idx[p]
+            if len(idx):
+                self.owned_outdeg[idx] += vals
+
+    def publish_outdeg(self):
+        packed = self.owned_outdeg[self.send_cat]
+        out = tuple(
+            packed[self.send_offsets[q] : self.send_offsets[q + 1]] for q in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
+
+    def set_src_outdeg(self, pub_refs) -> None:
+        pubs = ray.get(list(pub_refs))
+        for q, vals in enumerate(pubs):
+            sl = self.recv_perm[self.recv_offsets[q] : self.recv_offsets[q + 1]]
+            self.src_outdeg[sl] = vals
+
+    # --- per-iteration phases (HITS shapes, normalized messages + L1) ---
+    def publish_hub(self):
+        """hub/outdeg for every requester (outdeg > 0 for any requested
+        vid — a vid is requested only if it appears as some edge's src)."""
+        packed = self.hub[self.send_cat] / np.maximum(self.owned_outdeg[self.send_cat], 1.0)
+        out = tuple(
+            packed[self.send_offsets[q] : self.send_offsets[q + 1]] for q in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
+
+    def auth_step(self, pub_refs) -> float:
+        """auth_raw = Σ hub[src]/outdeg(src) per owned dst; returns Σ raw (L1)."""
+        pubs = ray.get(list(pub_refs))
+        for q, vals in enumerate(pubs):
+            sl = self.recv_perm[self.recv_offsets[q] : self.recv_offsets[q + 1]]
+            self.src_vals[sl] = vals
+        raw = np.zeros(len(self.owned_vids), dtype=np.float64)
+        if len(self.c_red_starts):
+            per_edge = self.src_vals[self.c_src_idx]
+            raw[self.c_dst_pos] = np.add.reduceat(per_edge, self.c_red_starts)
+        self.auth = raw
+        return float(raw.sum())
+
+    def hub_partials(self):
+        """Partial Σ auth[dst]/indeg(dst) per src over MY edges."""
+        partial = np.zeros(len(self.need_srcs), dtype=np.float64)
+        if len(self.s_red_starts):
+            per_edge = self.auth[self.s_dst_pos] / np.maximum(self.indeg[self.s_dst_pos], 1.0)
+            partial[:] = np.add.reduceat(per_edge, self.s_red_starts)
+        packed = partial[self.recv_perm]
+        out = tuple(
+            packed[self.recv_offsets[q] : self.recv_offsets[q + 1]] for q in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
+
+    def hub_step(self, partial_refs) -> float:
+        parts = ray.get(list(partial_refs))
+        raw = np.zeros(len(self.owned_vids), dtype=np.float64)
+        for p, vals in enumerate(parts):
+            idx = self.send_idx[p]
+            if len(idx):
+                raw[idx] += vals
+        self.hub = raw
+        return float(raw.sum())
+
+    def collect(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned_vids, pa.int64()),
+                "salsa_auth": pa.array(self.auth, pa.float64()),
+                "salsa_hub": pa.array(self.hub, pa.float64()),
+            }
+        )
+
+
+SALSAPartition = ray.remote(_SALSAPartitionImpl)
+
+
+def salsa(build_dir: str, *, n_iters: int = 10, filesystem=None) -> dict:
+    """Run fixed-iteration SALSA over a ``partition_edges_by='dst'``
+    build; returns {dataset(vid, salsa_auth, salsa_hub), ...}. Driver
+    state per iteration: 2·P scalar L1 partials — same footprint as
+    hits()."""
+    from everythinggraph_ray.state.fs import read_json, resolve_fs
+
+    meta = read_json(resolve_fs(filesystem), os.path.join(build_dir, "meta.json"))
+    assert meta.get("partition_edges_by") == "dst", (
+        "salsa needs a dst-partitioned build (partition_edges_by='dst')"
+    )
+    P = int(meta["P"])
+    actors = [SALSAPartition.remote(p, build_dir, meta, filesystem) for p in range(P)]
+    try:
+        needs = ray.get([a.need_lists.remote() for a in actors])
+        ray.get(
+            [
+                actors[q].set_send_lists.remote([needs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+        )
+        # one-time out-degree exchange along the established routing
+        par = [
+            a.outdeg_partials.options(num_returns=P).remote()
+            if P > 1
+            else [a.outdeg_partials.remote()]
+            for a in actors
+        ]
+        ray.get([actors[q].outdeg_accumulate.remote([par[p][q] for p in range(P)]) for q in range(P)])
+        pub = [
+            a.publish_outdeg.options(num_returns=P).remote()
+            if P > 1
+            else [a.publish_outdeg.remote()]
+            for a in actors
+        ]
+        ray.get([actors[p].set_src_outdeg.remote([pub[q][p] for q in range(P)]) for p in range(P)])
+
+        metrics = []
+        for it in range(1, n_iters + 1):
+            t0 = time.perf_counter()
+            pub = [
+                a.publish_hub.options(num_returns=P).remote() if P > 1 else [a.publish_hub.remote()]
+                for a in actors
+            ]
+            s1 = ray.get(
+                [actors[p].auth_step.remote([pub[q][p] for q in range(P)]) for p in range(P)]
+            )
+            na = float(np.sum(s1))
+            ray.get([a.scale_auth.remote(na) for a in actors])
+            par = [
+                a.hub_partials.options(num_returns=P).remote()
+                if P > 1
+                else [a.hub_partials.remote()]
+                for a in actors
+            ]
+            s2 = ray.get(
+                [actors[q].hub_step.remote([par[p][q] for p in range(P)]) for q in range(P)]
+            )
+            nh = float(np.sum(s2))
+            ray.get([a.scale_hub.remote(nh) for a in actors])
+            metrics.append(
+                {
+                    "superstep": it,
+                    "wall_sec": round(time.perf_counter() - t0, 6),
+                    "auth_norm": na,
+                    "hub_norm": nh,
+                }
+            )
+        out_refs = [a.collect.remote() for a in actors]
+        ray.get(out_refs)
+        ds = ray.data.from_arrow_refs(out_refs)
+        return {
+            "dataset": ds,
+            "iterations": n_iters,
+            "metrics": metrics,
+            "n_vertices": meta["n_vertices"],
+            "n_edges": meta["n_edges"],
+        }
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+
+def salsa_serial(src: np.ndarray, dst: np.ndarray, *, n_iters: int = 10):
+    """Serial numpy oracle for fixed-iteration SALSA. Returns
+    (vids, salsa_auth, salsa_hub)."""
+    vids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(vids, src)
+    d = np.searchsorted(vids, dst)
+    n = len(vids)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    indeg = np.bincount(d, minlength=n).astype(np.float64)
+    auth = np.ones(n, dtype=np.float64)
+    hub = np.ones(n, dtype=np.float64)
+    for _ in range(n_iters):
+        raw = np.zeros(n, dtype=np.float64)
+        np.add.at(raw, d, hub[s] / outdeg[s])
+        na = raw.sum()
+        auth = raw / na if na > 0 else raw
+        raw = np.zeros(n, dtype=np.float64)
+        np.add.at(raw, s, auth[d] / indeg[d])
+        nh = raw.sum()
         hub = raw / nh if nh > 0 else raw
     return vids, auth, hub

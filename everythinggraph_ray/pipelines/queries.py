@@ -450,6 +450,20 @@ def q_rel_hits10(sf_dir):
     return df[["vid", "auth", "hub"]]
 
 
+def q_rel_salsa10(sf_dir):
+    """SALSA authorities & hubs (Lempel & Moran WWW'00), 10 L1-normalized
+    iterations of the degree-normalized bipartite walk over the
+    dst-partitioned build (graph/hits.py salsa — HITS's routing plus a
+    one-time out-degree exchange; indeg is local by layout)."""
+    from everythinggraph_ray.graph.hits import salsa
+
+    res = salsa(_rel_pull_build(sf_dir), n_iters=10)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    df["salsa_auth"] = np.round(df["salsa_auth"].to_numpy(), 9)
+    df["salsa_hub"] = np.round(df["salsa_hub"].to_numpy(), 9)
+    return df[["vid", "salsa_auth", "salsa_hub"]]
+
+
 def q_rel_pagerank(sf_dir):
     """To-convergence PageRank (the north-rule mode). No SQL oracle
     (iteration count is data-dependent); matched vs the NumPy oracle in
@@ -1413,6 +1427,18 @@ def q_rel_cocitation(sf_dir):
     from everythinggraph_ray.graph.linkpred import cocitation_topk
 
     return cocitation_topk(rel_edges(sf_dir), k=20)
+
+
+def q_rel_coupling(sf_dir):
+    """Bibliographic coupling (Kessler '63): top-20 src pairs by the
+    number of distinct dsts BOTH link to — the dual of co-citation,
+    computed as co-citation of the transposed edge set (same src-bucketed
+    pair-emission machinery, graph/linkpred.py cocitation_topk over
+    reverse_edges). Output columns (a, b, cnt), a < b."""
+    from everythinggraph_ray.graph.linkpred import cocitation_topk
+    from everythinggraph_ray.stages.edges import reverse_edges
+
+    return cocitation_topk(reverse_edges(rel_edges(sf_dir)), k=20)
 
 
 def q_rel_butterflies(sf_dir):
@@ -5157,6 +5183,47 @@ def _hits10_sql() -> str:
     )
 
 
+def _salsa10_sql() -> str:
+    """SALSA, 10 iterations: auth_raw = Σ in-neighbor hub/outdeg, L1
+    normalize, hub_raw = Σ out-neighbor auth/indeg, L1 normalize. Same
+    unrolled-CTE shape as _hits10_sql, edge multiset semantics (degrees
+    count multi-edges, matching the engine)."""
+    ctes = [
+        f"e AS ({SQL_REL_EDGES})",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        "od AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "idg AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst)",
+        "h0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM verts)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.vid, coalesce(s.x, 0) AS x FROM verts v "
+            f"LEFT JOIN (SELECT e.dst AS vid, sum(h.x / od.d) AS x FROM e "
+            f"JOIN h{k-1} h ON h.vid = e.src JOIN od ON od.vid = e.src GROUP BY e.dst) s "
+            "ON s.vid = v.vid)"
+        )
+        ctes.append(f"na{k} AS (SELECT sum(x) AS n FROM ar{k})")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT vid, x / (SELECT n FROM na{k}) AS x FROM ar{k})"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.vid, coalesce(s.x, 0) AS x FROM verts v "
+            f"LEFT JOIN (SELECT e.src AS vid, sum(a.x / idg.d) AS x FROM e "
+            f"JOIN a{k} a ON a.vid = e.dst JOIN idg ON idg.vid = e.dst GROUP BY e.src) s "
+            "ON s.vid = v.vid)"
+        )
+        ctes.append(f"nh{k} AS (SELECT sum(x) AS n FROM hr{k})")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT vid, x / (SELECT n FROM nh{k}) AS x FROM hr{k})"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT a10.vid, round(a10.x, 9) AS salsa_auth, round(h10.x, 9) AS salsa_hub "
+        "FROM a10 JOIN h10 ON h10.vid = a10.vid"
+    )
+
+
 def _mis_key_sql(col: str) -> str:
     return f"md5(CAST({col} AS VARCHAR)) || lpad(CAST({col} AS VARCHAR), 20, '0')"
 
@@ -5480,6 +5547,7 @@ ORACLES: dict[str, str] = {
     "rel_eigen10": _eigen10_sql(),
     "rel_kcore": _kcore_sql(),
     "rel_hits10": _hits10_sql(),
+    "rel_salsa10": _salsa10_sql(),
     "rel_wpagerank10": _wpagerank10_sql(),
     "rel_coarsen_wpr10": _coarsen_wpr10_sql(),
     "rel_matching": _matching_sql(),
@@ -5684,6 +5752,12 @@ ORACLES: dict[str, str] = {
         "SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS cnt "
         "FROM d e1 JOIN d e2 ON e1.src = e2.src AND e1.dst < e2.dst "
         "GROUP BY e1.dst, e2.dst ORDER BY cnt DESC, a, b LIMIT 20"
+    ),
+    "rel_coupling": (
+        f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})) "
+        "SELECT e1.src AS a, e2.src AS b, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM d e1 JOIN d e2 ON e1.dst = e2.dst AND e1.src < e2.src "
+        "GROUP BY e1.src, e2.src ORDER BY cnt DESC, a, b LIMIT 20"
     ),
     "rel_link_predict": (
         "WITH "
@@ -6752,10 +6826,12 @@ QUERIES = {
     "rel_eigen10": q_rel_eigen10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,
+    "rel_salsa10": q_rel_salsa10,
     "rel_wpagerank10": q_rel_wpagerank10,
     "rel_coarsen_wpr10": q_rel_coarsen_wpr10,
     "rel_edge_support": q_rel_edge_support,
     "rel_cocitation": q_rel_cocitation,
+    "rel_coupling": q_rel_coupling,
     "rel_matching": q_rel_matching,
     "rel_butterflies": q_rel_butterflies,
     "rel_landmark_dist": q_rel_landmark_dist,

@@ -238,6 +238,33 @@ def test_hits_matches_serial(tmp_path):
     assert abs(np.dot(df["hub"], df["hub"]) - 1.0) < 1e-9
 
 
+def test_salsa_matches_serial(tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.hits import salsa, salsa_serial
+
+    rng = np.random.default_rng(10)
+    sv = rng.integers(0, 200, 3000).astype(np.int64)
+    dv = rng.integers(0, 200, 3000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(sv, pa.int64()), "dst": pa.array(dv, pa.int64())})
+    )
+    bdir = str(tmp_path / "salsa_build")
+    build_graph(ds, bdir, num_partitions=4, partition_edges_by="dst")
+    res = salsa(bdir, n_iters=10)
+    df = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, oauth, ohub = salsa_serial(sv, dv, n_iters=10)
+    assert np.array_equal(df["vid"].to_numpy(), ovids)
+    np.testing.assert_allclose(df["salsa_auth"].to_numpy(), oauth, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(df["salsa_hub"].to_numpy(), ohub, rtol=0, atol=1e-12)
+    # L1 norms of the final phases are 1 by construction (walk distributions)
+    assert abs(df["salsa_auth"].sum() - 1.0) < 1e-9
+    assert abs(df["salsa_hub"].sum() - 1.0) < 1e-9
+
+
 def test_kcore_matches_serial_peel():
     import pyarrow as pa
 
