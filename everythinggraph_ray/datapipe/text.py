@@ -396,3 +396,84 @@ def inverted_index(
     return bucketed_reduce(
         docs.map_batches(emit, batch_format="pyarrow"), bucket_of, red, num_buckets=num_buckets
     )
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting scheme): hash every k-gram of word tokens,
+    slide a window of ``w`` consecutive gram hashes over the document, and
+    select the MINIMUM hash of each window (rightmost position on ties).
+    The selected set is position-robust: any shared substring of at least
+    ``k + w - 1`` tokens between two documents is guaranteed to share at
+    least one fingerprint — the local-dedup / plagiarism-detection
+    primitive (the reference has no text surface; this extends the
+    training-data layer like datapipe/dedup.py).
+
+    Deterministic and SQL-checkable: tokens are ``[a-z0-9]+`` on the
+    lowercased text, the gram hash is the lower 64 bits of
+    md5('_'.join(gram)) (DuckDB ``md5_number_lower``), so the DuckDB
+    oracle reproduces the selected set exactly. Emits one row per
+    selected gram: (doc_id, pos [1-based gram index], h [hash >> 3 so it
+    fits BIGINT]). Docs with fewer than ``k + w - 1`` tokens emit nothing
+    (no full window exists).
+
+    Per-doc work is embarrassingly parallel (one map_batches, no
+    shuffle); the window argmin is a vectorized sliding-window argmin
+    over a reversed view (np.argmin takes the FIRST min of the reversed
+    window = the RIGHTMOST of the original — the paper's tie rule).
+    """
+    import hashlib
+
+    rx = re.compile(WORD_RE)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for did, txt in zip(ids, pc.utf8_lower(batch[text_col]).to_pylist()):
+            toks = rx.findall(txt)
+            m = len(toks) - k + 1  # number of k-grams
+            if m < w:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5("_".join(toks[i : i + k]).encode()).digest()[8:16],
+                        "little",
+                    )
+                    for i in range(m)
+                ),
+                dtype=np.uint64,
+                count=m,
+            )
+            win = np.lib.stride_tricks.sliding_window_view(h, w)[:, ::-1]
+            sel = np.arange(win.shape[0]) + (w - 1 - np.argmin(win, axis=1))
+            sel = np.unique(sel)
+            ids_out.append(np.full(len(sel), did, np.int64))
+            pos_out.append(sel + 1)  # 1-based, matches the SQL oracle
+            h_out.append((h[sel] >> np.uint64(3)).astype(np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "pos": pa.array(np.concatenate(pos_out), pa.int64()),
+                "h": pa.array(np.concatenate(h_out), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")

@@ -3234,6 +3234,19 @@ def q_docs_dup_spans(sf_dir):
     return duplicate_spans(_docs(sf_dir), n=DUP_SPAN_N)
 
 
+WINNOW_K, WINNOW_W = 5, 4
+
+
+def q_docs_winnow(sf_dir):
+    """Winnowing fingerprints (MOSS local fingerprinting): the minimum
+    md5 k-gram hash of every w-window, rightmost on ties — guarantees any
+    shared >= k+w-1-token substring shares a fingerprint
+    (datapipe/text.py winnow_fingerprints; one map_batches, no shuffle)."""
+    from everythinggraph_ray.datapipe.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=WINNOW_K, w=WINNOW_W)
+
+
 CMS_WIDTH, CMS_DEPTH, CMS_THRESHOLD = 1024, 4, 900
 
 
@@ -6409,6 +6422,27 @@ def _curation_oracles() -> dict[str, str]:
             r"FROM base b LEFT JOIN dw ON dw.doc_id = b.doc_id "
             r"LEFT JOIN cov ON cov.doc_id = b.doc_id"
         ),
+        "docs_winnow": (
+            # winnowing: per window of WINNOW_W consecutive k-gram hashes,
+            # select the min (rightmost on ties) = max pos among grams
+            # achieving the window min. Gram hash = md5_number_lower of
+            # the '_'-joined k-gram, identical to the Python side.
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            r"FROM documents), "
+            f"grams AS (SELECT doc_id, i, CAST(md5_number_lower(array_to_string(t[i:i+{WINNOW_K - 1}], '_')) AS HUGEINT) AS h, "
+            f"len(t) - {WINNOW_K - 1} AS m "
+            f"FROM toks, LATERAL unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS u(i) "
+            f"WHERE len(t) >= {WINNOW_K}), "
+            f"wmin AS (SELECT g1.doc_id, g1.i AS ws, min(g2.h) AS mh FROM grams g1 "
+            r"JOIN grams g2 ON g2.doc_id = g1.doc_id AND g2.i BETWEEN g1.i AND g1.i + "
+            f"{WINNOW_W - 1} WHERE g1.i <= g1.m - {WINNOW_W - 1} GROUP BY 1, 2), "
+            r"sel AS (SELECT w.doc_id, max(g.i) AS pos FROM wmin w JOIN grams g "
+            r"ON g.doc_id = w.doc_id AND g.i BETWEEN w.ws AND w.ws + "
+            f"{WINNOW_W - 1} AND g.h = w.mh GROUP BY w.doc_id, w.ws) "
+            r"SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos, "
+            r"CAST(g.h // 8 AS BIGINT) AS h "
+            r"FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.i = s.pos"
+        ),
         "docs_mix_weights": (
             r"WITH s AS (SELECT lang, source, count(*) AS n_docs, "
             r"CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens "
@@ -6938,6 +6972,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_dup_spans": q_docs_dup_spans,
+    "docs_winnow": q_docs_winnow,
     "emb_pca_top": q_emb_pca_top,
     "docs_pmi_pairs": q_docs_pmi_pairs,
     "emb_logreg": q_emb_logreg,

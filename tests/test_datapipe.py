@@ -1082,3 +1082,63 @@ def test_dedup_keep_best_rule_exact():
     assert got["keep_doc_id"].tolist() == want["doc_id"].tolist()
     assert got["quality"].tolist() == want["q8"].tolist()
     assert got["n_members"].tolist() == sizes["size"].tolist()
+
+
+def _serial_winnow(text, k, w):
+    """Direct double-loop winnowing reference (Schleimer et al. fig. 5
+    semantics: per window take min hash, rightmost on ties)."""
+    import hashlib
+    import re as _re
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    m = len(toks) - k + 1
+    if m < w:
+        return set()
+    h = [
+        int.from_bytes(hashlib.md5("_".join(toks[i : i + k]).encode()).digest()[8:16], "little")
+        for i in range(m)
+    ]
+    sel = set()
+    for ws in range(m - w + 1):
+        best = ws
+        for j in range(ws, ws + w):
+            if h[j] <= h[best]:
+                best = j  # <= keeps the RIGHTMOST minimum
+        sel.add((best + 1, h[best] >> 3))
+    return sel
+
+
+def test_winnow_matches_serial_reference():
+    from everythinggraph_ray.datapipe.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "aa bb aa bb aa bb aa bb aa bb aa bb",  # periodic: exercises ties
+        "short text",  # < k+w-1 tokens: emits nothing
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    out = winnow_fingerprints(_docs_ds(texts), k=5, w=4).to_pandas()
+    for did, txt in enumerate(texts):
+        got = set(
+            zip(
+                out[out.doc_id == did]["pos"].tolist(),
+                out[out.doc_id == did]["h"].tolist(),
+            )
+        )
+        assert got == _serial_winnow(txt, 5, 4), f"doc {did}"
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint():
+    """The winnowing guarantee: two docs sharing a >= k+w-1-token run
+    share at least one (gram-hash) fingerprint value."""
+    from everythinggraph_ray.datapipe.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    texts = [
+        "xx yy zz " + shared + " pp qq rr ss tt uu vv ww",
+        "one two three four five " + shared + " six seven eight nine",
+    ]
+    out = winnow_fingerprints(_docs_ds(texts), k=5, w=4).to_pandas()
+    h0 = set(out[out.doc_id == 0]["h"])
+    h1 = set(out[out.doc_id == 1]["h"])
+    assert h0 & h1
