@@ -325,6 +325,45 @@ class EigenvectorKernel(Kernel):
         return new, np.ones(len(old), dtype=bool), delta
 
 
+class HittingTimeKernel(Kernel):
+    """Truncated hitting time to a seed set (Sarkar & Moore's random-walk
+    proximity): h(v) = 0 for seeds (vid % seed_mod == 0, the repo's
+    reproducible no-shipped-list seed rule shared with PPR); otherwise
+    h(v) = min(T, 1 + Σ_u P(v,u)·h(u)) over v's ORIGINAL out-neighbors,
+    with P(v,u) = multiplicity/outdeg(v), iterated T = horizon supersteps
+    from h0 = T; a vertex with no out-edges stays at T (the truncation
+    value). Because v gathers from its out-neighbors, this kernel runs on
+    the REVERSED edge build with per-edge weight 1/outdeg_orig(original
+    src) — then the engine's push scatter delivers exactly Σ h(u)/outdeg(v)
+    to v (same gather-scatter as PageRank, pagerank_simple.c:31-36
+    machinery, reversed orientation). Run with n_iters=horizon."""
+
+    name = "hitting"
+    combine = "sum"
+    needs_weights = True
+
+    def __init__(self, seed_mod: int, horizon: int):
+        if horizon < 1 or seed_mod < 1:
+            raise ValueError("hitting time needs horizon >= 1 and seed_mod >= 1")
+        self.seed_mod = int(seed_mod)
+        self.horizon = float(horizon)
+
+    def init_values(self, vids, outdeg, ctx):
+        self._seed = vids % self.seed_mod == 0
+        v = np.full(len(vids), self.horizon, dtype=np.float64)
+        v[self._seed] = 0.0
+        return v
+
+    def edge_values(self, per_edge, weights):
+        return per_edge * weights
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = np.where(has_msg, np.minimum(self.horizon, 1.0 + agg), self.horizon)
+        new[self._seed] = 0.0
+        delta = float(np.max(np.abs(new - old))) if len(old) else 0.0
+        return new, np.ones(len(old), dtype=bool), delta
+
+
 class WCCKernel(Kernel):
     """Symmetric min-label propagation (wcc.c:211-216): labels init to own
     vid; run on the UNDIRECTED edge table (build with undirect=True) which is

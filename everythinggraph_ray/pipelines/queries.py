@@ -386,6 +386,62 @@ def q_rel_katz10(sf_dir):
     return df[["vid", "katz"]]
 
 
+HITTING_HORIZON, HITTING_SEED_MOD = 8, 10
+
+
+def _rel_hitting_build(sf_dir: str) -> str:
+    """Reversed weighted build for truncated hitting time: attach
+    outdeg(src) to every edge (distributed bucketed co-group — the
+    degree table never leaves the cluster), then emit the REVERSED edge
+    weighted 1/outdeg(original src), so the engine's push scatter
+    delivers Σ h(u)/outdeg(v) to v."""
+    from everythinggraph_ray.graph.triangles import _attach_degree
+    from everythinggraph_ray.stages.edges import out_degrees
+
+    bdir = build_dir_for(f"relhit|{sf_dir}", 8)
+    e = rel_edges(sf_dir)
+    deg = out_degrees(e).map_batches(
+        lambda b: pa.table({"vid": b["vid"], "deg": b["outdeg"]}),
+        batch_format="pyarrow",
+    )
+    ewd = _attach_degree(e, deg, "src", "srcdeg")
+
+    def rev(batch: pa.Table) -> pa.Table:
+        d = batch["srcdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": batch["dst"],
+                "dst": batch["src"],
+                "weight": pa.array(1.0 / d, pa.float64()),
+            }
+        )
+
+    build_graph(
+        ewd.map_batches(rev, batch_format="pyarrow"),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+        weighted=True,
+    )
+    return bdir
+
+
+def q_rel_hitting8(sf_dir):
+    """Truncated hitting time to the vid%10==0 seed set, horizon 8
+    (graph/kernels.py HittingTimeKernel over the reversed weighted
+    build): random-walk proximity — the expected steps for a walk from v
+    to first reach a seed, truncated at 8."""
+    from everythinggraph_ray.graph.kernels import HittingTimeKernel
+
+    df = _run_engine(
+        _rel_hitting_build(sf_dir),
+        HittingTimeKernel(seed_mod=HITTING_SEED_MOD, horizon=HITTING_HORIZON),
+        n_iters=HITTING_HORIZON,
+    )
+    df["hitting"] = np.round(df["hitting"].to_numpy(), 7)
+    return df[["vid", "hitting"]]
+
+
 def q_rel_eigen10(sf_dir):
     """Eigenvector centrality, 10 L1-normalized power iterations: the
     Katz gather WITHOUT the additive term, with a per-superstep GLOBAL
@@ -5387,6 +5443,36 @@ def _katz10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS katz FROM r10"
 
 
+def _hitting8_sql() -> str:
+    """Truncated hitting time, horizon 8, seeds vid%10==0:
+    h0 = 0 for seeds else 8; h_k(v) = 0 for seeds, 8 if v has no
+    out-edges, else least(8, 1 + avg over edge rows of h_{k-1}(dst)) —
+    avg over rows = Σ mult·h / outdeg, the multigraph walk. Levels
+    materialized (each is referenced by the next's join + NULL check)."""
+    ctes = [
+        f"e AS MATERIALIZED ({SQL_REL_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM "
+        "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
+        f"h0 AS MATERIALIZED (SELECT vid, CASE WHEN vid % {HITTING_SEED_MOD} = 0 "
+        f"THEN CAST(0.0 AS DOUBLE) ELSE CAST({HITTING_HORIZON}.0 AS DOUBLE) END AS h FROM verts)",
+    ]
+    for k in range(1, HITTING_HORIZON + 1):
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT v.vid, CASE "
+            f"WHEN v.vid % {HITTING_SEED_MOD} = 0 THEN 0.0 "
+            f"WHEN s.m IS NULL THEN {HITTING_HORIZON}.0 "
+            f"ELSE least({HITTING_HORIZON}.0, 1.0 + s.m) END AS h "
+            f"FROM verts v LEFT JOIN (SELECT e.src AS vid, avg(p.h) AS m "
+            f"FROM e JOIN h{k-1} p ON p.vid = e.dst GROUP BY e.src) s "
+            f"ON s.vid = v.vid)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT vid, round(h, 7) AS hitting FROM h{HITTING_HORIZON}"
+    )
+
+
 def _eigen10_sql() -> str:
     """Eigenvector centrality, 10 L1-normalized power iterations:
     x_k[v] = (Σ_{u→v} x_{k-1}[u]) / (Σ x_{k-1}). Each level references
@@ -5557,6 +5643,7 @@ ORACLES: dict[str, str] = {
     "rel_pagerank10_dangling": _pagerank10_dangling_sql(),
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
+    "rel_hitting8": _hitting8_sql(),
     "rel_eigen10": _eigen10_sql(),
     "rel_kcore": _kcore_sql(),
     "rel_hits10": _hits10_sql(),
@@ -6857,6 +6944,7 @@ QUERIES = {
     "rel_pagerank10_pull": q_rel_pagerank10_pull,
     "rel_ppr": q_rel_ppr,
     "rel_katz10": q_rel_katz10,
+    "rel_hitting8": q_rel_hitting8,
     "rel_eigen10": q_rel_eigen10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,

@@ -847,3 +847,71 @@ def test_pagerank_dangling_fixed10_exact(engine, small_edges):
     _, pr = _vals(res, "pagerank_dangling")
     _, opr, _ = O.pagerank_dangling_oracle(sv, dv, n_iters=10)
     np.testing.assert_allclose(pr, opr, rtol=0, atol=1e-12)
+
+
+def test_hitting_time_matches_serial_dp(tmp_path):
+    """Truncated hitting time (HittingTimeKernel over the reversed
+    weighted build) equals the serial DP h_{t}(v) = min(T, 1 + mean over
+    out-edge rows of h_{t-1}(dst)), seeds pinned 0, no-out-edge vertices
+    pinned T — including a hub-split build (the sum-combine must stay
+    correct under mirror splitting)."""
+    import pyarrow as pa
+
+    import ray.data
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import HittingTimeKernel
+
+    rng = np.random.default_rng(7)
+    n, m, T, mod = 60, 400, 6, 9
+    sv = rng.integers(0, n, m).astype(np.int64)
+    dv = rng.integers(0, n, m).astype(np.int64)
+    # one vertex with NO out-edges and one hub src (exceeds hub_threshold)
+    sv = sv[sv != 3]
+    dv = dv[: len(sv)]
+    hub_dst = rng.integers(0, n, 40).astype(np.int64)
+    sv = np.concatenate([sv, np.full(40, 5, np.int64)])
+    dv = np.concatenate([dv, hub_dst])
+
+    # serial DP over the ORIGINAL orientation
+    verts = np.unique(np.concatenate([sv, dv]))
+    outdeg = {int(v): 0 for v in verts}
+    adj: dict[int, list[int]] = {int(v): [] for v in verts}
+    for a, b in zip(sv.tolist(), dv.tolist()):
+        outdeg[a] += 1
+        adj[a].append(b)
+    h = {int(v): (0.0 if v % mod == 0 else float(T)) for v in verts}
+    for _ in range(T):
+        nh = {}
+        for v in verts:
+            v = int(v)
+            if v % mod == 0:
+                nh[v] = 0.0
+            elif outdeg[v] == 0:
+                nh[v] = float(T)
+            else:
+                nh[v] = min(float(T), 1.0 + sum(h[u] for u in adj[v]) / outdeg[v])
+        h = nh
+
+    # reversed weighted edge table, built with a LOW hub threshold so the
+    # hub src's reversed in-edges exercise mirror splitting
+    w = np.array([1.0 / outdeg[a] for a in sv.tolist()])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(dv, pa.int64()),
+                "dst": pa.array(sv, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+    for thr in (10**9, 15):
+        bdir = str(tmp_path / f"hit_build_{thr}")
+        build_graph(ds, bdir, num_partitions=4, weighted=True, hub_threshold=thr)
+        eng = GraphEngine(bdir)
+        try:
+            res = eng.run(HittingTimeKernel(seed_mod=mod, horizon=T), n_iters=T)
+            vids, hv = _vals(res, "hitting")
+        finally:
+            eng.shutdown()
+        want = np.array([h[int(v)] for v in vids.tolist()])
+        np.testing.assert_allclose(hv, want, rtol=0, atol=1e-12)
