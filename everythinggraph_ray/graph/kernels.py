@@ -780,6 +780,52 @@ class SSSPWeightedKernel(Kernel):
         return new, improved, 0.0
 
 
+class EarliestArrivalKernel(Kernel):
+    """Temporal earliest-arrival reachability over time-respecting paths
+    (the temporal-graph analogue of BFS): each edge carries a timestamp
+    in the weight column; a walk may traverse edge (u, v, t) only if
+    t >= arrival(u) and then arrives at v at time t (instantaneous
+    traversal). arrival(root) = start, arrival(v) = min over usable
+    edges, +inf if no time-respecting path exists. A monotone
+    min-semiring with an edge-DEPENDENT transfer (gate on the sender's
+    value, then emit the edge's own timestamp) — the semiring family
+    the reference's writeMin (wcc.c:21-27) covers only with constant
+    transfer; rides the identical frontier machinery as weighted SSSP.
+    Resend-safe: recomputing a sender's gate is idempotent."""
+
+    name = "arrival"
+    combine = "min"
+    frontier = True
+    needs_weights = True
+    dtype = np.float64
+    resend_safe = True
+
+    def send_mask(self, vals):
+        return np.isfinite(vals)
+
+    def __init__(self, root: int, start: float = 0.0):
+        self.root = int(root)
+        self.start = float(start)
+
+    def init_values(self, vids, outdeg, ctx):
+        d = np.full(len(vids), np.inf)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            d[i] = self.start
+        return d
+
+    init_active = BFSKernel.init_active
+
+    def edge_values(self, per_edge, weights):
+        return np.where(weights >= per_edge, weights, np.inf)
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg < old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
 class WidestPathKernel(Kernel):
     """Widest (bottleneck / maximum-capacity) path from a root: cap(v) =
     max over root→v paths of the minimum edge weight along the path —

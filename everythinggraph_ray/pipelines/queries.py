@@ -386,6 +386,52 @@ def q_rel_katz10(sf_dir):
     return df[["vid", "katz"]]
 
 
+def q_rel_earliest_arrival(sf_dir):
+    """Temporal earliest-arrival reachability from vid 0 (start = epoch):
+    edges are (l_orderkey%V → l_partkey%V) stamped with l_shipdate in
+    epoch days; a path is time-respecting iff timestamps are
+    non-decreasing along it (graph/kernels.py EarliestArrivalKernel —
+    gate-then-emit min-semiring over the weighted build). Emits reached
+    vertices only: (vid, arrival)."""
+    from everythinggraph_ray.graph.kernels import EarliestArrivalKernel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        t = (
+            batch["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "src": pa.array(o % REL_V, pa.int64()),
+                "dst": pa.array(p % REL_V, pa.int64()),
+                "weight": pa.array(t.astype(np.float64), pa.float64()),
+            }
+        )
+
+    bdir = build_dir_for(f"reltime|{sf_dir}", 8)
+    build_graph(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+        weighted=True,
+    )
+    df = _run_engine(bdir, EarliestArrivalKernel(root=0, start=0.0))
+    df = df[np.isfinite(df["arrival"].to_numpy())]
+    return pd.DataFrame(
+        {"vid": df["vid"].to_numpy(np.int64), "arrival": df["arrival"].to_numpy(np.int64)}
+    )
+
+
 HITTING_HORIZON, HITTING_SEED_MOD = 8, 10
 
 
@@ -5644,6 +5690,19 @@ ORACLES: dict[str, str] = {
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
     "rel_hitting8": _hitting8_sql(),
+    "rel_earliest_arrival": (
+        # time-respecting path enumeration: states (vid, arr) are the
+        # arrival times of temporal walks; UNION dedups per round, the
+        # state space is bounded by the distinct (dst, t) pairs of the
+        # edge table, min per vid outside the recursion.
+        "WITH RECURSIVE e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, "
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS t "
+        "FROM lineitem), "
+        "r(vid, arr) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) UNION "
+        "SELECT e.dst, e.t FROM r JOIN e ON e.src = r.vid AND e.t >= r.arr) "
+        "SELECT vid, min(arr) AS arrival FROM r GROUP BY vid"
+    ),
+
     "rel_eigen10": _eigen10_sql(),
     "rel_kcore": _kcore_sql(),
     "rel_hits10": _hits10_sql(),
@@ -6945,6 +7004,7 @@ QUERIES = {
     "rel_ppr": q_rel_ppr,
     "rel_katz10": q_rel_katz10,
     "rel_hitting8": q_rel_hitting8,
+    "rel_earliest_arrival": q_rel_earliest_arrival,
     "rel_eigen10": q_rel_eigen10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,

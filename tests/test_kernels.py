@@ -915,3 +915,61 @@ def test_hitting_time_matches_serial_dp(tmp_path):
             eng.shutdown()
         want = np.array([h[int(v)] for v in vids.tolist()])
         np.testing.assert_allclose(hv, want, rtol=0, atol=1e-12)
+
+
+def test_earliest_arrival_respects_time_ordering(tmp_path):
+    """Earliest-arrival kernel on a hand-built temporal graph: a path
+    with decreasing timestamps must NOT be usable, later edges relax
+    arrivals, and the serial label-correcting oracle agrees on a random
+    temporal graph."""
+    import pyarrow as pa
+
+    import ray.data
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import EarliestArrivalKernel
+
+    def run(sv, dv, tv, root=0, parts=4):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(sv, pa.int64()),
+                    "dst": pa.array(dv, pa.int64()),
+                    "weight": pa.array(np.asarray(tv, np.float64), pa.float64()),
+                }
+            )
+        )
+        bdir = str(tmp_path / f"t_{len(sv)}_{parts}")
+        build_graph(ds, bdir, num_partitions=parts, weighted=True, hub_threshold=10**9)
+        eng = GraphEngine(bdir)
+        try:
+            res = eng.run(EarliestArrivalKernel(root=root, start=0.0))
+            vids, arr = _vals(res, "arrival")
+        finally:
+            eng.shutdown()
+        return dict(zip(vids.tolist(), arr.tolist()))
+
+    # 0 -(t5)-> 1 -(t3)-> 2 : the 1->2 edge departs BEFORE 1 is reached,
+    # so 2 is temporally unreachable; 1 -(t7)-> 3 is fine.
+    got = run([0, 1, 1], [1, 2, 3], [5, 3, 7])
+    assert got[0] == 0.0 and got[1] == 5.0 and got[3] == 7.0
+    assert not np.isfinite(got[2])
+
+    # random temporal graph vs serial label-correcting fixpoint
+    rng = np.random.default_rng(11)
+    n, m = 40, 300
+    sv = rng.integers(0, n, m).astype(np.int64)
+    dv = rng.integers(0, n, m).astype(np.int64)
+    tv = rng.integers(1, 50, m).astype(np.int64)
+    arr = {v: np.inf for v in range(n)}
+    arr[0] = 0.0
+    for _ in range(n):
+        changed = False
+        for a, b, t in zip(sv.tolist(), dv.tolist(), tv.tolist()):
+            if t >= arr[a] and t < arr[b]:
+                arr[b] = float(t)
+                changed = True
+        if not changed:
+            break
+    got = run(sv, dv, tv)
+    for v, a in got.items():
+        assert (np.isinf(a) and np.isinf(arr[v])) or a == arr[v], v
