@@ -2582,6 +2582,31 @@ def q_knn_ivf_top10(sf_dir):
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
+def q_knn_pq_top10(sf_dir):
+    """Product-quantization ADC top-k (datapipe/pq.py): ONE fused
+    streaming scan over the corpus (encode + LUT scoring + local top-k),
+    no shuffle. Approximate by construction (codes, not floats), so
+    rows-only on the driver; pytest carries the recall-vs-bruteforce and
+    serial-parity oracles (tests/test_pq.py)."""
+    from everythinggraph_ray.datapipe.knn import smallest_ids
+    from everythinggraph_ray.datapipe.pq import knn_pq
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
+    return knn_pq(emb, ids, k=KNN_K, m_sub=4, n_codes=16)
+
+
+def q_emb_pq_codes(sf_dir):
+    """PQ code assignment per embedding, surfaced as md5(code CSV) +
+    code sum (the SQ8 surface shape, quantize.py:63). Deterministic
+    (seeded k-means, fixed iters) but not SQL-expressible → rows-only;
+    pytest pins codes against a serial numpy reference."""
+    from everythinggraph_ray.datapipe.pq import pq_encode
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_encode(emb, m_sub=4, n_codes=16).sort("vec_id")
+
+
 def q_events_hourly(sf_dir):
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
@@ -7102,6 +7127,8 @@ QUERIES = {
     "rel_wcc_dataset": q_rel_wcc_dataset,
     "knn_top10": q_knn_top10,
     "knn_ivf_top10": q_knn_ivf_top10,
+    "knn_pq_top10": q_knn_pq_top10,
+    "emb_pq_codes": q_emb_pq_codes,
     "events_funnel": q_events_funnel,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
