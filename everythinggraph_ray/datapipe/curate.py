@@ -300,3 +300,54 @@ def shard_assign(
         )
 
     return bucketed_reduce(docs.select_columns([id_col]).map_batches(tag, batch_format="pyarrow"), bucket_of, rank, num_buckets=num_buckets)
+
+
+def weighted_sample(
+    docs: ray.data.Dataset,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` docs with
+    inclusion probability proportional to length (Efraimidis-Spirakis
+    A-ES, IPL 2006): each doc draws a deterministic uniform u from its
+    id's md5 (the no-RNG convention of shard_assign/mixture_sample) and
+    the k largest keys ln(u)/w win — the distributed-friendly reduction
+    of weighted reservoir sampling (the data-mixing sampler: at 100 TB
+    every block computes its local top-k candidates in one streaming
+    pass and only #blocks x k tiny rows reach the final merge; no
+    shuffle of the corpus). Returns (doc_id, weight, rank) — the key
+    itself stays internal so the surface is integer-only.
+    """
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = pc.cast(pc.utf8_length(batch[text_col]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) + 1
+        u = (
+            np.fromiter(
+                (
+                    int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16)
+                    for i in ids
+                ),
+                np.float64,
+                count=len(ids),
+            )
+            + 0.5
+        ) / 4294967296.0
+        key = np.log(u) / w
+        df = pd.DataFrame({id_col: ids, "weight": w, "__key": key})
+        # local candidates: the global top-k can only contain each
+        # block's top-k, so everything else is dropped here
+        df = df.sort_values(["__key", id_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = docs.select_columns([id_col, text_col]).map_batches(
+        keys, batch_format="pyarrow"
+    ).to_pandas()  # <= #blocks x k rows
+    cand = cand.sort_values(["__key", id_col], ascending=[False, True]).head(k)
+    cand = cand.reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[[id_col, "weight", "rank"]].astype("int64")

@@ -3481,6 +3481,19 @@ def q_docs_mixture_sample(sf_dir):
     return docs.map_batches(samp, batch_format="pyarrow")
 
 
+def q_docs_weighted_sample(sf_dir):
+    """Weighted sampling without replacement, P(doc) ∝ length
+    (Efraimidis-Spirakis keys over deterministic md5 uniforms,
+    datapipe/curate.py weighted_sample): per-block top-k candidates in
+    one streaming pass, #blocks x k rows to the final merge."""
+    from everythinggraph_ray.datapipe.curate import weighted_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return weighted_sample(docs, 100)
+
+
 def q_docs_gopher_filter(sf_dir):
     """Composed Gopher-style quality gate over the repetition signals:
     keep docs with >= 30 words, top-word share <= 10%, and vocabulary
@@ -6669,6 +6682,14 @@ ORACLES["docs_shard_assign"] = (
     "CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos "
     "FROM s"
 )
+ORACLES["docs_weighted_sample"] = (
+    "WITH h AS (SELECT doc_id, length(text) + 1 AS w, "
+    "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) "
+    "/ 4294967296.0 AS u FROM documents) "
+    "SELECT doc_id, CAST(w AS BIGINT) AS weight, "
+    "CAST(row_number() OVER (ORDER BY ln(u) / w DESC, doc_id) AS BIGINT) AS rank "
+    "FROM h QUALIFY rank <= 100"
+)
 ORACLES["docs_len_quantiles"] = (
     "SELECT lang, "
     "CAST(quantile_disc(length(text), 0.25) AS BIGINT) AS p25, "
@@ -7144,6 +7165,7 @@ QUERIES = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_pii_redact": q_docs_pii_redact,
     "docs_sample_stratified": q_docs_sample_stratified,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_dup_spans": q_docs_dup_spans,

@@ -683,3 +683,48 @@ def test_web_hostrank_matches_serial_weighted_pagerank():
         urls_to_vids(pa.array(named["domain"].tolist(), pa.string())),
         named["vid"].to_numpy(),
     )
+
+
+def _ws_serial(ids, texts, k):
+    w = np.array([len(t) + 1 for t in texts], dtype=np.int64)
+    u = (
+        np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )
+        + 0.5
+    ) / 4294967296.0
+    key = np.log(u) / w
+    df = pd.DataFrame({"doc_id": ids, "weight": w, "__key": key})
+    df = df.sort_values(["__key", "doc_id"], ascending=[False, True]).head(k)
+    df = df.reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["doc_id", "weight", "rank"]].astype("int64")
+
+
+def test_weighted_sample_matches_serial():
+    from everythinggraph_ray.datapipe.curate import weighted_sample
+
+    rng = np.random.default_rng(5)
+    ids = list(range(300))
+    texts = ["x" * int(n) for n in rng.integers(1, 500, size=300)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(7)  # several blocks: exercises the per-block candidate cut
+    got = weighted_sample(ds, 25)
+    want = _ws_serial(ids, texts, 25)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_weighted_sample_prefers_heavy_docs():
+    from everythinggraph_ray.datapipe.curate import weighted_sample
+
+    # 10 docs carry ~98% of the weight mass: nearly all must be sampled
+    ids = list(range(210))
+    texts = ["y" * 10000] * 10 + ["z" * 10] * 200
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    got = weighted_sample(ds, 20)
+    heavy = sum(1 for d in got["doc_id"] if d < 10)
+    assert heavy >= 8, got
