@@ -2582,6 +2582,27 @@ def q_knn_ivf_top10(sf_dir):
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
+def q_rel_featprop2(sf_dir):
+    """Two rounds of GNN-style mean-aggregate feature propagation
+    (graph/featprop.py): the embeddings table's first 4 dims pushed
+    along the distinct rel graph, x[v] ← Σ_{(u,v)} x[u]/outdeg(u) —
+    the multi-channel SpMM generalizing rel_spmv."""
+    from everythinggraph_ray.graph.featprop import (
+        feature_propagation,
+        features_from_embeddings,
+    )
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    feats = features_from_embeddings(emb, 4)
+    out = feature_propagation(rel_edges(sf_dir), feats, n_iters=2, dim=4)
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    for c in ("f0", "f1", "f2", "f3"):  # the pagerank10 float device
+        df[c] = np.round(df[c].to_numpy(), 7)
+    return df
+
+
 def q_knn_pq_top10(sf_dir):
     """Product-quantization ADC top-k (datapipe/pq.py): ONE fused
     streaming scan over the corpus (encode + LUT scoring + local top-k),
@@ -6682,6 +6703,21 @@ ORACLES["docs_shard_assign"] = (
     "CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos "
     "FROM s"
 )
+ORACLES["rel_featprop2"] = (
+    f"WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})), "
+    "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src), "
+    "x0 AS (SELECT vec_id AS vid, CAST(embedding[1] AS DOUBLE) AS f0, "
+    "CAST(embedding[2] AS DOUBLE) AS f1, CAST(embedding[3] AS DOUBLE) AS f2, "
+    "CAST(embedding[4] AS DOUBLE) AS f3 FROM embeddings), "
+    "x1 AS (SELECT e.dst AS vid, sum(x.f0 / od.d) AS f0, sum(x.f1 / od.d) AS f1, "
+    "sum(x.f2 / od.d) AS f2, sum(x.f3 / od.d) AS f3 "
+    "FROM e JOIN x0 x ON e.src = x.vid JOIN od ON od.src = e.src GROUP BY e.dst), "
+    "x2 AS (SELECT e.dst AS vid, sum(x.f0 / od.d) AS f0, sum(x.f1 / od.d) AS f1, "
+    "sum(x.f2 / od.d) AS f2, sum(x.f3 / od.d) AS f3 "
+    "FROM e JOIN x1 x ON e.src = x.vid JOIN od ON od.src = e.src GROUP BY e.dst) "
+    "SELECT vid, round(f0, 7) AS f0, round(f1, 7) AS f1, "
+    "round(f2, 7) AS f2, round(f3, 7) AS f3 FROM x2"
+)
 ORACLES["docs_weighted_sample"] = (
     "WITH h AS (SELECT doc_id, length(text) + 1 AS w, "
     "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) "
@@ -7150,6 +7186,7 @@ QUERIES = {
     "knn_ivf_top10": q_knn_ivf_top10,
     "knn_pq_top10": q_knn_pq_top10,
     "emb_pq_codes": q_emb_pq_codes,
+    "rel_featprop2": q_rel_featprop2,
     "events_funnel": q_events_funnel,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
