@@ -2762,6 +2762,42 @@ def q_events_sessions(sf_dir):
     return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
+def q_events_lag_stats(sf_dir):
+    """Per-event lag-difference and running total within each user's
+    time-ordered stream — the lag()/ROWS-UNBOUNDED-PRECEDING window
+    family. One bucketed co-group by user hash; inside a bucket the
+    whole window computation is vectorized pandas (sort + groupby
+    shift/cumsum), never a per-row loop. Values ride as round(v*1e6)
+    ints so the surface is hash-exact (the events_hourly device)."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def win(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        vu = np.round(df["value"].to_numpy() * 1e6).astype(np.int64)
+        df["vu"] = vu
+        lag = df.groupby("user_id")["vu"].shift()
+        delta = (df["vu"] - lag).fillna(0).astype(np.int64)
+        runsum = df.groupby("user_id")["vu"].cumsum().astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(np.int64), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "delta_u": pa.array(delta.to_numpy(np.int64), pa.int64()),
+                "runsum_u": pa.array(runsum.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(ev, bucket_of, win)
+
+
 def q_events_props_sum(sf_dir):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` string with ONE RE2 kernel
@@ -6337,6 +6373,15 @@ ORACLES: dict[str, str] = {
         "FROM q, embeddings e WHERE e.vec_id <> q.vec_id "
         "QUALIFY rank <= " + str(KNN_K)
     ),
+    "events_lag_stats": (
+        "WITH v AS (SELECT event_id, user_id, ts, "
+        "CAST(round(value * 1e6) AS BIGINT) AS vu FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(COALESCE(vu - lag(vu) OVER w, 0) AS BIGINT) AS delta_u, "
+        "CAST(sum(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runsum_u "
+        "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
     "events_props_sum": (
         "SELECT event_type, "
         "CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum, "
@@ -7188,6 +7233,7 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "rel_featprop2": q_rel_featprop2,
     "events_funnel": q_events_funnel,
+    "events_lag_stats": q_events_lag_stats,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
