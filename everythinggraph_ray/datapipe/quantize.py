@@ -87,3 +87,54 @@ def sq8_quantize(
         )
 
     return embeddings.map_batches(quant, batch_format="pyarrow")
+
+
+def standardize(
+    embeddings: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-dimension z-score standardization (feature scaling ahead of
+    clustering/ANN): two streaming passes like SQ8 above —
+
+      1. per-dim (Σx, Σx², n) partials reduce to 3·d driver floats;
+         μ = Σx/n, σ = sqrt(Σx²/n − μ²) (population, the same explicit
+         expression the SQL oracle evaluates — NOT a numerically
+         restyled stddev_samp, so both sides share the float path);
+      2. broadcast (μ, σ) once, z = (x − μ)/σ vectorized per batch.
+
+    Surface: (vec_id, z_sum_u) with z_sum_u = round(Σ_d z_d · 1e6) —
+    integer-exact under the ~1e-15 reassociation noise of the
+    distributed Σx partials (6 orders of margin)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, emb_col)
+        return pa.table(
+            {
+                "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "s2": pa.array([(m * m).sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "n": pa.array([len(m)], pa.int64()),
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    s2 = np.sum(np.stack(parts["s2"].to_numpy()), axis=0)
+    mu = s / n
+    sigma = np.sqrt(s2 / n - mu * mu)
+    stats_ref = ray.put((mu, np.where(sigma == 0.0, 1.0, sigma)))
+
+    def zed(batch: pa.Table) -> pa.Table:
+        m_, sd = ray.get(stats_ref)
+        m = _batch_matrix(batch, emb_col)
+        zs = ((m - m_) / sd).sum(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "z_sum_u": pa.array(np.round(zs * 1e6).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(zed, batch_format="pyarrow")

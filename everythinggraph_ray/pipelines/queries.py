@@ -2582,6 +2582,18 @@ def q_knn_ivf_top10(sf_dir):
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
+def q_emb_standardize(sf_dir):
+    """Per-dim z-score standardization of the embedding corpus
+    (datapipe/quantize.py standardize): two streaming passes (3·d
+    driver floats between them), integer surface round(Σ_d z · 1e6)."""
+    from everythinggraph_ray.datapipe.quantize import standardize
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return standardize(emb)
+
+
 def q_rel_featprop2(sf_dir):
     """Two rounds of GNN-style mean-aggregate feature propagation
     (graph/featprop.py): the embeddings table's first 4 dims pushed
@@ -6748,6 +6760,16 @@ ORACLES["docs_shard_assign"] = (
     "CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos "
     "FROM s"
 )
+ORACLES["emb_standardize"] = (
+    "WITH u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x, "
+    "generate_subscripts(embedding, 1) AS d FROM embeddings), "
+    "st AS (SELECT d, sum(x) / count(*) AS mu, "
+    "sqrt(sum(x * x) / count(*) - (sum(x) / count(*)) ^ 2) AS sigma "
+    "FROM u GROUP BY d), "
+    "z AS (SELECT vec_id, sum((x - mu) / (CASE WHEN sigma = 0 THEN 1 ELSE sigma END)) AS zs "
+    "FROM u JOIN st USING (d) GROUP BY vec_id) "
+    "SELECT vec_id, CAST(round(zs * 1e6) AS BIGINT) AS z_sum_u FROM z"
+)
 ORACLES["rel_featprop2"] = (
     f"WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})), "
     "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src), "
@@ -7232,6 +7254,7 @@ QUERIES = {
     "knn_pq_top10": q_knn_pq_top10,
     "emb_pq_codes": q_emb_pq_codes,
     "rel_featprop2": q_rel_featprop2,
+    "emb_standardize": q_emb_standardize,
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
     "events_props_sum": q_events_props_sum,

@@ -1142,3 +1142,25 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint():
     h0 = set(out[out.doc_id == 0]["h"])
     h1 = set(out[out.doc_id == 1]["h"])
     assert h0 & h1
+
+
+def test_standardize_matches_serial_and_constant_dim():
+    from everythinggraph_ray.datapipe.quantize import standardize
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(loc=2.0, scale=3.0, size=(80, 6)).astype(np.float32)
+    mat[:, 2] = 4.5  # constant dim -> sigma 0 -> guarded to 1, z = 0
+    df = pd.DataFrame(
+        {"vec_id": np.arange(80, dtype=np.int64), "embedding": list(mat)}
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = standardize(ds).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    m = mat.astype(np.float64)
+    mu = m.mean(axis=0)
+    sigma = np.sqrt((m * m).mean(axis=0) - mu * mu)
+    sigma = np.where(sigma == 0.0, 1.0, sigma)
+    want = np.round(((m - mu) / sigma).sum(axis=1) * 1e6).astype(np.int64)
+    assert got["z_sum_u"].tolist() == want.tolist()
+    # standardized dims have mean 0 / var 1: the per-dim z-sums across the
+    # corpus must each be ~0, so the total is ~0 too
+    assert abs(got["z_sum_u"].sum()) < 1e3 * 80
