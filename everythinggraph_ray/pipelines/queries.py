@@ -2774,6 +2774,87 @@ def q_events_sessions(sf_dir):
     return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
+def q22_lost_customers(sf_dir):
+    """TPC-H Q22-lite (no c_phone in this schema, so the cohort is all
+    customers): customers whose balance exceeds the positive-balance
+    average and who placed no LARGE order (o_totalprice > 300000 — the
+    cust_no_bigorder constant), rolled up per nation. The average gate
+    is the integer cross-multiply bal_u * cnt > sum_u (exact, no float
+    threshold); the no-big-orders gate is the bucketed ANTI join
+    (datapipe/joins.py). Two streaming passes over customer (scalar
+    pass + gate pass); orders is pruned to 2 columns at the read and
+    filtered before the join shuffle."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    def cohort(sf):
+        cust = ray.data.read_parquet(
+            os.path.join(sf, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            bal = np.round(
+                batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                    "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+                    "bal_u": pa.array(bal, pa.int64()),
+                }
+            )
+
+        return cust.map_batches(prep, batch_format="pyarrow")
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bal_u"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table(
+            {"su": pa.array([int(pos.sum())], pa.int64()),
+             "cnt": pa.array([len(pos)], pa.int64())}
+        )
+
+    sp = cohort(sf_dir).map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+    su, cnt = int(sp["su"].sum()), int(sp["cnt"].sum())
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = batch["bal_u"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b * cnt > su))
+
+    rich = cohort(sf_dir).map_batches(gate, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big_only(batch: pa.Table) -> pa.Table:
+        keep = batch["o_totalprice"].to_numpy(zero_copy_only=False) > 300000.0
+        return batch.filter(pa.array(keep)).select(["o_custkey"])
+
+    big = ords.map_batches(big_only, batch_format="pyarrow")
+    lost = hash_join(rich, big, on="c_custkey", right_on="o_custkey", how="anti")
+
+    def roll(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        b = batch["bal_u"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u, pa.int64()),
+                "n_cust": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "total_bal_u": pa.array(
+                    np.bincount(inv, weights=b).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = lost.map_batches(roll, batch_format="pyarrow")
+    out = sum_by_key(partials, "c_nationkey", ["n_cust", "total_bal_u"]).to_pandas()
+    if not len(out):  # schema-stable empty result
+        out = pd.DataFrame({"c_nationkey": [], "n_cust": [], "total_bal_u": []})
+    return out.astype("int64")
+
+
 def q_events_lag_stats(sf_dir):
     """Per-event lag-difference and running total within each user's
     time-ordered stream — the lag()/ROWS-UNBOUNDED-PRECEDING window
@@ -6385,6 +6466,15 @@ ORACLES: dict[str, str] = {
         "FROM q, embeddings e WHERE e.vec_id <> q.vec_id "
         "QUALIFY rank <= " + str(KNN_K)
     ),
+    "q22_lost_customers": (
+        "WITH c AS (SELECT c_custkey, c_nationkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_u FROM customer), "
+        "s AS (SELECT sum(bal_u) AS su, count(*) AS cnt FROM c WHERE bal_u > 0), "
+        "k AS (SELECT c.* FROM c, s WHERE c.bal_u * s.cnt > s.su AND NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)) "
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
+        "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
+    ),
     "events_lag_stats": (
         "WITH v AS (SELECT event_id, user_id, ts, "
         "CAST(round(value * 1e6) AS BIGINT) AS vu FROM events) "
@@ -7257,6 +7347,7 @@ QUERIES = {
     "emb_standardize": q_emb_standardize,
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
+    "q22_lost_customers": q22_lost_customers,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
