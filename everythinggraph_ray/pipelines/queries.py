@@ -2891,6 +2891,77 @@ def q_events_lag_stats(sf_dir):
     return bucketed_reduce(ev, bucket_of, win)
 
 
+def q_events_records(sf_dir):
+    """Running-record detection over the GLOBAL arrival order: events
+    whose value strictly exceeds every earlier event's value (event_id
+    order) — the sequential-looking scan made distributed with a
+    two-phase prefix-max (the pack_sequences prefix-scan shape,
+    datapipe/pack.py): phase 1 computes per-range partial maxima
+    (B driver ints), the driver prefix-folds them, phase 2 re-scans each
+    contiguous event_id range with its prefix seed and a vectorized
+    np.maximum.accumulate. ~ln N records expected on exchangeable
+    values; ties lose (strict >), matching the SQL window oracle."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+    n = ev.count()  # metadata-served; event_id is dense 0..N-1
+    B = 64
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def rng_of(batch: pa.Table) -> np.ndarray:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(eid) and eid.max() >= n:
+            raise ValueError("event_id not dense in [0, N)")
+        return eid * B // n
+
+    def part_max(batch: pa.Table) -> pa.Table:
+        b = rng_of(batch)
+        vu = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        u, inv = np.unique(b, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, vu)
+        return pa.table({"b": pa.array(u, pa.int64()), "mx": pa.array(mx, pa.int64())})
+
+    parts = ev.map_batches(part_max, batch_format="pyarrow").to_pandas()
+    gmax = parts.groupby("b")["mx"].max()
+    seed = np.full(B, np.iinfo(np.int64).min, np.int64)
+    for b, m in gmax.items():
+        seed[int(b)] = m
+    prefix = np.empty(B, np.int64)  # max over all buckets STRICTLY before b
+    run = np.iinfo(np.int64).min
+    for i in range(B):
+        prefix[i] = run
+        run = max(run, seed[i])
+    pref_ref = ray.put(prefix)
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return rng_of(batch)
+
+    def records(g: pa.Table) -> pa.Table:
+        pref = ray.get(pref_ref)
+        df = g.to_pandas().sort_values("event_id")
+        vu = np.round(df["value"].to_numpy() * 1e6).astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        before = np.empty(len(vu), np.int64)
+        before[0] = pref[int(eid[0] * B // n)]
+        if len(vu) > 1:
+            before[1:] = np.maximum(
+                np.maximum.accumulate(vu[:-1]), before[0]
+            )
+        keep = vu > before
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)[keep], pa.int64()),
+                "value_u": pa.array(vu[keep], pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(ev, bucket_of, records, num_buckets=B)
+
+
 def q_events_props_sum(sf_dir):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` string with ONE RE2 kernel
@@ -6475,6 +6546,13 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
         "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
     ),
+    "events_records": (
+        "WITH v AS (SELECT event_id, user_id, "
+        "CAST(round(value * 1e6) AS BIGINT) AS vu FROM events), "
+        "w AS (SELECT event_id, user_id, vu, max(vu) OVER "
+        "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM v) "
+        "SELECT event_id, user_id, vu AS value_u FROM w WHERE mx IS NULL OR vu > mx"
+    ),
     "events_lag_stats": (
         "WITH v AS (SELECT event_id, user_id, ts, "
         "CAST(round(value * 1e6) AS BIGINT) AS vu FROM events) "
@@ -7347,6 +7425,7 @@ QUERIES = {
     "emb_standardize": q_emb_standardize,
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
+    "events_records": q_events_records,
     "q22_lost_customers": q22_lost_customers,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,

@@ -445,3 +445,41 @@ def test_orders_skyline_matches_bruteforce(tmp_path):
     # and the surviving rows carry their original values
     row = res[res["o_orderkey"] == 900].iloc[0]
     assert row["o_totalprice"] == 5.0 and pd.Timestamp(row["o_orderdate"]) == base
+
+
+def test_events_records_matches_serial(tmp_path):
+    """Distributed prefix-max record detection equals the serial scan,
+    including records suppressed by a maximum set many buckets earlier
+    and strict-> tie losing."""
+    from everythinggraph_ray.pipelines.queries import q_events_records
+
+    rng = np.random.default_rng(21)
+    n = 500
+    vals = rng.normal(size=n)
+    vals[3] = 50.0  # early global max: every later bucket's prefix must see it
+    vals[400] = 50.0  # exact tie with the record -> NOT a record (strict >)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),
+            "ts": pd.to_datetime(np.arange(n), unit="m", origin="2024-01-01"),
+            "event_type": ["view"] * n,
+            "value": vals,
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+
+    res = q_events_records(str(d)).to_pandas().sort_values("event_id")
+    vu = np.round(vals * 1e6).astype(np.int64)
+    run = np.iinfo(np.int64).min
+    want = []
+    for i in range(n):
+        if vu[i] > run:
+            want.append(i)
+            run = vu[i]
+    assert res["event_id"].tolist() == want
+    assert 3 in want and 400 not in res["event_id"].tolist()
+    assert res["value_u"].tolist() == [int(vu[i]) for i in want]
