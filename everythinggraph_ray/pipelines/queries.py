@@ -2582,6 +2582,17 @@ def q_knn_ivf_top10(sf_dir):
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
+def q_rel_simrank8(sf_dir):
+    """Two exact SimRank iterations for seed vertices 0..7
+    (graph/simrank.py) — the recursive generalization of
+    rel_cocitation/rel_coupling; cocitation restricted by a broadcast
+    semi-join to the seed neighborhoods, wedge pairs via a src-grouped
+    combiner."""
+    from everythinggraph_ray.graph.simrank import simrank2
+
+    return simrank2(rel_edges(sf_dir), list(range(8)))
+
+
 def q_emb_standardize(sf_dir):
     """Per-dim z-score standardization of the embedding corpus
     (datapipe/quantize.py standardize): two streaming passes (3·d
@@ -6928,6 +6939,28 @@ ORACLES["docs_shard_assign"] = (
     "CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos "
     "FROM s"
 )
+ORACLES["rel_simrank8"] = (
+    f"WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})), "
+    "seeds(v) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)), "
+    "i AS (SELECT dst AS seed, src AS nb FROM e WHERE dst IN (SELECT v FROM seeds)), "
+    "ind AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst), "
+    "cc AS (SELECT e1.dst AS i, e2.dst AS j, CAST(count(*) AS DOUBLE) AS n "
+    "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst GROUP BY e1.dst, e2.dst), "
+    "p AS (SELECT a.seed AS sa, b.seed AS sb, a.nb AS i, b.nb AS j "
+    "FROM i a JOIN i b ON a.seed < b.seed), "
+    "contrib AS (SELECT p.sa, p.sb, "
+    "CASE WHEN p.i = p.j THEN 1.0 "  # s1(i,i)=1 even at indeg 0
+    "WHEN di.d IS NULL OR dj.d IS NULL THEN 0.0 "  # indeg-0 side: no common in-nbrs
+    "ELSE 0.8 * COALESCE(cc.n, 0) / (di.d * dj.d) END AS s1 "
+    "FROM p "
+    "LEFT JOIN cc ON cc.i = LEAST(p.i, p.j) AND cc.j = GREATEST(p.i, p.j) "
+    "LEFT JOIN ind di ON di.vid = p.i LEFT JOIN ind dj ON dj.vid = p.j), "
+    "counts AS (SELECT seed, CAST(count(*) AS DOUBLE) AS cnt FROM i GROUP BY seed) "
+    "SELECT sa AS seed_a, sb AS seed_b, "
+    "round(0.8 * sum(s1) / (ca.cnt * cb.cnt), 7) AS simrank "
+    "FROM contrib JOIN counts ca ON ca.seed = sa JOIN counts cb ON cb.seed = sb "
+    "GROUP BY sa, sb, ca.cnt, cb.cnt"
+)
 ORACLES["emb_standardize"] = (
     "WITH u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x, "
     "generate_subscripts(embedding, 1) AS d FROM embeddings), "
@@ -7423,6 +7456,7 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "rel_featprop2": q_rel_featprop2,
     "emb_standardize": q_emb_standardize,
+    "rel_simrank8": q_rel_simrank8,
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
     "events_records": q_events_records,
