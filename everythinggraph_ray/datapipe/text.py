@@ -477,3 +477,62 @@ def winnow_fingerprints(
         )
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def top_tokens_per_lang(
+    docs: ray.data.Dataset,
+    k: int = 10,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Grouped heavy hitters: the k most frequent words per language
+    (top_tokens generalized to a grouped final). Per-batch (lang, token)
+    partial counts (the combiner), (lang, token)-bucketed exact sums,
+    then grouped_top_k — the shuffle moves distinct (lang, token) pairs
+    and the final moves k·|langs| rows, never the corpus."""
+    import re as _re
+
+    from hashlib import blake2b
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, grouped_top_k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rx = _re.compile(WORD_RE)
+        cnt: dict[tuple[str, str], int] = {}
+        langs = batch[lang_col].to_pylist()
+        for lg, t in zip(langs, pc.utf8_lower(batch[text_col]).to_pylist()):
+            for w in rx.findall(t):
+                cnt[(lg, w)] = cnt.get((lg, w), 0) + 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                lang_col: pa.array([a for a, _ in ks], pa.string()),
+                "token": pa.array([b for _, b in ks], pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    blake2b(f"{lg}\x00{t}".encode(), digest_size=4).digest(), "little"
+                )
+                for lg, t in zip(batch[lang_col].to_pylist(), batch["token"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby([lang_col, "token"], as_index=False)["c"].sum()
+        df = df.rename(columns={"c": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"), bucket_of, red
+    )
+    return grouped_top_k(
+        agg, lang_col, [("n", False), ("token", True)], k, rank_col="rank"
+    )

@@ -2120,6 +2120,18 @@ def q_docs_langid(sf_dir):
     return lang_id(_docs(sf_dir))
 
 
+def q_docs_top_tokens_per_lang(sf_dir):
+    """Grouped heavy hitters: 10 most frequent words per language
+    (datapipe/text.py top_tokens_per_lang — (lang, token)-bucketed exact
+    counts, grouped_top_k final)."""
+    from everythinggraph_ray.datapipe.text import top_tokens_per_lang
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return top_tokens_per_lang(docs, k=10)
+
+
 def q_docs_bigram_lm(sf_dir):
     """Corpus-as-its-own-LM quality signal: per-doc bigram logprob with
     add-one smoothing over the observed bigram space (datapipe/lm.py —
@@ -6524,6 +6536,13 @@ ORACLES: dict[str, str] = {
         "round(coalesce(sc.lp, 0), 7) AS logprob "
         "FROM documents d LEFT JOIN sc USING (doc_id)"
     ),
+    "docs_top_tokens_per_lang": (
+        r"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
+        r"cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY lang, t) "
+        r"SELECT lang, t AS token, n, "
+        r"CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, t) AS BIGINT) AS rank "
+        r"FROM cnt QUALIFY rank <= 10"
+    ),
     "docs_top_tokens": (
         r"SELECT t AS token, count(*) AS n FROM "
         r"(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents) "
@@ -7432,6 +7451,7 @@ QUERIES = {
     "docs_lang_counts": q_docs_lang_counts,
     "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
     "docs_top_tokens": q_docs_top_tokens,
+    "docs_top_tokens_per_lang": q_docs_top_tokens_per_lang,
     "docs_bigram_lm": q_docs_bigram_lm,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,

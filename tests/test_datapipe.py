@@ -1164,3 +1164,34 @@ def test_standardize_matches_serial_and_constant_dim():
     # standardized dims have mean 0 / var 1: the per-dim z-sums across the
     # corpus must each be ~0, so the total is ~0 too
     assert abs(got["z_sum_u"].sum()) < 1e3 * 80
+
+
+def test_top_tokens_per_lang_matches_serial():
+    from everythinggraph_ray.datapipe.text import top_tokens_per_lang
+
+    docs = pd.DataFrame(
+        {
+            "lang": ["en", "en", "fr", "fr", "fr"],
+            "text": [
+                "the cat the dog",
+                "the CAT sat",
+                "le chat le chien le",
+                "chat chat",
+                "le miaou",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = (
+        top_tokens_per_lang(ds, k=2)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    # en: the=3, cat=2; fr: le=4, chat=3
+    assert got[["lang", "token", "n", "rank"]].values.tolist() == [
+        ["en", "the", 3, 1],
+        ["en", "cat", 2, 2],
+        ["fr", "le", 4, 1],
+        ["fr", "chat", 3, 2],
+    ]
