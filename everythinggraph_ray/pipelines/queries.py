@@ -2914,6 +2914,123 @@ def q_events_lag_stats(sf_dir):
     return bucketed_reduce(ev, bucket_of, win)
 
 
+def q_events_ks(sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'click' and 'purchase' events — the distribution-
+    drift detector of data-quality monitoring. All-integer: KS =
+    max|s1·n2 − s2·n1| / (n1·n2) over the pooled distinct values, so
+    the surface is the (numerator, denominator) pair, hash-exact.
+
+    Distributed shape — the events_records prefix-scan transplanted to
+    the VALUE axis: pass 1 ranges values into B buckets by value and
+    folds per-bucket (distinct-value, c1, c2) partials; the driver
+    prefix-sums only the 2·B bucket totals; pass 2 re-groups each value
+    range, cumsums within it seeded by the bucket prefix, and emits one
+    max-deviation row per bucket. Driver state is O(B), never
+    O(distinct values)."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    G1, G2 = "click", "purchase"
+
+    def vu_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        et = batch["event_type"].to_pylist()
+        vu = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        g = np.array([1 if t == G1 else (2 if t == G2 else 0) for t in et], np.int8)
+        keep = g > 0
+        return vu[keep], g[keep]
+
+    # pass 0+1 fused: min/max AND totals ride one partial pass
+    def scan_partial(batch: pa.Table) -> pa.Table:
+        vu, g = vu_of(batch)
+        if not len(vu):
+            return pa.table(
+                {"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64()),
+                 "n1": pa.array([], pa.int64()), "n2": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "mn": pa.array([int(vu.min())], pa.int64()),
+                "mx": pa.array([int(vu.max())], pa.int64()),
+                "n1": pa.array([int((g == 1).sum())], pa.int64()),
+                "n2": pa.array([int((g == 2).sum())], pa.int64()),
+            }
+        )
+
+    sp = ev.map_batches(scan_partial, batch_format="pyarrow").to_pandas()
+    if not len(sp):
+        return pd.DataFrame({"ks_num": [], "ks_den": []}).astype("int64")
+    mn, mx = int(sp["mn"].min()), int(sp["mx"].max())
+    n1, n2 = int(sp["n1"].sum()), int(sp["n2"].sum())
+    B = 64
+    span = mx - mn + 1
+
+    def bucket_arr(vu: np.ndarray) -> np.ndarray:
+        return (vu - mn) * B // span
+
+    # per-bucket group totals (for the prefix seeds): tiny second scan of
+    # the same partial shape, 2·B rows to the driver
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        vu, g = vu_of(batch)
+        b = bucket_arr(vu)
+        key = b * 2 + (g - 1)
+        u, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"b": pa.array((u // 2).astype(np.int64), pa.int64()),
+             "g": pa.array((u % 2).astype(np.int64), pa.int64()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    tp = ev.map_batches(tot_partial, batch_format="pyarrow").to_pandas()
+    tp = tp.groupby(["b", "g"])["n"].sum()
+    seed1 = np.zeros(B, np.int64)
+    seed2 = np.zeros(B, np.int64)
+    for (b, g), n in tp.items():
+        (seed1 if g == 0 else seed2)[int(b)] = n
+    pre1 = np.r_[0, np.cumsum(seed1)[:-1]]  # counts strictly before bucket b
+    pre2 = np.r_[0, np.cumsum(seed2)[:-1]]
+    pref_ref = ray.put((pre1, pre2, n1, n2))
+
+    def row_bucket(batch: pa.Table) -> np.ndarray:
+        vu = np.round(batch["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        et = batch["event_type"].to_pylist()
+        g = np.array([1 if t == G1 else (2 if t == G2 else 0) for t in et], np.int8)
+        b = bucket_arr(vu)
+        # other event types ride along (-1 % B folds them into bucket
+        # B-1) and are dropped by vu_of inside the reducer — real buckets
+        # never collide since bucket_arr is already in [0, B)
+        b[g == 0] = -1
+        return b
+
+    def dev_max(g: pa.Table) -> pa.Table:
+        p1, p2, N1, N2 = ray.get(pref_ref)
+        vu, gg = vu_of(g)
+        if not len(vu):
+            return pa.table({"dev": pa.array([], pa.int64())})
+        b = int(bucket_arr(vu[:1])[0])
+        order = np.argsort(vu, kind="stable")
+        vu, gg = vu[order], gg[order]
+        st = np.flatnonzero(np.r_[True, vu[1:] != vu[:-1]])
+        c1 = np.bincount(
+            np.searchsorted(vu[st], vu[gg == 1]), minlength=len(st)
+        ).astype(np.int64)
+        c2 = np.bincount(
+            np.searchsorted(vu[st], vu[gg == 2]), minlength=len(st)
+        ).astype(np.int64)
+        s1 = p1[b] + np.cumsum(c1)
+        s2 = p2[b] + np.cumsum(c2)
+        dev = np.abs(s1 * N2 - s2 * N1)
+        return pa.table({"dev": pa.array([int(dev.max())], pa.int64())})
+
+    devs = bucketed_reduce(ev, row_bucket, dev_max, num_buckets=B).to_pandas()
+    ks_num = int(devs["dev"].max()) if len(devs) else 0
+    return pd.DataFrame({"ks_num": [ks_num], "ks_den": [n1 * n2]}).astype("int64")
+
+
 def q_events_records(sf_dir):
     """Running-record detection over the GLOBAL arrival order: events
     whose value strictly exceeds every earlier event's value (event_id
@@ -6576,6 +6693,18 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
         "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
     ),
+    "events_ks": (
+        "WITH v AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS vu, event_type "
+        "FROM events WHERE event_type IN ('click', 'purchase')), "
+        "d AS (SELECT vu, count(*) FILTER (event_type = 'click') AS c1, "
+        "count(*) FILTER (event_type = 'purchase') AS c2 FROM v GROUP BY vu), "
+        "c AS (SELECT vu, sum(c1) OVER (ORDER BY vu) AS s1, "
+        "sum(c2) OVER (ORDER BY vu) AS s2 FROM d), "
+        "t AS (SELECT count(*) FILTER (event_type = 'click') AS n1, "
+        "count(*) FILTER (event_type = 'purchase') AS n2 FROM v) "
+        "SELECT CAST(max(abs(s1 * n2 - s2 * n1)) AS BIGINT) AS ks_num, "
+        "CAST(n1 * n2 AS BIGINT) AS ks_den FROM c, t GROUP BY n1, n2"
+    ),
     "events_records": (
         "WITH v AS (SELECT event_id, user_id, "
         "CAST(round(value * 1e6) AS BIGINT) AS vu FROM events), "
@@ -7480,6 +7609,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
     "events_records": q_events_records,
+    "events_ks": q_events_ks,
     "q22_lost_customers": q22_lost_customers,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,

@@ -483,3 +483,42 @@ def test_events_records_matches_serial(tmp_path):
     assert res["event_id"].tolist() == want
     assert 3 in want and 400 not in res["event_id"].tolist()
     assert res["value_u"].tolist() == [int(vu[i]) for i in want]
+
+
+def test_events_ks_matches_scipy_style_serial(tmp_path):
+    """Integer-exact KS equals the serial pooled-EDF computation on data
+    engineered so the max deviation straddles a bucket boundary."""
+    from everythinggraph_ray.pipelines.queries import q_events_ks
+
+    rng = np.random.default_rng(8)
+    n = 600
+    types = np.where(rng.random(n) < 0.5, "click", "purchase")
+    vals = np.where(types == "click", rng.normal(0, 1, n), rng.normal(0.7, 1, n))
+    # sprinkle other types that must be ignored
+    types[::10] = "view"
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(n), unit="m", origin="2024-01-01"),
+            "event_type": types,
+            "value": vals,
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+
+    res = q_events_ks(str(d))
+    vu = np.round(vals * 1e6).astype(np.int64)
+    a = np.sort(vu[types == "click"])
+    b = np.sort(vu[types == "purchase"])
+    n1, n2 = len(a), len(b)
+    pool = np.unique(np.r_[a, b])
+    s1 = np.searchsorted(a, pool, side="right")
+    s2 = np.searchsorted(b, pool, side="right")
+    want = int(np.max(np.abs(s1 * n2 - s2 * n1)))
+    assert res["ks_num"].iloc[0] == want
+    assert res["ks_den"].iloc[0] == n1 * n2
+    assert want > 0
