@@ -2594,6 +2594,32 @@ def q_knn_ivf_top10(sf_dir):
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
+def q_rel_partition_cut(sf_dir):
+    """Edge-cut cost of the engine's own hash partitioner (src%P vs
+    dst%P, P=8 — graph/build.py _add_part_column): the fraction of
+    edges whose scatter crosses partitions IS the per-superstep exchange
+    volume the BSP engine pays, so the metric that justifies hub
+    mirroring rides the driver surface. One streaming aggregate
+    (per-batch partial counts, 3 driver ints)."""
+    e = rel_edges(sf_dir)
+    P = 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        cut = int(((s % P) != (d % P)).sum())
+        return pa.table(
+            {"n_edges": pa.array([len(s)], pa.int64()),
+             "n_cut": pa.array([cut], pa.int64())}
+        )
+
+    parts = e.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, c = int(parts["n_edges"].sum()), int(parts["n_cut"].sum())
+    return pd.DataFrame(
+        {"n_edges": [n], "n_cut": [c], "cut_milli": [c * 1000 // n if n else 0]}
+    ).astype("int64")
+
+
 def q_rel_simrank8(sf_dir):
     """Two exact SimRank iterations for seed vertices 0..7
     (graph/simrank.py) — the recursive generalization of
@@ -7087,6 +7113,13 @@ ORACLES["docs_shard_assign"] = (
     "CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos "
     "FROM s"
 )
+ORACLES["rel_partition_cut"] = (
+    f"WITH e AS ({SQL_REL_EDGES}) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+    "CAST(count(*) FILTER (src % 8 <> dst % 8) AS BIGINT) AS n_cut, "
+    "CAST(count(*) FILTER (src % 8 <> dst % 8) * 1000 // count(*) AS BIGINT) AS cut_milli "
+    "FROM e"
+)
 ORACLES["rel_simrank8"] = (
     f"WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})), "
     "seeds(v) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)), "
@@ -7606,6 +7639,7 @@ QUERIES = {
     "rel_featprop2": q_rel_featprop2,
     "emb_standardize": q_emb_standardize,
     "rel_simrank8": q_rel_simrank8,
+    "rel_partition_cut": q_rel_partition_cut,
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
     "events_records": q_events_records,
