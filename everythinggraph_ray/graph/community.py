@@ -283,3 +283,57 @@ def louvain_serial(
     return pd.DataFrame(
         {"vid": vids, "community": [comm[v] for v in vids]}
     ).astype("int64")
+
+
+def community_conductance(
+    edges: ray.data.Dataset, labels: ray.data.Dataset, *, min_size: int = 1
+) -> ray.data.Dataset:
+    """(community, vol, cut) per community over the simple undirected
+    graph: vol(c) = Σ_{v∈c} deg(v), cut(c) = boundary edge-endpoints
+    (each cut edge counted once from each side), so conductance =
+    cut / min(vol, 2m − vol) is exactly reconstructable from the integer
+    surface. Composition shape: the symmetrized edge list streams
+    through two bucketed hash_joins (labels attach to each endpoint —
+    labels are a VERTEX-sized table, co-partitioned by the same mix64
+    buckets, never a broadcast), then per-batch per-community partials
+    reduce through sum_by_key."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+    from everythinggraph_ray.stages.agg import sum_by_key
+
+    sym = _und_sym(edges)
+    lab_src = labels.map_batches(
+        lambda b: pa.table({"m": b["vid"], "c_src": b["community"]}),
+        batch_format="pyarrow",
+    )
+    lab_dst = labels.map_batches(
+        lambda b: pa.table({"n": b["vid"], "c_dst": b["community"]}),
+        batch_format="pyarrow",
+    )
+    e1 = hash_join(sym, lab_src, on="m", right_cols=["c_src"])
+    e2 = hash_join(e1, lab_dst, on="n", right_cols=["c_dst"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cs = batch["c_src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = batch["c_dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(cs, return_inverse=True)
+        vol = np.bincount(inv).astype(np.int64)
+        cut = np.bincount(inv, weights=(cs != cd)).astype(np.int64)
+        return pa.table(
+            {
+                "community": pa.array(u, pa.int64()),
+                "vol": pa.array(vol, pa.int64()),
+                "cut": pa.array(cut, pa.int64()),
+            }
+        )
+
+    out = sum_by_key(
+        e2.map_batches(partial, batch_format="pyarrow"), "community", ["vol", "cut"]
+    )
+    if min_size > 1:
+        def gate(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(batch["vol"].to_numpy(zero_copy_only=False) >= min_size)
+            )
+
+        out = out.map_batches(gate, batch_format="pyarrow")
+    return out

@@ -2594,6 +2594,25 @@ def q_knn_ivf_top10(sf_dir):
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
 
+def q_rel_conductance(sf_dir):
+    """Per-community conductance surface (community, vol, cut) for the
+    louvain partition (graph/community.py community_conductance) —
+    conductance = cut/min(vol, 2m−vol) is reconstructable exactly from
+    the integer columns. Rows-only (louvain has no SQL form); the
+    composition is pytest-checked against a serial reference."""
+    from everythinggraph_ray.graph.community import (
+        community_conductance,
+        louvain_one_level,
+    )
+
+    e = rel_edges(sf_dir)
+    labels = louvain_one_level(e, n_rounds=3)
+    return _typed_collect(
+        community_conductance(e, labels),
+        {"community": "int64", "vol": "int64", "cut": "int64"},
+    )
+
+
 def q_rel_partition_cut(sf_dir):
     """Edge-cut cost of the engine's own hash partitioner (src%P vs
     dst%P, P=8 — graph/build.py _add_part_column): the fraction of
@@ -7640,6 +7659,7 @@ QUERIES = {
     "emb_standardize": q_emb_standardize,
     "rel_simrank8": q_rel_simrank8,
     "rel_partition_cut": q_rel_partition_cut,
+    "rel_conductance": q_rel_conductance,
     "events_funnel": q_events_funnel,
     "events_lag_stats": q_events_lag_stats,
     "events_records": q_events_records,

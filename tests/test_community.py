@@ -91,3 +91,43 @@ def test_louvain_partition_invariant():
     )
     want = louvain_serial(sv, dv, n_rounds=2)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_community_conductance_matches_serial():
+    from everythinggraph_ray.graph.community import (
+        community_conductance,
+        louvain_one_level,
+        louvain_serial,
+    )
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 40, 500).astype(np.int64)
+    dst = rng.integers(0, 40, 500).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    labels = louvain_one_level(ds, n_rounds=3)
+    got = (
+        community_conductance(ds, labels)
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+    # serial: same simple undirected graph, same labels
+    lab = dict(
+        louvain_serial(src, dst, n_rounds=3)[["vid", "community"]].values.tolist()
+    )
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    keep = lo != hi
+    pairs = set(map(tuple, np.stack([lo[keep], hi[keep]], axis=1).tolist()))
+    vol: dict[int, int] = {}
+    cut: dict[int, int] = {}
+    for a, b in pairs:
+        ca, cb = lab[a], lab[b]
+        vol[ca] = vol.get(ca, 0) + 1
+        vol[cb] = vol.get(cb, 0) + 1
+        if ca != cb:
+            cut[ca] = cut.get(ca, 0) + 1
+            cut[cb] = cut.get(cb, 0) + 1
+    want = sorted((c, vol[c], cut.get(c, 0)) for c in vol)
+    assert [tuple(r) for r in got[["community", "vol", "cut"]].values.tolist()] == want
