@@ -2132,6 +2132,72 @@ def q_docs_top_tokens_per_lang(sf_dir):
     return top_tokens_per_lang(docs, k=10)
 
 
+def q_docs_lang_entropy(sf_dir):
+    """Unigram Shannon entropy of each language's word distribution —
+    the vocabulary-diversity signal (H = ln N − Σ c·ln c / N over exact
+    token counts). Machinery: the (lang, token)-bucketed exact counts of
+    top_tokens_per_lang, then per-batch (lang, Σn, Σ n·ln n) partials
+    reduce to #langs driver rows. round 7 (the pagerank10 float device);
+    every ln term is over an exact integer shared with the SQL."""
+    from hashlib import blake2b
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    import re as _re
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rx = _re.compile(WORD_RE)
+        cnt: dict[tuple[str, str], int] = {}
+        for lg, t in zip(
+            batch["lang"].to_pylist(), pc.utf8_lower(batch["text"]).to_pylist()
+        ):
+            for w in rx.findall(t):
+                cnt[(lg, w)] = cnt.get((lg, w), 0) + 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "lang": pa.array([a for a, _ in ks], pa.string()),
+                "token": pa.array([b for _, b in ks], pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    blake2b(f"{lg}\x00{t}".encode(), digest_size=4).digest(), "little"
+                )
+                for lg, t in zip(batch["lang"].to_pylist(), batch["token"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["lang", "token"], as_index=False)["c"].sum()
+        n = df["c"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"lang": df["lang"], "n": n, "nln": n * np.log(n)}
+        ).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"), bucket_of, red
+    ).to_pandas()
+    g = parts.groupby("lang", as_index=False).sum()
+    N = g["n"].to_numpy(np.int64)
+    ent = np.round(np.log(N) - g["nln"].to_numpy() / N, 7)
+    return pd.DataFrame(
+        {"lang": g["lang"], "n_tokens": N, "entropy": ent}
+    ).astype({"lang": "string", "n_tokens": "int64", "entropy": "float64"})
+
+
 def q_docs_bigram_lm(sf_dir):
     """Corpus-as-its-own-LM quality signal: per-doc bigram logprob with
     add-one smoothing over the observed bigram space (datapipe/lm.py —
@@ -2957,6 +3023,73 @@ def q_events_lag_stats(sf_dir):
         )
 
     return bucketed_reduce(ev, bucket_of, win)
+
+
+def q_events_xcorr(sf_dir):
+    """Integer-exact Pearson building blocks for the cross-correlation
+    of the 'click' and 'purchase' HOURLY count series — the time-series
+    co-movement statistic of metric monitoring. The hour axis is the
+    union of hours where either series has events (missing → 0). All
+    six sums are exact int64, so r = (n·sxy − sx·sy) /
+    √(n·sxx−sx²)·√(n·syy−sy²) reconstructs losslessly; the surface is
+    the sums, hash-exact. One streaming pass: per-batch (hour, g)
+    partial counts → hour-bucketed exact sums → the bounded hour table
+    reduces to 6 driver ints."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    from everythinggraph_ray.stages.agg import mix64, sum_by_key_pair
+
+    G1, G2 = "click", "purchase"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        g = np.array([1 if t == G1 else (2 if t == G2 else 0) for t in et], np.int8)
+        keep = g > 0
+        h, g = hour[keep], g[keep]
+        key = h * 2 + (g - 1)
+        u, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"hour": pa.array((u // 2).astype(np.int64), pa.int64()),
+             "g": pa.array((u % 2).astype(np.int64), pa.int64()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    agg = sum_by_key_pair(
+        ev.map_batches(partial, batch_format="pyarrow"), "hour", "g", ["n"]
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        piv = df.pivot_table(index="hour", columns="g", values="n", fill_value=0)
+        x = piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+        y = piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+        return pa.table(
+            {
+                "n_hours": pa.array([len(piv)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    # hour-bucketed: each hour's (g=0, g=1) pair lands in ONE fold batch
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["hour"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    parts = bucketed_reduce(agg, bucket_of, fold).to_pandas()
+    cols = ["n_hours", "sx", "sy", "sxx", "syy", "sxy"]
+    if not len(parts):
+        return pd.DataFrame({c: [0] for c in cols}).astype("int64")
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in cols}).astype("int64")
 
 
 def q_events_ks(sf_dir):
@@ -6698,6 +6831,12 @@ ORACLES: dict[str, str] = {
         "round(coalesce(sc.lp, 0), 7) AS logprob "
         "FROM documents d LEFT JOIN sc USING (doc_id)"
     ),
+    "docs_lang_entropy": (
+        r"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
+        r"cnt AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t), "
+        r"s AS (SELECT lang, sum(n) AS N, sum(n * ln(n)) AS snln FROM cnt GROUP BY lang) "
+        r"SELECT lang, CAST(N AS BIGINT) AS n_tokens, round(ln(N) - snln / N, 7) AS entropy FROM s"
+    ),
     "docs_top_tokens_per_lang": (
         r"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
         r"cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY lang, t) "
@@ -6737,6 +6876,16 @@ ORACLES: dict[str, str] = {
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)) "
         "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
         "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
+    ),
+    "events_xcorr": (
+        "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+        "count(*) FILTER (event_type = 'click') AS x, "
+        "count(*) FILTER (event_type = 'purchase') AS y "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY hour) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_hours, "
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, "
+        "CAST(sum(x * y) AS BIGINT) AS sxy FROM h"
     ),
     "events_ks": (
         "WITH v AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS vu, event_type "
@@ -7633,6 +7782,7 @@ QUERIES = {
     "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_top_tokens_per_lang": q_docs_top_tokens_per_lang,
+    "docs_lang_entropy": q_docs_lang_entropy,
     "docs_bigram_lm": q_docs_bigram_lm,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
@@ -7664,6 +7814,7 @@ QUERIES = {
     "events_lag_stats": q_events_lag_stats,
     "events_records": q_events_records,
     "events_ks": q_events_ks,
+    "events_xcorr": q_events_xcorr,
     "q22_lost_customers": q22_lost_customers,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,

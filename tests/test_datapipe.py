@@ -1195,3 +1195,40 @@ def test_top_tokens_per_lang_matches_serial():
         ["fr", "le", 4, 1],
         ["fr", "chat", 3, 2],
     ]
+
+
+def test_docs_lang_entropy_matches_serial(tmp_path):
+    import re
+    from collections import Counter
+
+    from everythinggraph_ray.pipelines.queries import q_docs_lang_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "lang": ["en", "en", "en", "fr", "fr", "fr"],
+            "source": ["w"] * 6,
+            "text": [
+                "aa bb aa cc",
+                "bb bb dd",
+                "aa",
+                "xx yy",
+                "xx xx zz zz zz",
+                "yy",
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    res = q_docs_lang_entropy(str(d)).sort_values("lang").reset_index(drop=True)
+    for lg in ("en", "fr"):
+        toks = re.findall(
+            r"[a-z0-9]+", " ".join(docs[docs.lang == lg].text.str.lower())
+        )
+        c = np.array(list(Counter(toks).values()), dtype=np.int64)
+        N = c.sum()
+        want = round(float(np.log(N) - (c * np.log(c)).sum() / N), 7)
+        row = res[res.lang == lg].iloc[0]
+        assert row["n_tokens"] == N
+        assert row["entropy"] == want

@@ -522,3 +522,41 @@ def test_events_ks_matches_scipy_style_serial(tmp_path):
     assert res["ks_num"].iloc[0] == want
     assert res["ks_den"].iloc[0] == n1 * n2
     assert want > 0
+
+
+def test_events_xcorr_matches_serial(tmp_path):
+    from everythinggraph_ray.pipelines.queries import q_events_xcorr
+
+    rng = np.random.default_rng(4)
+    n = 500
+    types = np.array(["click", "purchase", "view"])[rng.integers(0, 3, n)]
+    ts = pd.to_datetime(
+        rng.integers(0, 72 * 3600, n), unit="s", origin="2024-01-01"
+    ).astype("datetime64[us]")  # testdata convention: µs storage
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": ts,
+            "event_type": types,
+            "value": np.zeros(n),
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+
+    res = q_events_xcorr(str(d))
+    hours = (ts.astype("int64") // 3_600_000_000).to_numpy()  # µs → hours
+    mask = np.isin(types, ["click", "purchase"])
+    hsel = hours[mask]
+    tsel = types[mask]
+    uh = np.unique(hsel)
+    x = np.array([(tsel[hsel == h] == "click").sum() for h in uh], np.int64)
+    y = np.array([(tsel[hsel == h] == "purchase").sum() for h in uh], np.int64)
+    assert res["n_hours"].iloc[0] == len(uh)
+    assert res["sx"].iloc[0] == x.sum() and res["sy"].iloc[0] == y.sum()
+    assert res["sxx"].iloc[0] == (x * x).sum()
+    assert res["syy"].iloc[0] == (y * y).sum()
+    assert res["sxy"].iloc[0] == (x * y).sum()
