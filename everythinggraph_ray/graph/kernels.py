@@ -940,3 +940,56 @@ class SpMVEdgeCentricKernel(Kernel):
 
     def apply(self, old, agg, has_msg, ctx):
         return agg, np.ones(len(old), dtype=bool), float("inf")
+
+
+class LatestDepartureKernel(Kernel):
+    """Temporal latest-departure reachability — the time-reversed dual
+    of EarliestArrivalKernel: over the REVERSED temporal build (each
+    reversed edge u→v carries the ORIGINAL edge's (v, u, t) timestamp),
+    departure(v) is the latest time one can leave v and still reach the
+    target along a time-respecting (non-decreasing) path.
+    departure(target) = CAP (any last-hop time qualifies);
+    departure(v) = max over original edges (v, u, t) with
+    t <= departure(u) of t; -inf when the target is unreachable. The
+    MAX-semiring with the same edge-dependent gate-then-emit transfer
+    as arrival (gate on the sender's value, emit the edge's own
+    timestamp) — rides the widest-path max machinery unchanged.
+    Resend-safe: the gate is idempotent."""
+
+    name = "departure"
+    combine = "max"
+    frontier = True
+    needs_weights = True
+    dtype = np.float64
+    resend_safe = True
+
+    CAP_INIT = 1e18  # exactly representable; sorts above any timestamp
+
+    def send_mask(self, vals):
+        return vals != -np.inf
+
+    def __init__(self, target: int):
+        self.target = int(target)
+
+    def init_values(self, vids, outdeg, ctx):
+        d = np.full(len(vids), -np.inf)
+        i = np.searchsorted(vids, self.target)
+        if i < len(vids) and vids[i] == self.target:
+            d[i] = self.CAP_INIT
+        return d
+
+    def init_active(self, vids, ctx):
+        a = np.zeros(len(vids), dtype=bool)
+        i = np.searchsorted(vids, self.target)
+        if i < len(vids) and vids[i] == self.target:
+            a[i] = True
+        return a
+
+    def edge_values(self, per_edge, weights):
+        return np.where(weights <= per_edge, weights, -np.inf)
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg > old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0

@@ -432,6 +432,57 @@ def q_rel_earliest_arrival(sf_dir):
     )
 
 
+def q_rel_latest_departure(sf_dir):
+    """Temporal latest-departure to target vid 0 — the time-reversed
+    dual of rel_earliest_arrival (graph/kernels.py
+    LatestDepartureKernel): REVERSED temporal edges carry the original
+    timestamps, the MAX-semiring propagates the latest feasible leave
+    time backwards along time-respecting paths. Emits (vid, departure)
+    for non-target vertices that can still reach 0."""
+    from everythinggraph_ray.graph.kernels import LatestDepartureKernel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_shipdate"],
+    )
+
+    def derive_rev(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        t = (
+            batch["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "src": pa.array(p % REL_V, pa.int64()),  # reversed
+                "dst": pa.array(o % REL_V, pa.int64()),
+                "weight": pa.array(t.astype(np.float64), pa.float64()),
+            }
+        )
+
+    bdir = build_dir_for(f"reltimerev|{sf_dir}", 8)
+    build_graph(
+        ds.map_batches(derive_rev, batch_format="pyarrow"),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,
+        weighted=True,
+    )
+    df = _run_engine(bdir, LatestDepartureKernel(target=0))
+    v = df["departure"].to_numpy()
+    keep = (v != -np.inf) & (df["vid"].to_numpy(np.int64) != 0)
+    df = df[keep]
+    return pd.DataFrame(
+        {
+            "vid": df["vid"].to_numpy(np.int64),
+            "departure": df["departure"].to_numpy(np.int64),
+        }
+    )
+
+
 HITTING_HORIZON, HITTING_SEED_MOD = 8, 10
 
 
@@ -6267,6 +6318,18 @@ ORACLES: dict[str, str] = {
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
     "rel_hitting8": _hitting8_sql(),
+    "rel_latest_departure": (
+        # time-reversed dual of rel_earliest_arrival: states (vid, dep)
+        # are feasible leave times of temporal walks INTO the target;
+        # the sentinel 10^15 plays the kernel's CAP at the target, max
+        # per vid outside the recursion, target excluded from output.
+        "WITH RECURSIVE e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, "
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS t "
+        "FROM lineitem), "
+        "r(vid, dep) AS (SELECT CAST(0 AS BIGINT), CAST(1000000000000000 AS BIGINT) UNION "
+        "SELECT e.src, e.t FROM r JOIN e ON e.dst = r.vid AND e.t <= r.dep) "
+        "SELECT vid, max(dep) AS departure FROM r WHERE vid <> 0 GROUP BY vid"
+    ),
     "rel_earliest_arrival": (
         # time-respecting path enumeration: states (vid, arr) are the
         # arrival times of temporal walks; UNION dedups per round, the
@@ -7704,6 +7767,7 @@ QUERIES = {
     "rel_katz10": q_rel_katz10,
     "rel_hitting8": q_rel_hitting8,
     "rel_earliest_arrival": q_rel_earliest_arrival,
+    "rel_latest_departure": q_rel_latest_departure,
     "rel_eigen10": q_rel_eigen10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,

@@ -973,3 +973,63 @@ def test_earliest_arrival_respects_time_ordering(tmp_path):
     got = run(sv, dv, tv)
     for v, a in got.items():
         assert (np.isinf(a) and np.isinf(arr[v])) or a == arr[v], v
+
+
+def test_latest_departure_respects_time_ordering(tmp_path):
+    """Latest-departure kernel (time-reversed dual): edges that depart
+    AFTER the downstream departure budget must not be usable, and the
+    serial label-correcting fixpoint agrees on a random temporal
+    graph."""
+    import pyarrow as pa
+
+    import ray.data
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import LatestDepartureKernel
+
+    def run(sv, dv, tv, target=0, parts=4):
+        # REVERSED build: original edge (s, d, t) becomes (d, s, t)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(dv, pa.int64()),
+                    "dst": pa.array(sv, pa.int64()),
+                    "weight": pa.array(np.asarray(tv, np.float64), pa.float64()),
+                }
+            )
+        )
+        bdir = str(tmp_path / f"ld_{len(sv)}_{parts}")
+        build_graph(ds, bdir, num_partitions=parts, weighted=True, hub_threshold=10**9)
+        eng = GraphEngine(bdir)
+        try:
+            res = eng.run(LatestDepartureKernel(target=target))
+            vids, dep = _vals(res, "departure")
+        finally:
+            eng.shutdown()
+        return dict(zip(vids.tolist(), dep.tolist()))
+
+    # 2 -(t3)-> 1 -(t5)-> 0 : leave 2 at 3, then 1 at 5 — fine (dep(2)=3);
+    # 3 -(t9)-> 1 : departs after 1's budget (5) — unusable, 3 unreachable.
+    got = run([2, 1, 3], [1, 0, 1], [3, 5, 9])
+    assert got[1] == 5.0 and got[2] == 3.0
+    assert got[3] == -np.inf
+
+    # random temporal graph vs serial fixpoint
+    rng = np.random.default_rng(12)
+    n, m = 40, 300
+    sv = rng.integers(0, n, m).astype(np.int64)
+    dv = rng.integers(0, n, m).astype(np.int64)
+    tv = rng.integers(1, 50, m).astype(np.int64)
+    CAP = 1e18
+    dep = {v: -np.inf for v in range(n)}
+    dep[0] = CAP
+    for _ in range(n):
+        changed = False
+        for a, b, t in zip(sv.tolist(), dv.tolist(), tv.tolist()):
+            if t <= dep[b] and t > dep[a]:
+                dep[a] = float(t)
+                changed = True
+        if not changed:
+            break
+    got = run(sv, dv, tv)
+    for v, d in got.items():
+        assert d == dep[v], v
