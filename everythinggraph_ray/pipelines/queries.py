@@ -2959,6 +2959,36 @@ def q_events_sessions(sf_dir):
     return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
+def q_lineitem_ols(sf_dir):
+    """Grouped least-squares building blocks: per returnflag, the exact
+    integer sums (n, Σx, Σy, Σx², Σxy) for the regression of
+    extendedprice (cents) on quantity — slope/intercept/correlation
+    reconstruct losslessly from the surface, so the 'grouped ML
+    aggregate' family rides the hash gate. One streaming pass of
+    per-batch partials; the 3-group table reduces on the driver."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch["l_returnflag"].to_pylist()
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"f": f, "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+        g = df.groupby("f", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("f", as_index=False).sum().rename(columns={"f": "l_returnflag"})
+    return g.astype(
+        {"l_returnflag": "string", "n": "int64", "sx": "int64",
+         "sy": "int64", "sxx": "int64", "sxy": "int64"}
+    )
+
+
 def q22_lost_customers(sf_dir):
     """TPC-H Q22-lite (no c_phone in this schema, so the cohort is all
     customers): customers whose balance exceeds the positive-balance
@@ -6931,6 +6961,14 @@ ORACLES: dict[str, str] = {
         "FROM q, embeddings e WHERE e.vec_id <> q.vec_id "
         "QUALIFY rank <= " + str(KNN_K)
     ),
+    "lineitem_ols": (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy, "
+        "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx, "
+        "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     "q22_lost_customers": (
         "WITH c AS (SELECT c_custkey, c_nationkey, "
         "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_u FROM customer), "
@@ -7880,6 +7918,7 @@ QUERIES = {
     "events_ks": q_events_ks,
     "events_xcorr": q_events_xcorr,
     "q22_lost_customers": q22_lost_customers,
+    "lineitem_ols": q_lineitem_ols,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
