@@ -528,3 +528,146 @@ def minhash_signatures_md5(
     return docs.select_columns([id_col, text_col]).map_batches(
         sigs, batch_format="pyarrow"
     )
+
+
+def snm_near_duplicates(
+    docs: ray.data.Dataset,
+    *,
+    window: int = 5,
+    threshold_milli: int = 700,
+    key_len: int = 32,
+    num_ranges: int = 32,
+    sample_cap: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Sorted-neighborhood near-duplicate detection (Hernández &
+    Stolfo, SIGMOD 1995) — the ORDER-based blocking complement of the
+    hash-based MinHash/SimHash paths: docs sort by a normalized prefix
+    key and only rows within ``window`` positions of each other in that
+    global order are compared (3-token-shingle Jaccard ≥
+    threshold_milli/1000). Returns (a, b, jac_milli), a < b.
+
+    Distributed shape — overlapping RANGE blocks, no global sort
+    materialization:
+      1. a bounded mix64 key sample (the knn_ivf sampling device) gives
+         ``num_ranges`` quantile boundaries on the driver;
+      2. rows range-bucket by searchsorted(boundaries, key) — equal keys
+         always co-locate, so bucket order concatenates to global order;
+      3. stage 1 co-groups each range, sorts by (key, id), and REPLICATES
+         its last window−1 rows into the next range (the boundary
+         overlap that makes block-local windows exactly cover the
+         global-order windows);
+      4. stage 2 co-groups the padded ranges, window-scans, verifies
+         Jaccard on the co-located texts, emits pairs;
+      5. a pair-bucketed distinct drops the overlap duplicates.
+    Every stage is a bucketed co-group; the driver holds only the
+    boundary strings.
+
+    Coverage note: the single-hop overlap is exact while every range
+    holds ≥ window−1 rows — quantile boundaries size ranges at
+    ≈ N/num_ranges, so this holds whenever N ≫ num_ranges·window (the
+    regime the parameters default to). A thinner range would drop
+    pairs spanning two boundaries — acceptable for SNM, which is
+    itself a fixed-window heuristic, but callers shrinking num_ranges
+    below that bound should know."""
+    W = int(window)
+    if W < 2:
+        raise ValueError("window must be >= 2")
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def norm_key(texts: list[str]) -> list[str]:
+        return [
+            "".join(_SHINGLE_RE.findall((t or "").lower()))[:key_len] for t in texts
+        ]
+
+    # --- 1. boundary sample (driver holds <= sample_cap strings) -------
+    total = docs.count()
+    mod = max(1, total // sample_cap)
+
+    def grab_keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = mix64(ids) % np.uint64(mod) == 0
+        t = batch.filter(pa.array(keep))
+        return pa.table({"k": pa.array(norm_key(t[text_col].to_pylist()), pa.string())})
+
+    ks = sorted(docs.map_batches(grab_keys, batch_format="pyarrow").to_pandas()["k"])
+    B = min(num_ranges, max(1, len(ks)))
+    bounds = [ks[(i * len(ks)) // B] for i in range(1, B)] if len(ks) else []
+
+    # --- 2. range-bucket assignment ------------------------------------
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = norm_key(batch[text_col].to_pylist())
+        r = np.searchsorted(np.array(bounds, dtype=object), keys, side="right") if bounds else np.zeros(batch.num_rows, np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "k": pa.array(keys, pa.string()),
+                text_col: batch[text_col],
+                "r": pa.array(np.asarray(r, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    # --- 3. stage 1: per-range sort + boundary replication -------------
+    def pad(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["k", id_col], kind="stable")
+        r = int(df["r"].iloc[0])
+        df["fb"] = r
+        tail = df.tail(W - 1).copy()
+        tail["fb"] = r + 1
+        return pa.Table.from_pandas(pd.concat([df, tail]), preserve_index=False)
+
+    padded = bucketed_reduce(
+        tagged, lambda b: b["r"].to_numpy(zero_copy_only=False), pad,
+        num_buckets=max(num_ranges + 1, 2),
+    )
+
+    # --- 4. stage 2: window scan + Jaccard verify -----------------------
+    def scan(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["k", id_col], kind="stable")
+        ids = df[id_col].to_numpy(np.int64)
+        sh = [_token_shingles(t) for t in df[text_col].tolist()]
+        oa, ob, oj = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, min(i + W, len(ids))):
+                if ids[i] == ids[j]:
+                    continue  # a row meeting its own boundary replica
+                jm = int(jaccard(sh[i], sh[j]) * 1000)
+                if jm >= threshold_milli:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    oa.append(a)
+                    ob.append(b)
+                    oj.append(jm)
+        return pa.table(
+            {
+                "a": pa.array(oa, pa.int64()),
+                "b": pa.array(ob, pa.int64()),
+                "jac_milli": pa.array(oj, pa.int64()),
+            }
+        )
+
+    pairs = bucketed_reduce(
+        padded, lambda b: b["fb"].to_numpy(zero_copy_only=False), scan,
+        num_buckets=max(num_ranges + 2, 2),
+    )
+
+    # --- 5. distinct (overlap rows can re-find a pair) ------------------
+    def uniq(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_reduce(
+        pairs,
+        lambda b: (
+            mix64_pair(
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ).astype(np.int64)
+            & 0x7FFFFFFF
+        ),
+        uniq,
+    )

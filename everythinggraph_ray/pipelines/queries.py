@@ -2183,6 +2183,19 @@ def q_docs_top_tokens_per_lang(sf_dir):
     return top_tokens_per_lang(docs, k=10)
 
 
+def q_docs_snm_pairs(sf_dir):
+    """Sorted-neighborhood near-dup pairs (datapipe/dedup.py
+    snm_near_duplicates) — the ORDER-blocking complement of MinHash/
+    SimHash. Rows-only (quantile boundaries come from a sample);
+    exactness vs the serial global-window scan is pytest-checked."""
+    from everythinggraph_ray.datapipe.dedup import snm_near_duplicates
+
+    return _typed_collect(
+        snm_near_duplicates(_docs(sf_dir), window=5, threshold_milli=700),
+        {"a": "int64", "b": "int64", "jac_milli": "int64"},
+    )
+
+
 def q_docs_lang_entropy(sf_dir):
     """Unigram Shannon entropy of each language's word distribution —
     the vocabulary-diversity signal (H = ln N − Σ c·ln c / N over exact
@@ -7885,6 +7898,7 @@ QUERIES = {
     "docs_top_tokens": q_docs_top_tokens,
     "docs_top_tokens_per_lang": q_docs_top_tokens_per_lang,
     "docs_lang_entropy": q_docs_lang_entropy,
+    "docs_snm_pairs": q_docs_snm_pairs,
     "docs_bigram_lm": q_docs_bigram_lm,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,

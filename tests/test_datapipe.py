@@ -1232,3 +1232,44 @@ def test_docs_lang_entropy_matches_serial(tmp_path):
         row = res[res.lang == lg].iloc[0]
         assert row["n_tokens"] == N
         assert row["entropy"] == want
+
+
+def test_snm_matches_serial_global_window():
+    from everythinggraph_ray.datapipe.dedup import (
+        _SHINGLE_RE,
+        _token_shingles,
+        jaccard,
+        snm_near_duplicates,
+    )
+
+    rng = np.random.default_rng(29)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = []
+    for i in range(300):
+        base = " ".join(rng.choice(words, size=12))
+        texts.append(base)
+        if i % 7 == 0:  # inject near-duplicates that sort adjacently
+            texts.append(base + " theta")
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ).repartition(6)
+    W, THR = 5, 700
+    got = (
+        snm_near_duplicates(ds, window=W, threshold_milli=THR, num_ranges=8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # serial global-order window scan
+    keys = ["".join(_SHINGLE_RE.findall(t.lower()))[:32] for t in texts]
+    order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))
+    sh = [_token_shingles(t) for t in texts]
+    want = set()
+    for p in range(len(order)):
+        for q in range(p + 1, min(p + W, len(order))):
+            i, j = order[p], order[q]
+            if int(jaccard(sh[i], sh[j]) * 1000) >= THR:
+                want.add((min(i, j), max(i, j)))
+    assert set(zip(got["a"], got["b"])) == want
+    assert len(want) > 0
