@@ -3119,6 +3119,65 @@ def q_events_lag_stats(sf_dir):
     return bucketed_reduce(ev, bucket_of, win)
 
 
+def q_events_winsorize(sf_dir):
+    """Per-type winsorization audit — clip values to the exact
+    [p5, p99] band (quantile_disc semantics via the distributed value
+    histogram, stages/agg.py grouped_quantiles) and report per type the
+    exact integer (n, clipped_lo, clipped_hi, sum_raw_u, sum_wins_u).
+    Two streaming passes: the quantile pass moves distinct (type,
+    value) pairs; the tiny per-type band broadcasts into the clip pass
+    as a plain dict."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    from everythinggraph_ray.stages.agg import grouped_quantiles
+
+    def to_u(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "vu": pa.array(
+                    np.round(
+                        batch["value"].to_numpy(zero_copy_only=False) * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    uds = ev.map_batches(to_u, batch_format="pyarrow")
+    qd = grouped_quantiles(uds, "vu", [0.05, 0.99], group_col="event_type").to_pandas()
+    band = {r["event_type"]: (int(r["p5"]), int(r["p99"])) for _, r in qd.iterrows()}
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        vu = batch["vu"].to_numpy(zero_copy_only=False)
+        lo = np.array([band[t][0] for t in et], np.int64)
+        hi = np.array([band[t][1] for t in et], np.int64)
+        w = np.clip(vu, lo, hi)
+        df = pd.DataFrame(
+            {
+                "event_type": et,
+                "n": 1,
+                "clipped_lo": (vu < lo).astype(np.int64),
+                "clipped_hi": (vu > hi).astype(np.int64),
+                "sum_raw_u": vu,
+                "sum_wins_u": w,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    parts = uds.map_batches(clip_partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum()
+    return g.astype(
+        {"event_type": "string", "n": "int64", "clipped_lo": "int64",
+         "clipped_hi": "int64", "sum_raw_u": "int64", "sum_wins_u": "int64"}
+    )
+
+
 def q_events_xcorr(sf_dir):
     """Integer-exact Pearson building blocks for the cross-correlation
     of the 'click' and 'purchase' HOURLY count series — the time-series
@@ -6991,6 +7050,17 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
         "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
     ),
+    "events_winsorize": (
+        "WITH v AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vu FROM events), "
+        "b AS (SELECT event_type, CAST(quantile_disc(vu, 0.05) AS BIGINT) AS lo, "
+        "CAST(quantile_disc(vu, 0.99) AS BIGINT) AS hi FROM v GROUP BY event_type) "
+        "SELECT v.event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(*) FILTER (vu < lo) AS BIGINT) AS clipped_lo, "
+        "CAST(count(*) FILTER (vu > hi) AS BIGINT) AS clipped_hi, "
+        "CAST(sum(vu) AS BIGINT) AS sum_raw_u, "
+        "CAST(sum(CASE WHEN vu < lo THEN lo WHEN vu > hi THEN hi ELSE vu END) AS BIGINT) AS sum_wins_u "
+        "FROM v JOIN b ON b.event_type = v.event_type GROUP BY v.event_type"
+    ),
     "events_xcorr": (
         "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
         "count(*) FILTER (event_type = 'click') AS x, "
@@ -7931,6 +8001,7 @@ QUERIES = {
     "events_records": q_events_records,
     "events_ks": q_events_ks,
     "events_xcorr": q_events_xcorr,
+    "events_winsorize": q_events_winsorize,
     "q22_lost_customers": q22_lost_customers,
     "lineitem_ols": q_lineitem_ols,
     "events_props_sum": q_events_props_sum,
