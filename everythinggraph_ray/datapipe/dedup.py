@@ -671,3 +671,80 @@ def snm_near_duplicates(
         ),
         uniq,
     )
+
+
+def containment(a: np.ndarray, b: np.ndarray) -> float:
+    """|A∩B| / min(|A|, |B|) — the asymmetric quote/subset score: a short
+    doc fully contained in a long one scores 1.0 even when the symmetric
+    Jaccard is tiny."""
+    if not len(a) or not len(b):
+        return 0.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / min(len(a), len(b))
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold_milli: int = 800,
+    shingle_k: int = 3,
+    max_group: int = 8,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Quote/subset detection — pairs whose smaller shingle set is
+    ≥ threshold contained in the larger (Broder's containment, the
+    asymmetric complement of the Jaccard near-dup paths: a quoted
+    paragraph inside a 100× longer page scores ~1.0 containment but
+    ~0.01 Jaccard, so MinHash banding structurally misses it).
+
+    Candidates come from RARE-shingle blocking: docs sharing any shingle
+    whose doc-frequency is ≤ ``max_group`` pair up (group_pairs with
+    max_bucket=max_group; groups above it — boilerplate shingles — emit
+    starred hub rows which are DROPPED here, an explicit recall cut on
+    shingles too common to indicate quoting). Verification is the
+    distributed pairwise co-group with the containment score. Returns
+    (a, b, cont_milli), a < b."""
+    from everythinggraph_ray.datapipe.pairs import group_pairs, pairwise_verify
+
+    pay = shingle_payloads(docs, shingle_k, text_col=text_col).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pays = batch["pay"].to_pylist()
+        out_i, out_s = [], []
+        for i, p in zip(ids, pays):
+            out_i.append(np.full(len(p), i, dtype=np.int64))
+            out_s.append(np.asarray(p, dtype=np.int64))
+        if not out_i:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_i), pa.int64()),
+                "sh": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    grouped = pay.map_batches(explode, batch_format="pyarrow")
+    cand = group_pairs(grouped, ["sh"], max_bucket=max_group)
+
+    def drop_starred(batch: pa.Table) -> pa.Table:
+        keep = ~batch["starred"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep)).select(["a", "b"])
+
+    cand = cand.map_batches(drop_starred, batch_format="pyarrow")
+    scored = pairwise_verify(
+        pay, cand, containment, out_col="cont", pay_type=pa.list_(pa.int64())
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        cm = np.round(
+            batch["cont"].to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        t = batch.append_column("cont_milli", pa.array(cm, pa.int64()))
+        return t.filter(pa.array(cm >= threshold_milli)).select(
+            ["a", "b", "cont_milli"]
+        )
+
+    return scored.map_batches(gate, batch_format="pyarrow")

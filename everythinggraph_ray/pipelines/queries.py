@@ -2183,6 +2183,21 @@ def q_docs_top_tokens_per_lang(sf_dir):
     return top_tokens_per_lang(docs, k=10)
 
 
+def q_docs_containment(sf_dir):
+    """Quote/subset pairs by Broder containment (datapipe/dedup.py
+    containment_pairs): rare-shingle blocking + distributed pairwise
+    verify with |A∩B|/min(|A|,|B|) — catches a short doc quoted inside
+    a long one, which symmetric-Jaccard MinHash structurally misses.
+    Rows-only; pytest carries the serial oracle and the quote-scenario
+    fixture."""
+    from everythinggraph_ray.datapipe.dedup import containment_pairs
+
+    return _typed_collect(
+        containment_pairs(_docs(sf_dir), threshold_milli=800),
+        {"a": "int64", "b": "int64", "cont_milli": "int64"},
+    )
+
+
 def q_docs_snm_pairs(sf_dir):
     """Sorted-neighborhood near-dup pairs (datapipe/dedup.py
     snm_near_duplicates) — the ORDER-blocking complement of MinHash/
@@ -7969,6 +7984,7 @@ QUERIES = {
     "docs_top_tokens_per_lang": q_docs_top_tokens_per_lang,
     "docs_lang_entropy": q_docs_lang_entropy,
     "docs_snm_pairs": q_docs_snm_pairs,
+    "docs_containment": q_docs_containment,
     "docs_bigram_lm": q_docs_bigram_lm,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,

@@ -1273,3 +1273,73 @@ def test_snm_matches_serial_global_window():
                 want.add((min(i, j), max(i, j)))
     assert set(zip(got["a"], got["b"])) == want
     assert len(want) > 0
+
+
+def test_containment_finds_quotes_jaccard_misses():
+    from everythinggraph_ray.datapipe.dedup import (
+        _token_shingles,
+        containment_pairs,
+        jaccard,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(500)]
+    # long docs of 200 distinct-ish words; doc 100 quotes 15 words of doc 0
+    texts = [" ".join(rng.choice(vocab, size=200)) for _ in range(100)]
+    quote = " ".join(texts[0].split()[:15])
+    texts.append(quote)  # doc 100 = pure quote of doc 0's prefix
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ).repartition(5)
+    got = containment_pairs(ds, threshold_milli=800, max_group=8).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 100) in pairs, pairs
+    # and the symmetric jaccard really is tiny — the case MinHash misses
+    j = jaccard(
+        np.sort(_token_shingles(texts[0])), np.sort(_token_shingles(quote))
+    )
+    assert j < 0.15
+    row = got[(got["a"] == 0) & (got["b"] == 100)].iloc[0]
+    assert row["cont_milli"] >= 800
+
+
+def test_containment_serial_parity():
+    from everythinggraph_ray.datapipe.dedup import (
+        _token_shingles,
+        containment,
+        containment_pairs,
+    )
+
+    rng = np.random.default_rng(43)
+    vocab = [f"t{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(80)]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ).repartition(4)
+    MG, THR = 8, 800
+    got = set(
+        zip(*containment_pairs(ds, threshold_milli=THR, max_group=MG)
+            .to_pandas()[["a", "b"]].to_numpy().T.tolist())
+    ) if len(containment_pairs(ds, threshold_milli=THR, max_group=MG).to_pandas()) else set()
+    # serial replica of the same semantics: rare-shingle blocking + verify
+    sh = [np.sort(_token_shingles(t)) for t in texts]
+    from collections import defaultdict
+
+    by_sh = defaultdict(list)
+    for i, s in enumerate(sh):
+        for h in s.tolist():
+            by_sh[h].append(i)
+    cand = set()
+    for h, members in by_sh.items():
+        if 2 <= len(members) <= MG:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+    want = {
+        (a, b)
+        for a, b in cand
+        if int(round(containment(sh[a], sh[b]) * 1000)) >= THR
+    }
+    assert got == want
