@@ -302,3 +302,61 @@ def emb_logreg(
         "accuracy": float(m[1] / m[2]),
         "n": int(m[2]),
     }
+
+
+def gram_matrix(
+    embeddings: ray.data.Dataset,
+    *,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    round_to: int = 7,
+) -> pd.DataFrame:
+    """Distributed normal equations: the upper-triangle Gram matrix
+    XᵀX as (i, j, g) rows (1-based dims, i ≤ j) plus Xᵀy as (i, 0)
+    rows — the closed-form side of ridge regression (w solves
+    (XᵀX + λI) w = Xᵀy, a d×d driver solve). One streaming pass:
+    per-batch (d, d) partials (a single BLAS m.T@m per batch) reduce to
+    d² driver floats. round_to = the pagerank10 float device, so the
+    surface is hash-comparable against the SQL pairwise-unnest oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[emb_col].to_pylist()]
+        )
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = m.T @ m
+        xy = m.T @ y
+        return pa.table(
+            {
+                "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+                "xy": pa.array([xy.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+    G = np.sum(np.stack([np.asarray(v) for v in parts["g"]]), axis=0)
+    xy = np.sum(np.stack([np.asarray(v) for v in parts["xy"]]), axis=0)
+    d = len(xy)
+    G = G.reshape(d, d)
+    iu, ju = np.triu_indices(d)
+    rows = {
+        "i": np.r_[iu + 1, np.arange(1, d + 1)],
+        "j": np.r_[ju + 1, np.zeros(d, np.int64)],
+        "g": np.r_[np.round(G[iu, ju], round_to), np.round(xy, round_to)],
+    }
+    return pd.DataFrame(rows).astype({"i": "int64", "j": "int64", "g": "float64"})
+
+
+def ridge_solve(gram: pd.DataFrame, lam: float = 1.0) -> np.ndarray:
+    """w = (XᵀX + λI)⁻¹ Xᵀy from gram_matrix's row surface — the tiny
+    driver-side closed form (d×d)."""
+    d = int(gram["i"].max())
+    G = np.zeros((d, d))
+    xy = np.zeros(d)
+    for i, j, g in gram[["i", "j", "g"]].itertuples(index=False):
+        if j == 0:
+            xy[int(i) - 1] = g
+        else:
+            G[int(i) - 1, int(j) - 1] = g
+            G[int(j) - 1, int(i) - 1] = g
+    return np.linalg.solve(G + lam * np.eye(d), xy)

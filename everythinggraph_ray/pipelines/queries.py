@@ -2795,6 +2795,20 @@ def q_rel_simrank8(sf_dir):
     return simrank2(rel_edges(sf_dir), list(range(8)))
 
 
+def q_emb_gram(sf_dir):
+    """Distributed normal equations (datapipe/cluster.py gram_matrix):
+    XᵀX upper triangle as (i, j, g) rows plus Xᵀy as (i, 0) — the
+    closed-form ridge-regression surface (one BLAS partial per batch,
+    d² driver floats). The ridge solve itself is pytest-checked."""
+    from everythinggraph_ray.datapipe.cluster import gram_matrix
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    return gram_matrix(emb)
+
+
 def q_emb_standardize(sf_dir):
     """Per-dim z-score standardization of the embedding corpus
     (datapipe/quantize.py standardize): two streaming passes (3·d
@@ -7509,6 +7523,16 @@ ORACLES["rel_simrank8"] = (
     "FROM contrib JOIN counts ca ON ca.seed = sa JOIN counts cb ON cb.seed = sb "
     "GROUP BY sa, sb, ca.cnt, cb.cnt"
 )
+ORACLES["emb_gram"] = (
+    "WITH u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x, "
+    "generate_subscripts(embedding, 1) AS d FROM embeddings) "
+    "SELECT a.d AS i, b.d AS j, round(sum(a.x * b.x), 7) AS g "
+    "FROM u a JOIN u b USING (vec_id) WHERE a.d <= b.d GROUP BY a.d, b.d "
+    "UNION ALL "
+    "SELECT u.d AS i, CAST(0 AS BIGINT) AS j, "
+    "round(sum(u.x * CAST(e.label AS DOUBLE)), 7) AS g "
+    "FROM u JOIN embeddings e USING (vec_id) GROUP BY u.d"
+)
 ORACLES["emb_standardize"] = (
     "WITH u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x, "
     "generate_subscripts(embedding, 1) AS d FROM embeddings), "
@@ -8009,6 +8033,7 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "rel_featprop2": q_rel_featprop2,
     "emb_standardize": q_emb_standardize,
+    "emb_gram": q_emb_gram,
     "rel_simrank8": q_rel_simrank8,
     "rel_partition_cut": q_rel_partition_cut,
     "rel_conductance": q_rel_conductance,

@@ -1343,3 +1343,34 @@ def test_containment_serial_parity():
         if int(round(containment(sh[a], sh[b]) * 1000)) >= THR
     }
     assert got == want
+
+
+def test_gram_and_ridge_match_numpy():
+    from everythinggraph_ray.datapipe.cluster import gram_matrix, ridge_solve
+
+    rng = np.random.default_rng(51)
+    n, d = 200, 6
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    w_true = rng.standard_normal(d)
+    y = (X.astype(np.float64) @ w_true + rng.standard_normal(n) * 0.1).astype(np.int32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(X.tolist(), pa.list_(pa.float32(), d)),
+                "label": pa.array(y, pa.int32()),
+            }
+        )
+    ).repartition(5)
+    gram = gram_matrix(ds)
+    Xd = X.astype(np.float64)
+    G = Xd.T @ Xd
+    xy = Xd.T @ y.astype(np.float64)
+    for i, j, g in gram[["i", "j", "g"]].itertuples(index=False):
+        want = xy[int(i) - 1] if j == 0 else G[int(i) - 1, int(j) - 1]
+        assert abs(g - round(want, 7)) < 1e-6, (i, j)
+    w = ridge_solve(gram, lam=1.0)
+    want_w = np.linalg.solve(G + np.eye(d), xy)
+    np.testing.assert_allclose(w, want_w, rtol=1e-6)
+    # the ridge fit recovers the generating weights to first order
+    assert np.corrcoef(w, w_true)[0, 1] > 0.99
