@@ -3148,6 +3148,52 @@ def q_events_lag_stats(sf_dir):
     return bucketed_reduce(ev, bucket_of, win)
 
 
+def q_events_streaks(sf_dir):
+    """Gaps-and-islands: each user's longest streak of CONSECUTIVE days
+    with ≥1 event (the retention/engagement streak metric). One
+    user-bucketed co-group; inside a bucket the classic day −
+    dense-rank islands trick runs vectorized (np.unique + split on
+    gaps), never a per-row loop. SQL oracle = the textbook
+    row_number() difference grouping."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def streaks(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        day = (
+            pc.cast(pa.Array.from_pandas(df["ts"]), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        df = pd.DataFrame({"u": df["user_id"].to_numpy(np.int64), "d": day})
+        df = df.drop_duplicates(["u", "d"]).sort_values(["u", "d"])
+        u = df["u"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        # island id: increments where the user changes or the day jumps
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        isl = np.cumsum(brk) - 1
+        lens = np.bincount(isl)
+        isl_user = u[np.r_[np.flatnonzero(brk)]]
+        out = pd.DataFrame({"user_id": isl_user, "s": lens}).groupby(
+            "user_id", as_index=False
+        )["s"].max()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64), pa.int64()),
+                "max_streak": pa.array(out["s"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(ev, bucket_of, streaks)
+
+
 def q_events_winsorize(sf_dir):
     """Per-type winsorization audit — clip values to the exact
     [p5, p99] band (quantile_disc semantics via the distributed value
@@ -7079,6 +7125,16 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
         "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
     ),
+    "events_streaks": (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "i AS (SELECT user_id, day, day - row_number() OVER "
+        "(PARTITION BY user_id ORDER BY day) AS isl FROM d), "
+        "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS streak "
+        "FROM i GROUP BY user_id, isl) "
+        "SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak "
+        "FROM s GROUP BY user_id"
+    ),
     "events_winsorize": (
         "WITH v AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vu FROM events), "
         "b AS (SELECT event_type, CAST(quantile_disc(vu, 0.05) AS BIGINT) AS lo, "
@@ -8043,6 +8099,7 @@ QUERIES = {
     "events_ks": q_events_ks,
     "events_xcorr": q_events_xcorr,
     "events_winsorize": q_events_winsorize,
+    "events_streaks": q_events_streaks,
     "q22_lost_customers": q22_lost_customers,
     "lineitem_ols": q_lineitem_ols,
     "events_props_sum": q_events_props_sum,
