@@ -3148,6 +3148,56 @@ def q_events_lag_stats(sf_dir):
     return bucketed_reduce(ev, bucket_of, win)
 
 
+def q_events_mad(sf_dir):
+    """Median absolute deviation per event type — the robust-scale
+    companion of events_winsorize: med = exact p50 (distributed value
+    histogram), mad = exact p50 of |v − med| in a second pass with the
+    tiny per-type median broadcast as a dict. quantile_disc semantics
+    on both levels, all-integer surface."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    from everythinggraph_ray.stages.agg import grouped_quantiles
+
+    def to_u(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "vu": pa.array(
+                    np.round(
+                        batch["value"].to_numpy(zero_copy_only=False) * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    uds = ev.map_batches(to_u, batch_format="pyarrow")
+    med = grouped_quantiles(uds, "vu", [0.5], group_col="event_type").to_pandas()
+    md = {r["event_type"]: int(r["p50"]) for _, r in med.iterrows()}
+
+    def dev(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        vu = batch["vu"].to_numpy(zero_copy_only=False)
+        m = np.array([md[t] for t in et], np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "av": pa.array(np.abs(vu - m), pa.int64()),
+            }
+        )
+
+    mad = grouped_quantiles(
+        uds.map_batches(dev, batch_format="pyarrow"), "av", [0.5],
+        group_col="event_type",
+    ).to_pandas()
+    out = med.merge(mad, on="event_type").rename(
+        columns={"p50_x": "med_u", "p50_y": "mad_u"}
+    )
+    return out.astype({"event_type": "string", "med_u": "int64", "mad_u": "int64"})
+
+
 def q_events_streaks(sf_dir):
     """Gaps-and-islands: each user's longest streak of CONSECUTIVE days
     with ≥1 event (the retention/engagement streak metric). One
@@ -7125,6 +7175,13 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
         "CAST(sum(bal_u) AS BIGINT) AS total_bal_u FROM k GROUP BY c_nationkey"
     ),
+    "events_mad": (
+        "WITH v AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vu FROM events), "
+        "m AS (SELECT event_type, CAST(quantile_disc(vu, 0.5) AS BIGINT) AS med_u FROM v GROUP BY event_type) "
+        "SELECT v.event_type, CAST(any_value(med_u) AS BIGINT) AS med_u, "
+        "CAST(quantile_disc(abs(vu - med_u), 0.5) AS BIGINT) AS mad_u "
+        "FROM v JOIN m ON m.event_type = v.event_type GROUP BY v.event_type"
+    ),
     "events_streaks": (
         "WITH d AS (SELECT DISTINCT user_id, "
         "epoch_us(ts) // 86400000000 AS day FROM events), "
@@ -8100,6 +8157,7 @@ QUERIES = {
     "events_xcorr": q_events_xcorr,
     "events_winsorize": q_events_winsorize,
     "events_streaks": q_events_streaks,
+    "events_mad": q_events_mad,
     "q22_lost_customers": q22_lost_customers,
     "lineitem_ols": q_lineitem_ols,
     "events_props_sum": q_events_props_sum,
