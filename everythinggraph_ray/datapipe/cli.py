@@ -64,6 +64,13 @@ OPS = [
     "jaccard-join",
     "bpe-train",
     "sq8",
+    "pq-codes",
+    "knn-pq",
+    "standardize",
+    "gram",
+    "snm",
+    "containment",
+    "weighted-sample",
 ]
 
 
@@ -104,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--alpha", type=float, default=0.01, help="dd-quantiles: relative error bound")
     p.add_argument("--threshold-milli", type=int, default=500, help="jaccard-join: integer tau*1000")
     p.add_argument("--n-merges", type=int, default=8, help="bpe-train: merges to learn")
+    p.add_argument("--m-sub", type=int, default=4, help="pq: subspaces")
+    p.add_argument("--n-codes", type=int, default=16, help="pq: codes per subspace")
+    p.add_argument("--window", type=int, default=5, help="snm: comparison window")
     args = p.parse_args(argv)
 
     import ray
@@ -199,6 +209,74 @@ def _run(args) -> int:
         res = sq8_quantize(emb, id_col=args.id_col or "vec_id")
         n = _write(res, args, args.id_col or "vec_id")
         print(json.dumps({"op": "sq8", "out": args.out, "rows": n}))
+        return 0
+
+    if args.op in ("pq-codes", "standardize", "gram"):
+        if not args.embeddings:
+            print("error: this op needs --embeddings", file=sys.stderr)
+            return 2
+        emb = ray.data.read_parquet(args.embeddings)
+        id_col = args.id_col or "vec_id"
+        if args.op == "pq-codes":
+            from everythinggraph_ray.datapipe.pq import pq_encode
+
+            res = pq_encode(
+                emb, m_sub=args.m_sub, n_codes=args.n_codes, id_col=id_col
+            )
+        elif args.op == "standardize":
+            from everythinggraph_ray.datapipe.quantize import standardize
+
+            res = standardize(emb, id_col=id_col)
+        else:
+            from everythinggraph_ray.datapipe.cluster import gram_matrix
+
+            res = gram_matrix(emb)
+        n = _write(res, args, id_col if args.op != "gram" else "i")
+        print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
+        return 0
+
+    if args.op == "knn-pq":
+        if not args.embeddings:
+            print("error: knn-pq needs --embeddings", file=sys.stderr)
+            return 2
+        from everythinggraph_ray.datapipe.pq import knn_pq
+
+        emb = ray.data.read_parquet(args.embeddings)
+        id_col = args.id_col or "vec_id"
+        if args.queries:
+            qids = [int(x) for x in args.queries.split(",")]
+        else:
+            qids = knn.smallest_ids(emb, id_col, args.num_queries)
+        res = knn_pq(
+            emb, qids, k=args.k, m_sub=args.m_sub, n_codes=args.n_codes, id_col=id_col
+        )
+        n = _write(res, args, "query_id")
+        print(json.dumps({"op": "knn-pq", "out": args.out, "rows": n}))
+        return 0
+
+    if args.op in ("snm", "containment", "weighted-sample"):
+        if not args.docs:
+            print("error: this op needs --docs", file=sys.stderr)
+            return 2
+        docs = ray.data.read_parquet(args.docs)
+        if args.op == "snm":
+            res = dedup.snm_near_duplicates(
+                docs, window=args.window, threshold_milli=args.threshold_milli,
+                text_col=args.text_col,
+            )
+            key = "a"
+        elif args.op == "containment":
+            res = dedup.containment_pairs(
+                docs, threshold_milli=args.threshold_milli, text_col=args.text_col
+            )
+            key = "a"
+        else:
+            res = curate.weighted_sample(
+                docs, args.k, id_col=args.id_col or "doc_id", text_col=args.text_col
+            )
+            key = args.id_col or "doc_id"
+        n = _write(res, args, key)
+        print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
         return 0
 
     if args.op in ("knn", "knn-ivf", "knn-lsh", "emb-near-dup"):

@@ -161,3 +161,31 @@ def test_cli_jaccard_join_bpe_sq8(tmp_path, capsys):
     assert info3["rows"] == 500
     codes = ray.data.read_parquet(out3).to_pandas()
     assert set(codes.columns) == {"vec_id", "code_md5", "code_sum"}
+
+
+def test_cli_session6_ops(tmp_path, capsys):
+    out1 = str(tmp_path / "pq")
+    info1 = _run(["pq-codes", "--embeddings", EMB, "--out", out1], capsys)
+    assert info1["rows"] == 500
+    back = ray.data.read_parquet(out1).to_pandas()
+    assert set(back.columns) == {"vec_id", "code_md5", "code_sum"}
+
+    out2 = str(tmp_path / "knnpq")
+    info2 = _run(
+        ["knn-pq", "--embeddings", EMB, "--out", out2, "--num-queries", "3", "--k", "5"],
+        capsys,
+    )
+    assert info2["rows"] == 15
+
+    out3 = str(tmp_path / "ws")
+    info3 = _run(["weighted-sample", "--docs", DOCS, "--out", out3, "--k", "20"], capsys)
+    assert info3["rows"] == 20
+
+    out4 = str(tmp_path / "snm")
+    info4 = _run(["snm", "--docs", DOCS, "--out", out4, "--threshold-milli", "700"], capsys)
+    assert info4["rows"] >= 0
+
+    out5 = str(tmp_path / "gram")
+    info5 = _run(["gram", "--embeddings", EMB, "--out", out5], capsys)
+    d = len(ray.data.read_parquet(EMB).take(1)[0]["embedding"])
+    assert info5["rows"] == d * (d + 1) // 2 + d
