@@ -432,6 +432,90 @@ def q_rel_earliest_arrival(sf_dir):
     )
 
 
+def q_rel_percolation(sf_dir):
+    """Bond percolation at p=1/2: sample the canonical undirected edge
+    set with the DETERMINISTIC md5 coin (the rel_triangles_sampled
+    device — the oracle replays the identical sample), run the engine
+    WCCKernel on the surviving graph, and report (n_vertices,
+    n_components, largest) where unsampled vertices count as
+    singletons — the connectivity-robustness probe of network
+    reliability analysis."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.triangles import _canonical_undirected
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
+    from everythinggraph_ray.stages.edges import undirect_edges
+
+    und = _canonical_undirected(rel_edges(sf_dir))
+
+    # n_vertices: distinct endpoints of the FULL canonical edge set —
+    # per-batch unique, bucketed nunique partials, driver sums B ints
+    def vert_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        return pa.table({"vid": pa.array(u, pa.int64())})
+
+    def nuniq(g: pa.Table) -> pa.Table:
+        n = len(np.unique(g["vid"].to_numpy(zero_copy_only=False)))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    nv = int(
+        bucketed_reduce(
+            und.map_batches(vert_rows, batch_format="pyarrow"),
+            lambda b: mix64(b["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF,
+            nuniq,
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+
+    def coin(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"{a}:{b}".encode()).digest()[8:16], "little")
+                < (1 << 63)
+                for a, b in zip(s, d)
+            ),
+            dtype=bool,
+            count=len(s),
+        )
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    sampled = und.map_batches(coin, batch_format="pyarrow")
+    bdir = build_dir_for(f"relperc|{sf_dir}", 8)
+    build_graph(undirect_edges(sampled), bdir, num_partitions=8)
+    eng = GraphEngine(bdir)
+    try:
+        ds = eng.run(WCCKernel())["dataset"]
+        in_sampled = ds.count()
+        sizes = ds.groupby("wcc").aggregate(Count(alias_name="sz")).materialize()
+        n_comp_s = sizes.count()
+        largest_s = int(sizes.max("sz")) if n_comp_s else 0
+    finally:
+        eng.shutdown()
+    singletons = nv - in_sampled
+    return pa.table(
+        {
+            "n_vertices": pa.array([nv], pa.int64()),
+            "n_components": pa.array([n_comp_s + singletons], pa.int64()),
+            "largest": pa.array(
+                [max(largest_s, 1 if singletons > 0 else 0)], pa.int64()
+            ),
+        }
+    )
+
+
 def q_rel_latest_departure(sf_dir):
     """Temporal latest-departure to target vid 0 — the time-reversed
     dual of rel_earliest_arrival (graph/kernels.py
@@ -6545,6 +6629,32 @@ ORACLES: dict[str, str] = {
     "rel_ppr": _ppr10_sql(),
     "rel_katz10": _katz10_sql(),
     "rel_hitting8": _hitting8_sql(),
+    "rel_percolation": (
+        f"WITH RECURSIVE e AS ({SQL_REL_EDGES}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e "
+        "WHERE src <> dst), "
+        # non-recursive CTEs inside WITH RECURSIVE must avoid top-level
+        # UNION (DuckDB gives it recursive-union semantics): DISTINCT
+        # over UNION ALL in a subquery instead
+        "verts AS (SELECT DISTINCT vid FROM "
+        "(SELECT u AS vid FROM und UNION ALL SELECT v FROM und)), "
+        "s AS (SELECT u, v FROM und WHERE "
+        "CAST(md5_number_lower(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS HUGEINT) "
+        "< 9223372036854775808), "
+        "sund AS (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM s UNION ALL SELECT v AS u, u AS v FROM s)), "
+        "sverts AS (SELECT DISTINCT u AS vid FROM sund), "
+        "r(vid, lab) AS (SELECT vid, vid FROM sverts UNION "
+        "SELECT sund.v, r.lab FROM r JOIN sund ON sund.u = r.vid WHERE r.lab < sund.v), "
+        "m AS (SELECT vid, min(lab) AS c FROM r GROUP BY vid), "
+        "cs AS (SELECT c, count(*) AS n FROM m GROUP BY c) "
+        "SELECT CAST((SELECT count(*) FROM verts) AS BIGINT) AS n_vertices, "
+        "CAST((SELECT count(*) FROM cs) + (SELECT count(*) FROM verts) "
+        "- (SELECT count(*) FROM m) AS BIGINT) AS n_components, "
+        "CAST(greatest(coalesce((SELECT max(n) FROM cs), 0), "
+        "CASE WHEN (SELECT count(*) FROM verts) > (SELECT count(*) FROM m) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS largest"
+    ),
     "rel_latest_departure": (
         # time-reversed dual of rel_earliest_arrival: states (vid, dep)
         # are feasible leave times of temporal walks INTO the target;
@@ -8041,6 +8151,7 @@ QUERIES = {
     "rel_hitting8": q_rel_hitting8,
     "rel_earliest_arrival": q_rel_earliest_arrival,
     "rel_latest_departure": q_rel_latest_departure,
+    "rel_percolation": q_rel_percolation,
     "rel_eigen10": q_rel_eigen10,
     "rel_kcore": q_rel_kcore,
     "rel_hits10": q_rel_hits10,
