@@ -52,6 +52,9 @@ def _get_kernel(args):
         "sssp-parent": lambda: K.ParentSSSPHopsKernel(args.root),
         "sssp-weighted": lambda: K.SSSPWeightedKernel(args.root),
         "widest": lambda: K.WidestPathKernel(args.root),
+        # edge weights are TIMESTAMPS for the two temporal kernels
+        "earliest-arrival": lambda: K.EarliestArrivalKernel(args.root),
+        "latest-departure": lambda: K.LatestDepartureKernel(args.root),
         "spmv": lambda: K.SpMVKernel(),
     }
     return table[args.kernel]()
@@ -82,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
             "sssp-weighted",
             "sssp-weighted-pull",
             "widest",
+            "earliest-arrival",
+            "latest-departure",
             "spmv",
             "triangles",
             "kcore",
@@ -285,9 +290,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.synthesize_weights:
         edges = E.synthesize_weights(edges)
         weighted = True
-    if args.kernel in ("sssp-weighted", "sssp-weighted-pull", "wpagerank", "widest") and not weighted:
+    if args.kernel in (
+        "sssp-weighted", "sssp-weighted-pull", "wpagerank", "widest",
+        "earliest-arrival", "latest-departure",
+    ) and not weighted:
         edges = E.synthesize_weights(edges)
         weighted = True
+    if args.kernel == "latest-departure":
+        # the temporal dual runs over the REVERSED graph: original edge
+        # (u, v, t) becomes (v, u, t) and the MAX-semiring propagates
+        # the latest feasible leave time backwards from --root (target)
+        edges = E.reverse_edges(edges)
 
     import os
 
@@ -309,6 +322,7 @@ def main(argv: list[str] | None = None) -> int:
                 _path_fingerprint(str(src_path)),
                 f"und={int(bool(args.undirect or auto_undirect))}",
                 f"w={int(bool(weighted))}",
+                f"rev={int(args.kernel == 'latest-departure')}",
                 f"P={args.partitions}",
                 f"by={'dst' if args.kernel.endswith('-pull') else 'src'}",
             ]

@@ -142,3 +142,44 @@ def test_cli_ppr_smoke(tmp_path):
     back = ray.data.read_parquet(f"{out}/data").to_pandas().sort_values("vid")
     _, opr = O.ppr_oracle(sv, dv, 7, n_iters=10)
     np.testing.assert_allclose(back["ppr"].to_numpy(), opr, atol=1e-12)
+
+
+def test_cli_temporal_smoke(tmp_path):
+    """Both temporal kernels ride the CLI; latest-departure's reversed
+    build agrees with the serial fixpoint."""
+    import pyarrow.parquet as pq
+
+    from everythinggraph_ray.cli import main
+
+    rng = np.random.default_rng(19)
+    n, m = 30, 150
+    sv = rng.integers(0, n, m).astype(np.int64)
+    dv = rng.integers(0, n, m).astype(np.int64)
+    tv = rng.integers(1, 40, m).astype(np.float64)
+    f = str(tmp_path / "e.parquet")
+    pq.write_table(
+        pa.table(
+            {"src": pa.array(sv), "dst": pa.array(dv), "weight": pa.array(tv)}
+        ),
+        f,
+    )
+    out = str(tmp_path / "ld")
+    rc = main(
+        ["latest-departure", "--edges", f, "--out", out,
+         "--weighted", "--partitions", "3", "--root", "0"]
+    )
+    assert rc == 0
+    back = ray.data.read_parquet(f"{out}/data").to_pandas().sort_values("vid")
+    CAP = 1e18
+    dep = {v: -np.inf for v in range(n)}
+    dep[0] = CAP
+    for _ in range(n):
+        ch = False
+        for a, b, t in zip(sv.tolist(), dv.tolist(), tv.tolist()):
+            if t <= dep[b] and t > dep[a]:
+                dep[a] = float(t)
+                ch = True
+        if not ch:
+            break
+    for v, d in zip(back["vid"], back["departure"]):
+        assert d == dep[int(v)], v
