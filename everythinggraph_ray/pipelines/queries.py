@@ -3085,6 +3085,103 @@ def q_events_sessions(sf_dir):
     return bucketed_reduce(ev, bucket_of, sess_bucket)
 
 
+def q_orders_monthly_growth(sf_dir):
+    """Month-over-month revenue: per-month exact cent totals (per-batch
+    partials → tiny month table) with the previous month's total and
+    the signed delta attached — the lag() window on an AGGREGATED
+    series (events_lag_stats does it on raw rows). The month table is
+    bounded by the date range, so the window runs on the driver."""
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        month = d.astype(np.int64)  # months since 1970-01
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(month, return_inverse=True)
+        return pa.table(
+            {
+                "month": pa.array(u, pa.int64()),
+                "rev": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ords.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("month", as_index=False).sum().sort_values("month")
+    g["prev_rev"] = g["rev"].shift().fillna(0).astype(np.int64)
+    g["delta"] = (g["rev"] - g["prev_rev"]).astype(np.int64)
+    return g.rename(columns={"rev": "rev_cents", "n": "n_orders"}).astype("int64")[
+        ["month", "n_orders", "rev_cents", "prev_rev", "delta"]
+    ]
+
+
+def q_docs_hapax(sf_dir):
+    """Hapax-legomena share per language: distinct vocabulary, tokens
+    seen exactly once, and total tokens — the Zipf-tail health signal
+    complementing docs_lang_entropy. Same (lang, token)-bucketed exact
+    counts; the second reduce folds (vocab, hapax, total) per bucket to
+    #langs·B driver rows."""
+    from hashlib import blake2b
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    import re as _re
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rx = _re.compile(WORD_RE)
+        cnt: dict[tuple[str, str], int] = {}
+        for lg, t in zip(
+            batch["lang"].to_pylist(), pc.utf8_lower(batch["text"]).to_pylist()
+        ):
+            for w in rx.findall(t):
+                cnt[(lg, w)] = cnt.get((lg, w), 0) + 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "lang": pa.array([a for a, _ in ks], pa.string()),
+                "token": pa.array([b for _, b in ks], pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    blake2b(f"{lg}\x00{t}".encode(), digest_size=4).digest(), "little"
+                )
+                for lg, t in zip(batch["lang"].to_pylist(), batch["token"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["lang", "token"], as_index=False)["c"].sum()
+        n = df["c"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"lang": df["lang"], "vocab": 1, "hapax": (n == 1).astype(np.int64), "total": n}
+        ).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"), bucket_of, red
+    ).to_pandas()
+    g = parts.groupby("lang", as_index=False).sum()
+    return g.astype(
+        {"lang": "string", "vocab": "int64", "hapax": "int64", "total": "int64"}
+    )
+
+
 def q_lineitem_ols(sf_dir):
     """Grouped least-squares building blocks: per returnflag, the exact
     integer sums (n, Σx, Σy, Σx², Σxy) for the regression of
@@ -7268,6 +7365,24 @@ ORACLES: dict[str, str] = {
         "FROM q, embeddings e WHERE e.vec_id <> q.vec_id "
         "QUALIFY rank <= " + str(KNN_K)
     ),
+    "orders_monthly_growth": (
+        "WITH m AS (SELECT CAST(datediff('month', DATE '1970-01-01', "
+        "CAST(o_orderdate AS DATE)) AS BIGINT) AS month, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "g AS (SELECT month, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(cents) AS BIGINT) AS rev_cents FROM m GROUP BY month) "
+        "SELECT month, n_orders, rev_cents, "
+        "CAST(COALESCE(lag(rev_cents) OVER (ORDER BY month), 0) AS BIGINT) AS prev_rev, "
+        "CAST(rev_cents - COALESCE(lag(rev_cents) OVER (ORDER BY month), 0) AS BIGINT) AS delta "
+        "FROM g"
+    ),
+    "docs_hapax": (
+        r"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
+        r"cnt AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t) "
+        r"SELECT lang, CAST(count(*) AS BIGINT) AS vocab, "
+        r"CAST(count(*) FILTER (n = 1) AS BIGINT) AS hapax, "
+        r"CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY lang"
+    ),
     "lineitem_ols": (
         "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx, "
@@ -8271,6 +8386,8 @@ QUERIES = {
     "events_mad": q_events_mad,
     "q22_lost_customers": q22_lost_customers,
     "lineitem_ols": q_lineitem_ols,
+    "orders_monthly_growth": q_orders_monthly_growth,
+    "docs_hapax": q_docs_hapax,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
