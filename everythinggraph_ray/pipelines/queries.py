@@ -3119,6 +3119,54 @@ def q_orders_monthly_growth(sf_dir):
     ]
 
 
+def q_docs_profile(sf_dir):
+    """One-pass table profiling (the engine's ANALYZE): row count, per-
+    column null counts, distinct lang/source cardinalities, and text
+    length min/max/sum — the data-quality snapshot every ingestion run
+    wants. Per-batch partials carry (counts, mins, maxes, small distinct
+    sets); langs/sources are low-cardinality by contract so their
+    partial sets stay bounded."""
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        lens = pc.cast(pc.utf8_length(pc.fill_null(t, "")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        langs = {x for x in batch["lang"].to_pylist() if x is not None}
+        srcs = {x for x in batch["source"].to_pylist() if x is not None}
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "null_text": pa.array([int(t.null_count)], pa.int64()),
+                "null_lang": pa.array([int(batch["lang"].null_count)], pa.int64()),
+                "null_source": pa.array([int(batch["source"].null_count)], pa.int64()),
+                "len_min": pa.array([int(lens.min()) if len(lens) else 0], pa.int64()),
+                "len_max": pa.array([int(lens.max()) if len(lens) else 0], pa.int64()),
+                "len_sum": pa.array([int(lens.sum())], pa.int64()),
+                "langs": pa.array([sorted(langs)], pa.list_(pa.string())),
+                "sources": pa.array([sorted(srcs)], pa.list_(pa.string())),
+            }
+        )
+
+    p = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    langs = set().union(*p["langs"]) if len(p) else set()
+    srcs = set().union(*p["sources"]) if len(p) else set()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(p["n_rows"].sum())],
+            "null_text": [int(p["null_text"].sum())],
+            "null_lang": [int(p["null_lang"].sum())],
+            "null_source": [int(p["null_source"].sum())],
+            "n_langs": [len(langs)],
+            "n_sources": [len(srcs)],
+            "len_min": [int(p["len_min"].min())],
+            "len_max": [int(p["len_max"].max())],
+            "len_sum": [int(p["len_sum"].sum())],
+        }
+    ).astype("int64")
+
+
 def q_docs_hapax(sf_dir):
     """Hapax-legomena share per language: distinct vocabulary, tokens
     seen exactly once, and total tokens — the Zipf-tail health signal
@@ -7376,6 +7424,18 @@ ORACLES: dict[str, str] = {
         "CAST(rev_cents - COALESCE(lag(rev_cents) OVER (ORDER BY month), 0) AS BIGINT) AS delta "
         "FROM g"
     ),
+    "docs_profile": (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS null_text, "
+        "CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS null_lang, "
+        "CAST(count(*) FILTER (source IS NULL) AS BIGINT) AS null_source, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(min(length(coalesce(text, ''))) AS BIGINT) AS len_min, "
+        "CAST(max(length(coalesce(text, ''))) AS BIGINT) AS len_max, "
+        "CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS len_sum "
+        "FROM documents"
+    ),
     "docs_hapax": (
         r"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
         r"cnt AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t) "
@@ -8388,6 +8448,7 @@ QUERIES = {
     "lineitem_ols": q_lineitem_ols,
     "orders_monthly_growth": q_orders_monthly_growth,
     "docs_hapax": q_docs_hapax,
+    "docs_profile": q_docs_profile,
     "events_props_sum": q_events_props_sum,
     "events_retention": q_events_retention,
     "events_outliers": q_events_outliers,
