@@ -8517,3 +8517,14 @@ QUERIES = {
     "docs_snapshot_delta": q_docs_snapshot_delta,
     "rel_scc_condensation": q_rel_scc_condensation,
 }
+
+# ----------------------------------------------------------------------
+# TPC-H-lite batch 2 (Q7/Q10/Q13/Q14/Q15/Q17/Q19) lives in its own module
+# ----------------------------------------------------------------------
+from everythinggraph_ray.pipelines.tpch_extra import (  # noqa: E402
+    TPCH_EXTRA_ORACLES,
+    TPCH_EXTRA_QUERIES,
+)
+
+QUERIES.update(TPCH_EXTRA_QUERIES)
+ORACLES.update(TPCH_EXTRA_ORACLES)
