@@ -1,0 +1,307 @@
+"""Analytics batch (session 7): CUSUM changepoint, inter-arrival
+histogram, big-table decile report, per-label embedding centroids.
+
+Each is a (ray_fn, oracle_sql) pair continuing queries.py's exactness
+discipline — integer surfaces wherever a float could reassociate, and
+any shared expression tree written token-for-token on both sides.
+
+Distributed shapes:
+- ``events_cusum``: the hourly count series folds distributed (batch
+  partials + bucketed sum); the O(#hours) CUSUM recursion runs on the
+  driver over that SMALL aggregate (the orders_monthly_growth
+  precedent — the series scales with time, not data volume), using the
+  closed form S_t = P_t − min(0, min_{j≤t} P_j) so the SQL oracle is a
+  window expression, not a recursion.
+- ``events_interarrival``: one user-bucketed co-group (the
+  events_lag_stats device); gap bit-width histogram folds as per-bucket
+  partials, ≤ |types|·64 rows ever reach the driver.
+- ``lineitem_deciles``: NTILE(10) over the BIGGEST table via the
+  distributed window primitive (``grouped_row_number`` ungrouped mode —
+  no worker holds the whole order). (l_orderkey, l_linenumber) is NOT
+  unique in this data, so ROW ranks are tie-arbitrary — but the
+  per-decile aggregate is tie-INVARIANT (rows with equal composite sort
+  key carry equal price_c, so each tile's count and sum are fixed),
+  which is exactly what both sides surface.
+- ``emb_label_centroid``: per-(label, dim) integer-quantized element
+  sums — per-batch k×d partials, one bucketed pair-sum; quantization
+  floor(x*1e6 + 0.5) per ELEMENT before any addition, so the sums are
+  exact int64 on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from everythinggraph_ray.stages.agg import (
+    bucketed_reduce,
+    grouped_row_number,
+    mix64,
+    sum_by_key,
+    sum_by_key_pair,
+)
+
+CUSUM_TYPE = "purchase"
+HOUR_US = 3_600_000_000
+
+
+# ----------------------------------------------------------------------
+# CUSUM changepoint over the hourly purchase-count series
+# ----------------------------------------------------------------------
+def q_events_cusum(sf_dir):
+    """One-sided CUSUM drift statistic over hourly purchase counts —
+    the classic rate-changepoint monitor. Reference slack k is the
+    ceil-mean hourly count (integer, derived from the same series).
+    S_t = max(0, S_{t-1} + x_t − k) computed via the prefix closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) with P_t = Σ(x_i − k): the engine
+    does one numpy cumsum/cummin over the small hourly aggregate, the
+    oracle one window expression — no recursion on either side."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), object)
+        keep = et == CUSUM_TYPE
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)[keep]
+        hr = (us // HOUR_US) * HOUR_US
+        u, c = np.unique(hr, return_counts=True)
+        return pa.table(
+            {"hour_us": pa.array(u, pa.int64()), "x": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hourly = sum_by_key(
+        ev.map_batches(hour_partial, batch_format="pyarrow"), "hour_us", ["x"]
+    ).to_pandas()
+    if not len(hourly):
+        return pd.DataFrame(
+            {"hour": pd.to_datetime([]), "x": pd.array([], dtype="int64"),
+             "cusum": pd.array([], dtype="int64")}
+        )
+    hourly = hourly.sort_values("hour_us").reset_index(drop=True)
+    x = hourly["x"].to_numpy(np.int64)
+    n, total = len(x), int(x.sum())
+    k = (total + n - 1) // n  # ceil-mean reference slack, exact integer
+    pre = np.cumsum(x - k)
+    floor_ = np.minimum(np.minimum.accumulate(pre), 0)
+    return pd.DataFrame(
+        {
+            "hour": pd.to_datetime(hourly["hour_us"].to_numpy(np.int64), unit="us"),
+            "x": pd.array(x, dtype="int64"),
+            "cusum": pd.array(pre - floor_, dtype="int64"),
+        }
+    )
+
+
+SQL_EVENTS_CUSUM = (
+    "WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS x "
+    f"FROM events WHERE event_type = '{CUSUM_TYPE}' GROUP BY 1), "
+    "k AS (SELECT (sum(x) + count(*) - 1) // count(*) AS k FROM h), "
+    "p AS (SELECT hour, x, sum(x - (SELECT k FROM k)) OVER (ORDER BY hour) AS pre FROM h) "
+    "SELECT hour, x, CAST(pre - least(0, min(pre) OVER "
+    "(ORDER BY hour ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum FROM p"
+)
+
+
+# ----------------------------------------------------------------------
+# Inter-arrival-time histogram (log2 buckets) per event type
+# ----------------------------------------------------------------------
+_POW2 = (np.int64(1) << np.arange(63)).astype(np.int64)
+
+
+def q_events_interarrival(sf_dir):
+    """Histogram of per-user inter-arrival gaps, log2-bucketed — the
+    traffic-burstiness profile. Gap = floor seconds between consecutive
+    events of the SAME user (ordered by ts, event_id), attributed to
+    the LATER event's type; bucket = bit width of the gap (0s -> 0,
+    else floor(log2)+1 — exactly ``length(printf('%b', g))`` in SQL,
+    searchsorted against powers of two here). One user-bucketed
+    co-group; ≤ |types|·64 partial rows reach the driver fold."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def hist(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df["us"] = us
+        prev = df.groupby("user_id")["us"].shift()
+        ok = prev.notna().to_numpy()
+        gap_s = ((df["us"].to_numpy(np.int64) - prev.fillna(0).to_numpy(np.int64))
+                 // 1_000_000)[ok]
+        bits = np.searchsorted(_POW2, gap_s, side="right")  # 0 -> 0, else floor(log2)+1
+        et = df["event_type"].to_numpy(object)[ok]
+        out = (
+            pd.DataFrame({"event_type": et, "gap_bits": bits.astype(np.int64)})
+            .groupby(["event_type", "gap_bits"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+                "gap_bits": pa.array(out["gap_bits"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = bucketed_reduce(ev, bucket_of, hist).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"event_type": pd.array([], dtype="string"),
+             "gap_bits": pd.array([], dtype="int64"), "n": pd.array([], dtype="int64")}
+        )
+    out = parts.groupby(["event_type", "gap_bits"], as_index=False)["n"].sum()
+    return out.astype({"event_type": "string", "gap_bits": "int64", "n": "int64"})
+
+
+SQL_EVENTS_INTERARRIVAL = (
+    "WITH l AS (SELECT event_type, epoch_us(ts) AS us, "
+    "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events), "
+    "g AS (SELECT event_type, (us - prev) // 1000000 AS gs FROM l WHERE prev IS NOT NULL) "
+    "SELECT event_type, "
+    "CAST(CASE WHEN gs <= 0 THEN 0 ELSE length(printf('%b', gs)) END AS BIGINT) AS gap_bits, "
+    "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2"
+)
+
+
+# ----------------------------------------------------------------------
+# Decile report over lineitem price (big-table distributed NTILE)
+# ----------------------------------------------------------------------
+def q_lineitem_deciles(sf_dir):
+    """Per-decile count and exact-cent revenue of ALL lineitems ranked
+    by extended price — NTILE(10) over the biggest table through the
+    distributed window primitive (range-partitioned: no worker holds
+    the global order). The sort key is (price_c, l_orderkey*8 +
+    l_linenumber); that composite is NOT unique in this data, so row
+    ranks are tie-arbitrary — the surfaced per-decile aggregate is
+    tie-invariant (equal-key rows carry equal price_c), identically on
+    both sides."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "price_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64), pa.int64()),
+                "tb": pa.array(ok * 8 + ln, pa.int64()),
+            }
+        )
+
+    ranked = grouped_row_number(
+        li.map_batches(project, batch_format="pyarrow"),
+        None,
+        "price_c",
+        "tb",
+        ntile=10,
+        ntile_col="decile",
+    )
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        t = batch["decile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc = batch["price_c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(t, return_inverse=True)
+        return pa.table(
+            {
+                "decile": pa.array(u, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sum_price_c": pa.array(np.bincount(inv, pc).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sum_by_key(
+        ranked.map_batches(tile_partial, batch_format="pyarrow"),
+        "decile",
+        ["n", "sum_price_c"],
+    )
+
+
+SQL_LINEITEM_DECILES = (
+    "WITH r AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c, "
+    "NTILE(10) OVER (ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), "
+    "l_orderkey * 8 + l_linenumber) AS tile FROM lineitem) "
+    "SELECT CAST(tile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM r GROUP BY tile"
+)
+
+
+# ----------------------------------------------------------------------
+# Per-label embedding centroids (integer-quantized exact sums)
+# ----------------------------------------------------------------------
+def q_emb_label_centroid(sf_dir):
+    """Per-(label, dim) centroid building blocks: exact int64 sums of
+    floor(x*1e6 + 0.5)-quantized elements plus the label's vector
+    count — the class-prototype computation of embedding analysis
+    (nearest-class-mean classification, clustering drift). Per batch a
+    k×d partial matrix folds locally; the shuffle is one bucketed
+    (label, dim) pair-sum. Quantizing each ELEMENT before any addition
+    makes both sides bit-exact (no float reassociation anywhere)."""
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    from everythinggraph_ray.datapipe.knn import _batch_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)  # (rows, d) float64 — exact float32 widening
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(u), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(u, d), pa.int64()),
+                "d": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(u)), pa.int64()),
+                "sum_q": pa.array(sums.ravel(), pa.int64()),
+                "n_vecs": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    return sum_by_key_pair(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        "label",
+        "d",
+        ["sum_q", "n_vecs"],
+    )
+
+
+SQL_EMB_LABEL_CENTROID = (
+    "WITH u AS (SELECT label, "
+    "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q, "
+    "generate_subscripts(embedding, 1) AS d FROM embeddings) "
+    "SELECT CAST(label AS BIGINT) AS label, CAST(d AS BIGINT) AS d, "
+    "CAST(sum(q) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs "
+    "FROM u GROUP BY label, d"
+)
+
+
+ANALYTICS_EXTRA_QUERIES = {
+    "events_cusum": q_events_cusum,
+    "events_interarrival": q_events_interarrival,
+    "lineitem_deciles": q_lineitem_deciles,
+    "emb_label_centroid": q_emb_label_centroid,
+}
+
+ANALYTICS_EXTRA_ORACLES = {
+    "events_cusum": SQL_EVENTS_CUSUM,
+    "events_interarrival": SQL_EVENTS_INTERARRIVAL,
+    "lineitem_deciles": SQL_LINEITEM_DECILES,
+    "emb_label_centroid": SQL_EMB_LABEL_CENTROID,
+}

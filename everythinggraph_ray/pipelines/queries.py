@@ -8528,3 +8528,12 @@ from everythinggraph_ray.pipelines.tpch_extra import (  # noqa: E402
 
 QUERIES.update(TPCH_EXTRA_QUERIES)
 ORACLES.update(TPCH_EXTRA_ORACLES)
+
+# analytics batch (CUSUM / inter-arrival / deciles / label centroids)
+from everythinggraph_ray.pipelines.analytics_extra import (  # noqa: E402
+    ANALYTICS_EXTRA_ORACLES,
+    ANALYTICS_EXTRA_QUERIES,
+)
+
+QUERIES.update(ANALYTICS_EXTRA_QUERIES)
+ORACLES.update(ANALYTICS_EXTRA_ORACLES)

@@ -1,0 +1,168 @@
+"""Analytics batch (CUSUM / inter-arrival / deciles / label centroids):
+serial-replay exactness on synthetic fixtures, independent of the
+driver's DuckDB sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from everythinggraph_ray.pipelines.analytics_extra import (
+    ANALYTICS_EXTRA_ORACLES,
+    q_emb_label_centroid,
+    q_events_cusum,
+    q_events_interarrival,
+    q_lineitem_deciles,
+)
+
+
+def _to_df(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    n = 4000
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 40 * 86400, n)) * 1_000_000, unit="us",
+                origin="2024-01-01",
+            ),
+            "user_id": rng.integers(0, 60, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "purchase"], n, p=[0.6, 0.3, 0.1]),
+            "value": np.round(rng.uniform(0, 50, n), 4),
+        }
+    )
+    # same-(user, second) twins so the inter-arrival bucket 0 is exercised
+    twins = ev.head(50).copy()
+    twins["event_id"] = np.arange(n, n + 50, dtype=np.int64)
+    ev = pd.concat([ev, twins], ignore_index=True)
+    d = tmp_path_factory.mktemp("ev")
+    ev.to_parquet(d / "events.parquet")
+    return str(d), ev
+
+
+def test_cusum_equals_serial_recursion(events_dir):
+    """The closed-form prefix computation equals the textbook
+    S_t = max(0, S_{t-1} + x_t − k) recursion replayed serially."""
+    d, ev = events_dir
+    got = _to_df(q_events_cusum(d)).sort_values("hour").reset_index(drop=True)
+
+    p = ev[ev["event_type"] == "purchase"].copy()
+    hr = p["ts"].dt.floor("h")
+    series = hr.value_counts().sort_index()
+    x = series.to_numpy(np.int64)
+    k = (int(x.sum()) + len(x) - 1) // len(x)
+    s, exp = 0, []
+    for xi in x:
+        s = max(0, s + int(xi) - k)
+        exp.append(s)
+    assert got["hour"].tolist() == series.index.tolist()
+    assert got["x"].tolist() == x.tolist()
+    assert got["cusum"].tolist() == exp
+    assert max(exp) > 0  # non-vacuous: some drift accumulated
+
+
+def test_interarrival_equals_serial_replay(events_dir):
+    d, ev = events_dir
+    got = (
+        _to_df(q_events_interarrival(d))
+        .sort_values(["event_type", "gap_bits"])
+        .reset_index(drop=True)
+    )
+    s = ev.sort_values(["user_id", "ts", "event_id"]).copy()
+    us = s["ts"].astype("int64")  # ns since epoch
+    prev = us.groupby(s["user_id"]).shift()
+    ok = prev.notna()
+    gap_s = ((us[ok] - prev[ok]).astype(np.int64) // 1_000_000_000).to_numpy()
+    bits = np.array([int(g).bit_length() for g in gap_s], np.int64)
+    exp = (
+        pd.DataFrame({"event_type": s["event_type"][ok].to_numpy(), "gap_bits": bits})
+        .groupby(["event_type", "gap_bits"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["event_type", "gap_bits"])
+        .reset_index(drop=True)
+    )
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["gap_bits"].tolist() == exp["gap_bits"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert (got["gap_bits"] == 0).any()  # same-second pairs exercise bucket 0
+
+
+def test_deciles_tie_invariant_vs_duckdb(tmp_path):
+    """Heavy ties (5 distinct prices over 1000 rows, duplicated
+    (orderkey, linenumber) pairs) still produce the exact per-decile
+    aggregate both sides — the tie-invariance contract."""
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.default_rng(9)
+    n = 1000
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 40, n).astype(np.int64),
+            "l_linenumber": rng.integers(1, 8, n).astype(np.int32),
+            "l_extendedprice": rng.choice([10.0, 10.0, 25.5, 99.99, 1000.0], n),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet")
+    got = (
+        _to_df(q_lineitem_deciles(str(d))).sort_values("decile").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    exp = (
+        con.execute(ANALYTICS_EXTRA_ORACLES["lineitem_deciles"])
+        .df()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    assert got["decile"].tolist() == exp["decile"].tolist() == list(range(1, 11))
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["sum_price_c"].tolist() == exp["sum_price_c"].tolist()
+
+
+def test_label_centroid_equals_numpy(tmp_path):
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in rng.normal(size=(n, d))],
+            "label": rng.integers(0, 4, n).astype(np.int32),
+        }
+    )
+    dd = tmp_path / "sf"
+    dd.mkdir()
+    emb.to_parquet(dd / "embeddings.parquet")
+    got = (
+        _to_df(q_emb_label_centroid(str(dd)))
+        .sort_values(["label", "d"])
+        .reset_index(drop=True)
+    )
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    lab = emb["label"].to_numpy(np.int64)
+    rows = []
+    for L in sorted(set(lab)):
+        sel = q[lab == L]
+        for j in range(d):
+            rows.append((L, j + 1, int(sel[:, j].sum()), len(sel)))
+    exp = pd.DataFrame(rows, columns=["label", "d", "sum_q", "n_vecs"])
+    assert got["label"].tolist() == exp["label"].tolist()
+    assert got["d"].tolist() == exp["d"].tolist()
+    assert got["sum_q"].tolist() == exp["sum_q"].tolist()
+    assert got["n_vecs"].tolist() == exp["n_vecs"].tolist()
