@@ -536,3 +536,112 @@ def top_tokens_per_lang(
     return grouped_top_k(
         agg, lang_col, [("n", False), ("token", True)], k, rank_col="rank"
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    terms: tuple[str, ...],
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 retrieval: top-``k`` documents for a fixed term query
+    (k1=1.2, b=0.75, Lucene idf ``ln((N-df+0.5)/(df+0.5)+1)``) — the
+    query-time complement of ``inverted_index``.
+
+    One tokenization pass over the corpus emits a NARROW int table:
+    candidate rows (doc_id, len_d, tf_0..tf_{T-1}) for docs matching at
+    least one term, plus one per-batch partial row (kind=1) carrying
+    (n_docs, total_len, df_0..df_{T-1}). That table is materialized
+    (ints, <= one row per doc — tiny next to the text), the partials
+    fold to T+2 driver scalars, and candidates score vectorized with
+    the broadcast idf/avglen constants, per-term products summed in
+    fixed term order so the float expression tree is reproducible
+    (docs_tfidf's ln-parity precedent). Returns a pandas frame
+    (doc_id, score, rank) — k rows.
+    """
+    import re as _re
+
+    T = len(terms)
+    tf_cols = [f"tf{j}" for j in range(T)]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        rx = _re.compile(r"[a-z0-9]+")
+        idx = {t: j for j, t in enumerate(terms)}
+        lens = np.zeros(len(texts), np.int64)
+        tfs = np.zeros((len(texts), T), np.int64)
+        for i, tx in enumerate(texts):
+            toks = rx.findall((tx or "").lower())
+            lens[i] = len(toks)
+            for tok in toks:
+                j = idx.get(tok)
+                if j is not None:
+                    tfs[i, j] += 1
+        cand = tfs.sum(axis=1) > 0
+        cols = {
+            "kind": pa.array(
+                np.r_[np.zeros(int(cand.sum()), np.int8), np.int8(1)], pa.int8()
+            ),
+            id_col: pa.array(np.r_[ids[cand], np.int64(len(texts))], pa.int64()),
+            "len_d": pa.array(np.r_[lens[cand], lens.sum()], pa.int64()),
+        }
+        for j, c in enumerate(tf_cols):
+            # partial row carries df_j (docs in this batch containing term j)
+            cols[c] = pa.array(
+                np.r_[tfs[cand, j], np.int64((tfs[:, j] > 0).sum())], pa.int64()
+            )
+        return pa.table(cols)
+
+    narrow = docs.map_batches(stats, batch_format="pyarrow").materialize()
+
+    def only(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            m = batch["kind"].to_numpy(zero_copy_only=False) == kind
+            return batch.filter(pa.array(m))
+
+        return f
+
+    part = narrow.map_batches(only(1), batch_format="pyarrow").to_pandas()
+    n_docs = int(part[id_col].sum())
+    total_len = int(part["len_d"].sum())
+    dfs = [int(part[c].sum()) for c in tf_cols]
+    if n_docs == 0 or total_len == 0:
+        return pd.DataFrame(
+            {id_col: pd.array([], dtype="int64"), "score": pd.array([], dtype="float64"),
+             "rank": pd.array([], dtype="int64")}
+        )
+    avglen = float(total_len) / n_docs
+    idfs = [
+        float(np.log((float(n_docs) - df + 0.5) / (df + 0.5) + 1.0)) for df in dfs
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        ld = batch["len_d"].to_numpy(zero_copy_only=False)
+        norm = 1 - BM25_B + BM25_B * (ld / avglen)
+        s = np.zeros(len(ld), np.float64)
+        for j in range(T):  # fixed term order: reproducible float sum
+            tf = batch[tf_cols[j]].to_numpy(zero_copy_only=False)
+            # literal 2.2 (not K1+1.0): the SQL oracle writes 2.2, and the
+            # two spellings are NOT the same double
+            s = s + (idfs[j] * (tf * 2.2)) / (tf + BM25_K1 * norm)
+        return pa.table(
+            {id_col: batch[id_col], "score": pa.array(s, pa.float64())}
+        )
+
+    top = (
+        narrow.map_batches(only(0), batch_format="pyarrow")
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["score"] = np.round(top["score"].to_numpy(np.float64), 6)
+    return top[[id_col, "score", "rank"]]

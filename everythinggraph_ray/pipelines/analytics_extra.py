@@ -305,3 +305,63 @@ ANALYTICS_EXTRA_ORACLES = {
     "lineitem_deciles": SQL_LINEITEM_DECILES,
     "emb_label_centroid": SQL_EMB_LABEL_CENTROID,
 }
+
+
+# ----------------------------------------------------------------------
+# BM25 top-k retrieval over the document corpus
+# ----------------------------------------------------------------------
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K = 10
+
+
+def q_docs_bm25_top10(sf_dir):
+    """Okapi BM25 top-10 for a fixed 3-term query — search-engine
+    relevance over the corpus, the query-time complement of the
+    inverted index. One tokenization pass (narrow int table), T+2
+    driver scalars, vectorized scoring with a fixed-order float sum
+    (the docs_tfidf ln-parity device); the idf/length-norm expression
+    tree is written token-for-token in the oracle."""
+    from everythinggraph_ray.datapipe.text import bm25_topk
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, BM25_TERMS, BM25_K)
+
+
+def _bm25_sql() -> str:
+    t0, t1, t2 = BM25_TERMS
+
+    def term(j: int, t: str) -> str:
+        return (
+            f"ln((CAST(g.n_docs AS DOUBLE) - g.df{j} + 0.5) / (g.df{j} + 0.5) + 1.0) "
+            f"* (f.tf{j} * 2.2) "
+            f"/ (f.tf{j} + 1.2 * (1 - 0.75 + 0.75 * (l.len_d / (CAST(g.total_len AS DOUBLE) / g.n_docs))))"
+        )
+
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t "
+        "FROM documents), "
+        "lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len_d FROM tok GROUP BY doc_id), "
+        "f AS (SELECT doc_id, "
+        f"CAST(count(*) FILTER (t = '{t0}') AS BIGINT) AS tf0, "
+        f"CAST(count(*) FILTER (t = '{t1}') AS BIGINT) AS tf1, "
+        f"CAST(count(*) FILTER (t = '{t2}') AS BIGINT) AS tf2 "
+        "FROM tok GROUP BY doc_id), "
+        "g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM tok) AS total_len, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f WHERE tf0 > 0) AS df0, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f WHERE tf1 > 0) AS df1, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM f WHERE tf2 > 0) AS df2), "
+        "s AS (SELECT f.doc_id, "
+        + term(0, t0) + " + " + term(1, t1) + " + " + term(2, t2) + " AS score "
+        "FROM f JOIN lens l USING (doc_id), g "
+        "WHERE f.tf0 + f.tf1 + f.tf2 > 0) "
+        "SELECT doc_id, round(score, 6) AS score, rnk AS rank FROM "
+        "(SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM s) "
+        f"WHERE rnk <= {BM25_K}"
+    )
+
+
+ANALYTICS_EXTRA_QUERIES["docs_bm25_top10"] = q_docs_bm25_top10
+ANALYTICS_EXTRA_ORACLES["docs_bm25_top10"] = _bm25_sql()

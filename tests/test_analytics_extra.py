@@ -166,3 +166,62 @@ def test_label_centroid_equals_numpy(tmp_path):
     assert got["d"].tolist() == exp["d"].tolist()
     assert got["sum_q"].tolist() == exp["sum_q"].tolist()
     assert got["n_vecs"].tolist() == exp["n_vecs"].tolist()
+
+
+def test_bm25_equals_serial_replay(tmp_path):
+    """bm25_topk == the textbook serial Okapi computation (same idf,
+    same length norm, same fixed term order), including ranks."""
+    import math
+
+    from everythinggraph_ray.datapipe.text import bm25_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "hash join hash join window",
+                "stream stream stream",
+                "hash",
+                "the quick brown fox",
+                "join window stream hash join",
+                "window",
+                "",
+                "hash hash hash hash hash hash",
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    terms = ("hash", "join", "stream")
+    got = bm25_topk(
+        __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+            str(d / "documents.parquet")
+        ),
+        terms,
+        5,
+    )
+
+    import re
+
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in docs["text"]]
+    N = len(docs)
+    total = sum(len(t) for t in toks)
+    avglen = float(total) / N
+    dfs = [sum(1 for t in toks if term in t) for term in terms]
+    idfs = [math.log((float(N) - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+    rows = []
+    for i, t in enumerate(toks):
+        tfs = [t.count(term) for term in terms]
+        if sum(tfs) == 0:
+            continue
+        norm = 1 - 0.75 + 0.75 * (len(t) / avglen)
+        s = 0.0
+        for j in range(3):
+            s = s + (idfs[j] * (tfs[j] * 2.2)) / (tfs[j] + 1.2 * norm)
+        rows.append((i, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    exp = rows[:5]
+    assert got["doc_id"].tolist() == [r[0] for r in exp]
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert np.allclose(got["score"].to_numpy(), [round(r[1], 6) for r in exp], atol=1e-12)
