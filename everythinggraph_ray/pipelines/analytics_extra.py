@@ -365,3 +365,236 @@ def _bm25_sql() -> str:
 
 ANALYTICS_EXTRA_QUERIES["docs_bm25_top10"] = q_docs_bm25_top10
 ANALYTICS_EXTRA_ORACLES["docs_bm25_top10"] = _bm25_sql()
+
+
+# ----------------------------------------------------------------------
+# Leave-one-out 1-NN label accuracy (embedding-quality eval)
+# ----------------------------------------------------------------------
+def q_emb_1nn_accuracy(sf_dir):
+    """Per-label leave-one-out 1-NN classification accuracy over the
+    embedding table — the standard intrinsic eval of an embedding
+    space. The normalized corpus matrix broadcasts once via ray.put
+    (N×d floats; at 100 TB the same per-batch scan runs against IVF
+    cell slices instead — the knn_ivf path), each batch computes its
+    sims block vectorized, the nearest OTHER vector resolves with the
+    exact (sim desc, id asc) tie rule (duplicate embeddings are real —
+    the planted near-dup fixtures), and only per-label (n, n_correct)
+    partials leave the workers."""
+    import ray as _ray
+
+    from everythinggraph_ray.datapipe.knn import _batch_matrix, _normalize
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    full = emb.to_pandas()
+    ids = full["vec_id"].to_numpy(np.int64)
+    labels = full["label"].to_numpy(np.int64)
+    mat = _normalize(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    order = np.argsort(ids, kind="stable")
+    ref = _ray.put((ids[order], labels[order], mat[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cids, clabs, cmat = _ray.get(ref)
+        q = _normalize(_batch_matrix(batch))
+        qid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qlab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ cmat.T
+        sims[qid[:, None] == cids[None, :]] = -np.inf  # mask self
+        best = sims.max(axis=1)
+        # exact (sim desc, id asc) winner under ties
+        tie = sims == best[:, None]
+        idmat = np.where(tie, cids[None, :], np.iinfo(np.int64).max)
+        nn_idx = np.argmin(idmat, axis=1)
+        correct = (clabs[nn_idx] == qlab).astype(np.int64)
+        u, inv = np.unique(qlab, return_inverse=True)
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_correct": pa.array(np.bincount(inv, correct).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sum_by_key(
+        emb.map_batches(partial, batch_format="pyarrow"), "label", ["n", "n_correct"]
+    )
+
+
+SQL_EMB_1NN = (
+    "WITH nn AS (SELECT a.vec_id, a.label AS la, b.label AS lb, "
+    "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, "
+    "b.vec_id) AS rnk FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id) "
+    "SELECT CAST(la AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(*) FILTER (lb = la) AS BIGINT) AS n_correct "
+    "FROM nn WHERE rnk = 1 GROUP BY la"
+)
+
+
+# ----------------------------------------------------------------------
+# Daily user growth (new + cumulative distinct users)
+# ----------------------------------------------------------------------
+DAY_US = 86_400_000_000
+
+
+def q_events_user_growth(sf_dir):
+    """Daily NEW users and the cumulative distinct-user curve — the
+    canonical growth chart, computed without ever holding a seen-set:
+    first-seen day per user is a distributed bucketed MIN, the per-day
+    new-user counts are a tiny series (days scale with time, not data),
+    and the cumulative sum folds on the driver."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = (us // DAY_US) * DAY_US
+        df = pd.DataFrame({"user_id": uid, "day_us": day}).groupby("user_id", as_index=False).min()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "day_us": pa.array(df["day_us"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_u(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def first_final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("user_id", as_index=False)["day_us"].min()
+        # fold straight to per-day partial counts inside the bucket
+        d = df.groupby("day_us", as_index=False).size()
+        return pa.table(
+            {
+                "day_us": pa.array(d["day_us"].to_numpy(np.int64), pa.int64()),
+                "new_users": pa.array(d["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    daily = sum_by_key(
+        bucketed_reduce(
+            ev.map_batches(first_partial, batch_format="pyarrow"), bucket_u, first_final
+        ),
+        "day_us",
+        ["new_users"],
+    ).to_pandas()
+    daily = daily.sort_values("day_us").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(daily["day_us"].to_numpy(np.int64), unit="us"),
+            "new_users": pd.array(daily["new_users"].to_numpy(np.int64), dtype="int64"),
+            "cum_users": pd.array(
+                np.cumsum(daily["new_users"].to_numpy(np.int64)), dtype="int64"
+            ),
+        }
+    )
+
+
+SQL_EVENTS_USER_GROWTH = (
+    "WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY user_id), "
+    "d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day) "
+    "SELECT day, new_users, CAST(sum(new_users) OVER "
+    "(ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM d"
+)
+
+
+# ----------------------------------------------------------------------
+# Deterministic A/B arms + conversion rates
+# ----------------------------------------------------------------------
+def q_events_ab_arms(sf_dir):
+    """Deterministic A/B assignment (the md5 shard device: first 8 hex
+    chars of md5(user_id) mod 2 — no RNG, resume/replica-stable) with
+    per-arm user counts, converters (>=1 purchase) and the integer
+    milli conversion rate. Per-user purchase counts fold distributed;
+    the arm hash is recomputed inline from the key (nothing joined to
+    fetch it)."""
+    import hashlib
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def purchase_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), object)
+        df = pd.DataFrame({"user_id": uid, "np_": (et == "purchase").astype(np.int64)})
+        g = df.groupby("user_id", as_index=False)["np_"].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64), pa.int64()),
+                "np_": pa.array(g["np_"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_user = sum_by_key(
+        ev.map_batches(purchase_partial, batch_format="pyarrow"), "user_id", ["np_"]
+    )
+
+    def arm_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        npu = batch["np_"].to_numpy(zero_copy_only=False)
+        arm = np.array(
+            [int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 for u in uid.tolist()],
+            np.int64,
+        )
+        out = {"arm": [], "n_users": [], "n_converters": []}
+        for a in (0, 1):
+            m = arm == a
+            out["arm"].append(a)
+            out["n_users"].append(int(m.sum()))
+            out["n_converters"].append(int((npu[m] > 0).sum()))
+        return pa.table(
+            {
+                "arm": pa.array(out["arm"], pa.int64()),
+                "n_users": pa.array(out["n_users"], pa.int64()),
+                "n_converters": pa.array(out["n_converters"], pa.int64()),
+            }
+        )
+
+    arms = sum_by_key(
+        per_user.map_batches(arm_partial, batch_format="pyarrow"),
+        "arm",
+        ["n_users", "n_converters"],
+    ).to_pandas()
+    arms = arms.sort_values("arm").reset_index(drop=True)
+    arms = arms[arms["n_users"] > 0]
+    arms["conv_milli"] = (
+        arms["n_converters"].to_numpy(np.int64) * 1000 // arms["n_users"].to_numpy(np.int64)
+    )
+    return arms.astype(
+        {"arm": "int64", "n_users": "int64", "n_converters": "int64", "conv_milli": "int64"}
+    )
+
+
+SQL_EVENTS_AB_ARMS = (
+    "WITH u AS (SELECT user_id, "
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np_ "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 AS BIGINT) AS arm, np_ FROM u) "
+    "SELECT arm, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(count(*) FILTER (np_ > 0) AS BIGINT) AS n_converters, "
+    "CAST(count(*) FILTER (np_ > 0) * 1000 // count(*) AS BIGINT) AS conv_milli "
+    "FROM a GROUP BY arm"
+)
+
+
+ANALYTICS_EXTRA_QUERIES.update(
+    {
+        "emb_1nn_accuracy": q_emb_1nn_accuracy,
+        "events_user_growth": q_events_user_growth,
+        "events_ab_arms": q_events_ab_arms,
+    }
+)
+ANALYTICS_EXTRA_ORACLES.update(
+    {
+        "emb_1nn_accuracy": SQL_EMB_1NN,
+        "events_user_growth": SQL_EVENTS_USER_GROWTH,
+        "events_ab_arms": SQL_EVENTS_AB_ARMS,
+    }
+)

@@ -225,3 +225,79 @@ def test_bm25_equals_serial_replay(tmp_path):
     assert got["doc_id"].tolist() == [r[0] for r in exp]
     assert got["rank"].tolist() == [1, 2, 3, 4, 5]
     assert np.allclose(got["score"].to_numpy(), [round(r[1], 6) for r in exp], atol=1e-12)
+
+
+def test_1nn_accuracy_serial_and_tie_rule(tmp_path):
+    """1-NN accuracy equals the serial leave-one-out replay, including
+    the (sim desc, id asc) tie rule on an EXACT duplicate pair with
+    different labels."""
+    from everythinggraph_ray.pipelines.analytics_extra import q_emb_1nn_accuracy
+
+    rng = np.random.default_rng(13)
+    n, dim = 120, 8
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    # duplicate pair with different labels: vec 5 == vec 50; the 1-NN of
+    # each must be the other (sim 1.0), resolved by id-ascending ties
+    m[50] = m[5]
+    labels[5], labels[50] = 0, 1
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m), "label": labels}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    emb.to_parquet(d / "embeddings.parquet")
+    got = _to_df(q_emb_1nn_accuracy(str(d))).sort_values("label").reset_index(drop=True)
+
+    x = m.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    np.fill_diagonal(sims, -np.inf)
+    exp = {}
+    for i in range(n):
+        best = sims[i].max()
+        cand = np.flatnonzero(sims[i] == best)
+        j = int(cand.min())  # id-ascending tie rule
+        L = int(labels[i])
+        nn_ok = int(labels[j] == L)
+        a, c = exp.get(L, (0, 0))
+        exp[L] = (a + 1, c + nn_ok)
+    for _, row in got.iterrows():
+        a, c = exp[int(row["label"])]
+        assert int(row["n"]) == a and int(row["n_correct"]) == c
+    # the duplicate pair found each other: vec 5's NN is 50 and vice versa
+    assert int(np.flatnonzero(sims[5] == sims[5].max()).min()) == 50
+
+
+def test_user_growth_and_ab_arms_serial(events_dir):
+    from everythinggraph_ray.pipelines.analytics_extra import (
+        q_events_ab_arms,
+        q_events_user_growth,
+    )
+
+    d, ev = events_dir
+    got = _to_df(q_events_user_growth(d))
+    first = ev.groupby("user_id")["ts"].min().dt.floor("D")
+    daily = first.value_counts().sort_index()
+    assert got["day"].tolist() == daily.index.tolist()
+    assert got["new_users"].tolist() == daily.tolist()
+    assert got["cum_users"].tolist() == daily.cumsum().tolist()
+    assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+
+    import hashlib
+
+    arms_got = _to_df(q_events_ab_arms(d)).sort_values("arm").reset_index(drop=True)
+    per_user = ev.groupby("user_id").apply(
+        lambda g: (g["event_type"] == "purchase").sum(), include_groups=False
+    )
+    arm_of = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in per_user.index
+    }
+    for a in (0, 1):
+        us = [u for u in per_user.index if arm_of[u] == a]
+        conv = sum(1 for u in us if per_user[u] > 0)
+        row = arms_got[arms_got["arm"] == a].iloc[0]
+        assert int(row["n_users"]) == len(us)
+        assert int(row["n_converters"]) == conv
+        assert int(row["conv_milli"]) == conv * 1000 // len(us)
