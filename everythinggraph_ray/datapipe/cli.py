@@ -71,6 +71,7 @@ OPS = [
     "snm",
     "containment",
     "weighted-sample",
+    "bm25",
 ]
 
 
@@ -114,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--m-sub", type=int, default=4, help="pq: subspaces")
     p.add_argument("--n-codes", type=int, default=16, help="pq: codes per subspace")
     p.add_argument("--window", type=int, default=5, help="snm: comparison window")
+    p.add_argument("--terms", default="", help="bm25: comma-separated query terms")
     args = p.parse_args(argv)
 
     import ray
@@ -334,6 +336,12 @@ def _run(args) -> int:
             from everythinggraph_ray.datapipe.lm import bigram_lm
 
             res = bigram_lm(docs, text_col=tc, id_col=id_col)
+        elif args.op == "bm25":
+            terms = tuple(t for t in args.terms.split(",") if t)
+            if not terms:
+                print("bm25 requires --terms t1,t2,...", file=sys.stderr)
+                return 2
+            res = text.bm25_topk(docs, terms, args.k, text_col=tc, id_col=id_col)
         elif args.op == "inverted-index":
             res = text.inverted_index(docs, text_col=tc, id_col=id_col, min_df=args.min_df)
         elif args.op == "vocab-hll":

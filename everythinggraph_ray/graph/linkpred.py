@@ -56,8 +56,8 @@ def common_neighbors_topk(
     ONE int64÷int64 IEEE division, so it hash-matches a SQL oracle.
     Jaccard needs degrees on every candidate pair BEFORE the top-k, so
     it pays two extra degree-attach co-groups over the candidate set."""
-    if score not in ("common", "jaccard"):
-        raise ValueError(f"score must be common/jaccard, got {score!r}")
+    if score not in ("common", "jaccard", "adamic"):
+        raise ValueError(f"score must be common/jaccard/adamic, got {score!r}")
     und = _canonical_undirected(edges).materialize()  # consumed twice: wedges + anti-join
 
     def both_dir(batch: pa.Table) -> pa.Table:
@@ -82,7 +82,7 @@ def common_neighbors_topk(
         u, v = u[o], v[o]
         st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(u) else np.empty(0, np.int64)
         ends = np.r_[st[1:], len(u)] if len(st) else st
-        a_out, b_out = [], []
+        a_out, b_out, s_out = [], [], []
         for s, e in zip(st, ends):
             nb = v[s:e]  # ascending + distinct (simple graph) ⇒ pairs canonical
             if len(nb) < 2 or (center_cap is not None and len(nb) > center_cap):
@@ -90,15 +90,25 @@ def common_neighbors_topk(
             i, j = np.triu_indices(len(nb), k=1)
             a_out.append(nb[i])
             b_out.append(nb[j])
+            if score == "adamic":
+                # deg(center) == len(nb): the center's FULL adjacency is in
+                # this bucket; len(nb) >= 2 so ln > 0
+                su = np.int64(np.floor(1e9 / np.log(float(len(nb)))))
+                s_out.append(np.full(len(i), su, np.int64))
         if not a_out:
             return _EMPTY
         wa = np.concatenate(a_out)
         wb = np.concatenate(b_out)
+        ws = (
+            np.concatenate(s_out)
+            if score == "adamic"
+            else np.ones(len(wa), np.int64)
+        )
         # combine identical pairs before the pair shuffle
         o2 = np.lexsort((wb, wa))
-        wa, wb = wa[o2], wb[o2]
+        wa, wb, ws = wa[o2], wb[o2], ws[o2]
         starts = np.flatnonzero(np.r_[True, (wa[1:] != wa[:-1]) | (wb[1:] != wb[:-1])])
-        cnt = np.diff(np.r_[starts, len(wa)])
+        cnt = np.add.reduceat(ws, starts)
         return pa.table(
             {
                 "a": pa.array(wa[starts], pa.int64()),
@@ -161,7 +171,7 @@ def common_neighbors_topk(
         )
 
     top_parts = bucketed_reduce(tagged, pair_bucket, reduce_pairs)
-    if score == "common":
+    if score in ("common", "adamic"):
         return top_parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)
 
     # jaccard: attach deg(a), deg(b) via the triangles degree co-group

@@ -40,14 +40,26 @@ __all__ = ["maximal_matching", "matching_serial"]
 _EMPTY = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
-def _ekeys(a, b) -> list[str]:
-    return [
-        hashlib.md5(f"{x}:{y}".encode()).hexdigest() + f"{x}".rjust(20, "0") + f"{y}".rjust(20, "0")
-        for x, y in zip(
-            a.tolist() if hasattr(a, "tolist") else a,
-            b.tolist() if hasattr(b, "tolist") else b,
+def _ekeys(a, b, weighted: bool = False) -> list[str]:
+    """Edge priority strings. ``weighted=True`` prepends the 2-digit
+    ``99 - w`` with w = a%10 + b%10 (the reference's synthesized weight,
+    symmetric in the endpoints), so the lexicographic order is
+    weight-DESC with the md5 hash as tiebreak — the greedy
+    maximum-weight matching key (classic 1/2-approximation). Shared
+    verbatim with the SQL oracle's lpad expression."""
+    out = []
+    for x, y in zip(
+        a.tolist() if hasattr(a, "tolist") else a,
+        b.tolist() if hasattr(b, "tolist") else b,
+    ):
+        pre = f"{99 - (x % 10 + y % 10):02d}" if weighted else ""
+        out.append(
+            pre
+            + hashlib.md5(f"{x}:{y}".encode()).hexdigest()
+            + f"{x}".rjust(20, "0")
+            + f"{y}".rjust(20, "0")
         )
-    ]
+    return out
 
 
 def _canonical(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -68,11 +80,18 @@ def _canonical(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def matching_serial(src, dst) -> set[tuple[int, int]]:
-    """Sequential greedy matching in md5-key order over the canonical
+def matching_serial(src, dst, weighted: bool = False) -> set[tuple[int, int]]:
+    """Sequential greedy matching in key order over the canonical
     simple edge set — the exact spec of the parallel fixpoint."""
     es = sorted({(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d})
-    keyed = sorted((k, e) for k, e in zip(_ekeys(*map(np.array, zip(*es))), es)) if es else []
+    keyed = (
+        sorted(
+            (k, e)
+            for k, e in zip(_ekeys(*map(np.array, zip(*es)), weighted=weighted), es)
+        )
+        if es
+        else []
+    )
     used: set[int] = set()
     out: set[tuple[int, int]] = set()
     for _k, (a, b) in keyed:
@@ -88,12 +107,19 @@ def maximal_matching(
     max_rounds: int = 60,
     tail_threshold: int = 1_000_000,
     num_buckets: int = 64,
+    weighted: bool = False,
 ) -> tuple[ray.data.Dataset, int]:
     """Returns ``(matched_edges, rounds)``: (a, b) rows with a < b — the
     greedy-by-md5-key maximal matching of the simple undirected graph.
     ``num_buckets`` sizes every shuffle in the round (a round is ~7
     bucketed exchanges, so small graphs should pass a small value — the
-    per-bucket fixed cost dominates them otherwise)."""
+    per-bucket fixed cost dominates them otherwise). ``weighted=True``
+    switches the priority to weight-DESC (w = a%10 + b%10, the
+    synthesized-weight rule) with md5 tiebreak: the greedy
+    maximum-weight matching, a 1/2-approximation of the optimum.
+    Weight stratification multiplies the round count (~O(weight levels
+    * log E): descending-weight chains retire one level per round) —
+    pass a larger ``max_rounds`` than the unweighted kernel needs."""
     from everythinggraph_ray.datapipe.joins import hash_join
 
     active = settle(_canonical(edges), num_buckets)
@@ -106,7 +132,9 @@ def maximal_matching(
             break
         if n_active <= tail_threshold:
             df = active.to_pandas()
-            tw = sorted(matching_serial(df["src"].to_numpy(), df["dst"].to_numpy()))
+            tw = sorted(
+                matching_serial(df["src"].to_numpy(), df["dst"].to_numpy(), weighted=weighted)
+            )
             matched_parts.append(
                 ray.data.from_arrow(
                     pa.table(
@@ -122,7 +150,7 @@ def maximal_matching(
         def vmin_partial(bt: pa.Table) -> pa.Table:
             s = bt["src"].to_numpy(zero_copy_only=False)
             d = bt["dst"].to_numpy(zero_copy_only=False)
-            k = _ekeys(s, d)
+            k = _ekeys(s, d, weighted=weighted)
             df = pd.DataFrame({"v": np.concatenate([s, d]), "mk": k + k})
             g = df.groupby("v", as_index=False)["mk"].min()
             return pa.table(
@@ -171,7 +199,7 @@ def maximal_matching(
         def pick_winners(bt: pa.Table) -> pa.Table:
             s = bt["src"].to_numpy(zero_copy_only=False)
             d = bt["dst"].to_numpy(zero_copy_only=False)
-            own = _ekeys(s, d)
+            own = _ekeys(s, d, weighted=weighted)
             ma = bt["mka"].to_pylist()
             mb = bt["mkb"].to_pylist()
             keep = np.array(

@@ -598,3 +598,131 @@ ANALYTICS_EXTRA_ORACLES.update(
         "events_ab_arms": SQL_EVENTS_AB_ARMS,
     }
 )
+
+
+# ----------------------------------------------------------------------
+# Greedy maximum-weight matching (weight-DESC priority, md5 tiebreak)
+# ----------------------------------------------------------------------
+def q_rel_matching_weighted(sf_dir):
+    """Greedy MAXIMUM-WEIGHT matching (the classic 1/2-approximation):
+    graph/matching.py with weight-DESC priorities — the 2-digit
+    ``99 - w`` prefix (w = a%10 + b%10, the reference's synthesized
+    weight rule) before the md5 tiebreak. Same parallel rounds, same
+    serial-tail convention as rel_matching; output adds the matched
+    weight column so the oracle checks the weight objective too."""
+    from everythinggraph_ray.graph.matching import maximal_matching
+    from everythinggraph_ray.pipelines.queries import rel_edges
+
+    out, _rounds = maximal_matching(rel_edges(sf_dir), weighted=True)
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "w": pa.array(a % 10 + b % 10, pa.int64()),
+            }
+        )
+
+    return out.map_batches(add_w, batch_format="pyarrow")
+
+
+def _weighted_matching_sql(rounds: int = 80) -> str:
+    """The _matching_sql device with the weighted key: round r matches
+    every active edge whose (weight-DESC, md5) key is minimal at BOTH
+    endpoints. Weight-stratified keys converge SLOWER than hash-random
+    ones (the 19 discrete weight levels serialize: a chain of
+    descending-weight edges retires one level at a time, ~O(levels *
+    log E) rounds — measured 60 at sf0.01 vs 20 for the unweighted
+    kernel), hence the deeper unroll; leftovers are deliberately
+    unmatched so an insufficient unroll still mismatches loudly."""
+    from everythinggraph_ray.pipelines.queries import SQL_REL_EDGES
+
+    def key(a: str, b: str) -> str:
+        return (
+            f"lpad(CAST(99 - ({a} % 10 + {b} % 10) AS VARCHAR), 2, '0') || "
+            f"md5(CAST({a} AS VARCHAR) || ':' || CAST({b} AS VARCHAR)) || "
+            f"lpad(CAST({a} AS VARCHAR), 20, '0') || lpad(CAST({b} AS VARCHAR), 20, '0')"
+        )
+
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        f"FROM ({SQL_REL_EDGES}) WHERE src <> dst)"
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"vm{r} AS MATERIALIZED (SELECT x AS v, min(k) AS mk FROM "
+            f"(SELECT a AS x, {key('a', 'b')} AS k FROM e{r} "
+            f"UNION ALL SELECT b AS x, {key('a', 'b')} AS k FROM e{r}) GROUP BY x)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"JOIN vm{r} va ON va.v = e.a JOIN vm{r} vb ON vb.v = e.b "
+            f"WHERE {key('e.a', 'e.b')} = va.mk AND {key('e.a', 'e.b')} = vb.mk)"
+        )
+        ctes.append(
+            f"sat{r} AS MATERIALIZED (SELECT a AS vid FROM w{r} UNION SELECT b AS vid FROM w{r})"
+        )
+        ctes.append(
+            f"e{r+1} AS MATERIALIZED (SELECT a, b FROM e{r} "
+            f"WHERE a NOT IN (SELECT vid FROM sat{r}) AND b NOT IN (SELECT vid FROM sat{r}))"
+        )
+    union = " UNION ALL ".join(f"SELECT a, b FROM w{r}" for r in range(rounds))
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT a, b, CAST(a % 10 + b % 10 AS BIGINT) AS w FROM ({union})"
+    )
+
+
+ANALYTICS_EXTRA_QUERIES["rel_matching_weighted"] = q_rel_matching_weighted
+ANALYTICS_EXTRA_ORACLES["rel_matching_weighted"] = _weighted_matching_sql()
+
+
+# ----------------------------------------------------------------------
+# Adamic–Adar link prediction (integer-quantized center contributions)
+# ----------------------------------------------------------------------
+def q_rel_adamic_adar(sf_dir):
+    """Top-20 non-adjacent pairs by Adamic–Adar score — the
+    degree-discounted refinement of common-neighbor link prediction
+    (Liben-Nowell–Kleinberg). Each common neighbor c contributes
+    floor(1e9 / ln(deg(c))) QUANTIZED to int64 BEFORE summation (a
+    variable-size float sum would reassociate across engines; the
+    integer sum is exact — the docs_pmi_pairs device), and deg(c) is
+    free at wedge time since the center's whole adjacency co-locates
+    in its bucket. ln parity with DuckDB is the docs_tfidf precedent."""
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+    from everythinggraph_ray.pipelines.queries import rel_edges
+
+    out = common_neighbors_topk(rel_edges(sf_dir), 20, score="adamic")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "aa_u": batch["cnt"]}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _adamic_sql() -> str:
+    from everythinggraph_ray.pipelines.queries import SQL_REL_EDGES
+
+    return (
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        f"FROM ({SQL_REL_EDGES}) WHERE src <> dst), "
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e), "
+        "deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u), "
+        "w AS (SELECT a1.v AS a, a2.v AS b, "
+        "CAST(floor(1000000000 / ln(CAST(dg.d AS DOUBLE))) AS BIGINT) AS s "
+        "FROM adj a1 JOIN adj a2 ON a2.u = a1.u AND a1.v < a2.v "
+        "JOIN deg dg ON dg.u = a1.u), "
+        "agg AS (SELECT a, b, CAST(sum(s) AS BIGINT) AS aa_u FROM w GROUP BY a, b) "
+        "SELECT g.a, g.b, g.aa_u FROM agg g "
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = g.a AND e.b = g.b) "
+        "ORDER BY g.aa_u DESC, g.a, g.b LIMIT 20"
+    )
+
+
+ANALYTICS_EXTRA_QUERIES["rel_adamic_adar"] = q_rel_adamic_adar
+ANALYTICS_EXTRA_ORACLES["rel_adamic_adar"] = _adamic_sql()

@@ -301,3 +301,44 @@ def test_user_growth_and_ab_arms_serial(events_dir):
         assert int(row["n_users"]) == len(us)
         assert int(row["n_converters"]) == conv
         assert int(row["conv_milli"]) == conv * 1000 // len(us)
+
+
+def test_adamic_adar_equals_bruteforce():
+    """score='adamic' == brute-force Adamic–Adar with the same integer
+    quantization, on a random simple graph."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.linkpred import common_neighbors_topk
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    got = (
+        common_neighbors_topk(edges, 15, score="adamic")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+    es = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for c, nbrs in adj.items():
+        su = int(np.floor(1e9 / np.log(float(len(nbrs))))) if len(nbrs) >= 2 else None
+        if su is None:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                scores[p] = scores.get(p, 0) + su
+    cand = [(p, s) for p, s in scores.items() if p not in es]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    exp = cand[:15]
+    assert [(int(r["a"]), int(r["b"])) for _, r in got.iterrows()] == [p for p, _ in exp]
+    assert got["cnt"].tolist() == [s for _, s in exp]

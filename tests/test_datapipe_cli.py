@@ -189,3 +189,17 @@ def test_cli_session6_ops(tmp_path, capsys):
     info5 = _run(["gram", "--embeddings", EMB, "--out", out5], capsys)
     d = len(ray.data.read_parquet(EMB).take(1)[0]["embedding"])
     assert info5["rows"] == d * (d + 1) // 2 + d
+
+
+def test_cli_bm25(tmp_path, capsys):
+    out = str(tmp_path / "bm25")
+    info = _run(
+        ["bm25", "--docs", DOCS, "--out", out, "--terms", "hash,join,stream", "--k", "5"],
+        capsys,
+    )
+    assert info["rows"] == 5
+    back = ray.data.read_parquet(out).to_pandas().sort_values("rank")
+    assert back["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert (back["score"] > 0).all()
+    # missing --terms is a usage error
+    assert main(["bm25", "--docs", DOCS, "--out", out]) == 2

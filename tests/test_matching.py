@@ -73,3 +73,48 @@ def test_partition_invariance():
     pdf = out.to_pandas()
     b = set(zip(pdf["a"], pdf["b"])) if len(pdf) else set()
     assert a == b == matching_serial(df["src"].to_numpy(), df["dst"].to_numpy())
+
+
+def test_weighted_matching_equals_serial_and_beats_unweighted():
+    """weighted=True equals the serial greedy in (weight DESC, md5)
+    order on a random graph via the DISTRIBUTED rounds (tail disabled),
+    and its matched weight is >= the unweighted greedy's (the whole
+    point of the weight priority)."""
+    import numpy as np
+
+    import ray.data
+
+    from everythinggraph_ray.graph.matching import (
+        _ekeys,
+        maximal_matching,
+        matching_serial,
+    )
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 60, 400).astype(np.int64)
+    dst = rng.integers(0, 60, 400).astype(np.int64)
+    edges = ray.data.from_arrow(
+        __import__("pyarrow").table({"src": src, "dst": dst})
+    ).repartition(5)
+
+    # tail after a few distributed rounds: weight-stratified priorities
+    # multiply the round count (~O(levels * log E)), so running to empty
+    # distributed takes minutes; the fixpoint is identical wherever the
+    # tail kicks in, and rounds >= 2 still proves the distributed path
+    got, rounds = maximal_matching(
+        edges, weighted=True, tail_threshold=120, num_buckets=4, max_rounds=200
+    )
+    got_set = {(int(a), int(b)) for a, b in zip(*[got.to_pandas()[c] for c in ("a", "b")])}
+    exp = matching_serial(src, dst, weighted=True)
+    assert got_set == exp
+    assert rounds >= 2  # distributed rounds actually ran
+
+    def wsum(pairs):
+        return sum(a % 10 + b % 10 for a, b in pairs)
+
+    unw = matching_serial(src, dst, weighted=False)
+    assert wsum(exp) >= wsum(unw)
+    # and the weighted key really orders by weight first
+    ka = _ekeys([3], [9], weighted=True)[0]  # w=12 -> prefix 87
+    kb = _ekeys([1], [2], weighted=True)[0]  # w=3  -> prefix 96
+    assert ka < kb
