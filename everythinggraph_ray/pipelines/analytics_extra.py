@@ -726,3 +726,157 @@ def _adamic_sql() -> str:
 
 ANALYTICS_EXTRA_QUERIES["rel_adamic_adar"] = q_rel_adamic_adar
 ANALYTICS_EXTRA_ORACLES["rel_adamic_adar"] = _adamic_sql()
+
+
+# ----------------------------------------------------------------------
+# Top event-type trigram paths (per-user ordered 3-step sequences)
+# ----------------------------------------------------------------------
+def q_events_trigrams(sf_dir):
+    """Most common 3-event type sequences within a user's time-ordered
+    stream — the path-analysis extension of events_transitions (bigram
+    -> trigram, double LAG). One user-bucketed co-group, two vectorized
+    shifts per bucket, bounded |types|^3 aggregate."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    from everythinggraph_ray.stages.agg import bucketed_reduce
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def tri(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        p1 = df.groupby("user_id")["event_type"].shift(1)
+        p2 = df.groupby("user_id")["event_type"].shift(2)
+        ok = p2.notna().to_numpy()
+        out = (
+            pd.DataFrame(
+                {
+                    "t1": p2[ok].to_numpy(object),
+                    "t2": p1[ok].to_numpy(object),
+                    "t3": df["event_type"].to_numpy(object)[ok],
+                }
+            )
+            .groupby(["t1", "t2", "t3"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "t1": pa.array(out["t1"].astype(str), pa.string()),
+                "t2": pa.array(out["t2"].astype(str), pa.string()),
+                "t3": pa.array(out["t3"].astype(str), pa.string()),
+                "n": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = bucketed_reduce(ev, bucket_of, tri).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"t1": pd.array([], dtype="string"), "t2": pd.array([], dtype="string"),
+             "t3": pd.array([], dtype="string"), "n": pd.array([], dtype="int64")}
+        )
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    return out.astype({"t1": "string", "t2": "string", "t3": "string", "n": "int64"})
+
+
+SQL_EVENTS_TRIGRAMS = (
+    "WITH s AS (SELECT event_type AS t3, "
+    "LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2, "
+    "LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1 "
+    "FROM events) "
+    "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n "
+    "FROM s WHERE t1 IS NOT NULL GROUP BY t1, t2, t3"
+)
+
+
+ANALYTICS_EXTRA_QUERIES["events_trigrams"] = q_events_trigrams
+ANALYTICS_EXTRA_ORACLES["events_trigrams"] = SQL_EVENTS_TRIGRAMS
+
+
+# ----------------------------------------------------------------------
+# SQ8 recall eval: how much exact-search recall survives 8-bit codes
+# ----------------------------------------------------------------------
+SQ8_QUERIES = 8
+SQ8_K = 10
+
+
+def q_emb_sq8_recall(sf_dir):
+    """Recall of SQ8-quantized exact search vs full-precision exact
+    search (the emb_dim_recall harness pointed at the quantization axis
+    instead of the truncation axis): for the 8 smallest vec_ids, top-10
+    by cosine over the decoded uint8 CODE vectors vs top-10 over the
+    original floats, reported as per-query overlap. The code expression
+    tree is emb_quantize_sq's (bit-exact both sides); ranking parity is
+    the knn list_cosine_similarity precedent."""
+    import ray as _ray
+
+    from everythinggraph_ray.datapipe.knn import knn_bruteforce, smallest_ids
+    from everythinggraph_ray.datapipe.quantize import _batch_matrix as _qmat
+    from everythinggraph_ray.datapipe.quantize import sq8_minmax
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = smallest_ids(emb, "vec_id", SQ8_QUERIES)
+    full = knn_bruteforce(emb, ids, k=SQ8_K)
+
+    mn, mx = sq8_minmax(emb)
+    rng_ref = _ray.put((mn, mx))
+
+    def to_codes(batch: pa.Table) -> pa.Table:
+        lo, hi = _ray.get(rng_ref)
+        m = _qmat(batch, "embedding")
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            codes = np.floor((m - lo) * 255.0 / span)
+        codes = np.where(span == 0.0, 0.0, codes)
+        codes = np.clip(codes, 0.0, 255.0)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.array(
+                    [row.tolist() for row in codes], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    quant = knn_bruteforce(
+        emb.map_batches(to_codes, batch_format="pyarrow"), ids, k=SQ8_K
+    )
+    m = full.merge(quant, on=["query_id", "neighbor_id"], how="left", suffixes=("", "_q"))
+    out = (
+        m.groupby("query_id", as_index=False)
+        .agg(n_overlap=("rank_q", "count"))
+        .astype({"query_id": "int64", "n_overlap": "int64"})
+    )
+    return out[["query_id", "n_overlap"]]
+
+
+SQL_EMB_SQ8_RECALL = (
+    "WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val, "
+    "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+    "mm AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim), "
+    "codes AS (SELECT vec_id, v.dim, CASE WHEN mx = mn THEN 0.0 "
+    "ELSE least(greatest(floor((val - mn) * 255 / (mx - mn)), 0), 255) "
+    "END AS code FROM v JOIN mm ON mm.dim = v.dim), "
+    "cl AS (SELECT vec_id, list(code ORDER BY dim) AS cv FROM codes GROUP BY vec_id), "
+    f"q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SQ8_QUERIES}), "
+    "full_r AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, "
+    f"e.vec_id) AS rnk FROM q, embeddings e WHERE e.vec_id <> q.vec_id QUALIFY rnk <= {SQ8_K}), "
+    "qc AS (SELECT c.vec_id, c.cv FROM cl c JOIN q ON q.vec_id = c.vec_id), "
+    "quant_r AS (SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY qc.vec_id ORDER BY "
+    "list_cosine_similarity(qc.cv, c.cv) DESC, c.vec_id) AS rnk "
+    f"FROM qc, cl c WHERE c.vec_id <> qc.vec_id QUALIFY rnk <= {SQ8_K}) "
+    "SELECT f.query_id, CAST(count(h.neighbor_id) AS BIGINT) AS n_overlap "
+    "FROM full_r f LEFT JOIN quant_r h ON h.query_id = f.query_id "
+    "AND h.neighbor_id = f.neighbor_id GROUP BY f.query_id"
+)
+
+
+ANALYTICS_EXTRA_QUERIES["emb_sq8_recall"] = q_emb_sq8_recall
+ANALYTICS_EXTRA_ORACLES["emb_sq8_recall"] = SQL_EMB_SQ8_RECALL

@@ -342,3 +342,57 @@ def test_adamic_adar_equals_bruteforce():
     exp = cand[:15]
     assert [(int(r["a"]), int(r["b"])) for _, r in got.iterrows()] == [p for p, _ in exp]
     assert got["cnt"].tolist() == [s for _, s in exp]
+
+
+def test_trigrams_equals_serial_replay(events_dir):
+    from everythinggraph_ray.pipelines.analytics_extra import q_events_trigrams
+
+    d, ev = events_dir
+    got = (
+        _to_df(q_events_trigrams(d))
+        .sort_values(["t1", "t2", "t3"])
+        .reset_index(drop=True)
+    )
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    p1 = s.groupby("user_id")["event_type"].shift(1)
+    p2 = s.groupby("user_id")["event_type"].shift(2)
+    ok = p2.notna()
+    exp = (
+        pd.DataFrame(
+            {"t1": p2[ok].to_numpy(), "t2": p1[ok].to_numpy(),
+             "t3": s["event_type"][ok].to_numpy()}
+        )
+        .groupby(["t1", "t2", "t3"], as_index=False)
+        .size()
+        .sort_values(["t1", "t2", "t3"])
+        .reset_index(drop=True)
+    )
+    assert got["t1"].tolist() == exp["t1"].tolist()
+    assert got["t2"].tolist() == exp["t2"].tolist()
+    assert got["t3"].tolist() == exp["t3"].tolist()
+    assert got["n"].tolist() == exp["size"].tolist()
+
+
+def test_sq8_recall_bounds_and_degradation(tmp_path):
+    """SQ8 recall: overlaps are in [0, 10]; an aggressively clustered
+    corpus with near-identical vectors still keeps positive overlap
+    (codes preserve coarse geometry); exact duplicates of the query set
+    rank first on both sides."""
+    from everythinggraph_ray.pipelines.analytics_extra import q_emb_sq8_recall
+
+    rng = np.random.default_rng(17)
+    n, dim = 200, 16
+    centers = rng.normal(size=(4, dim))
+    m = (centers[rng.integers(0, 4, n)] + 0.05 * rng.normal(size=(n, dim))).astype(
+        np.float32
+    )
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m)}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    emb.to_parquet(d / "embeddings.parquet")
+    got = _to_df(q_emb_sq8_recall(str(d)))
+    assert len(got) == 8
+    assert got["n_overlap"].between(0, 10).all()
+    assert got["n_overlap"].mean() > 3  # coarse geometry survives 8-bit codes
