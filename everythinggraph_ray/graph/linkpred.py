@@ -222,6 +222,7 @@ def cocitation_topk(
     k: int = 20,
     *,
     center_cap: int | None = None,
+    score: str = "count",
 ) -> ray.data.Dataset:
     """Top-k co-cited pairs of the DIRECTED graph: (a, b, cnt) with a < b,
     cnt = number of distinct sources linking to both — the bipartite /
@@ -234,10 +235,23 @@ def cocitation_topk(
 
     Shape: distinct directed edges → src-bucketed pair emission with a
     local combine → pair-bucketed sum keeping the bucket-local top-k →
-    exact global top-k (sort over ≤ k·buckets rows)."""
+    exact global top-k (sort over ≤ k·buckets rows).
+
+    ``score='cosine'`` ranks by the cosine-normalized co-citation
+    cnt / (sqrt(indeg(a)) · sqrt(indeg(b))) — the item-item
+    collaborative-filtering similarity (co-citation discounted by item
+    popularity). Ranking by the normalized score needs in-degrees on
+    every candidate pair BEFORE the top-k, so like the jaccard link
+    predictor it keeps all summed pairs and pays two degree-attach
+    co-groups; the score is sqrt/division over exact int64 inputs,
+    identically expressed in the SQL oracle."""
+    if score not in ("count", "cosine"):
+        raise ValueError(f"score must be count/cosine, got {score!r}")
     from everythinggraph_ray.stages.edges import dedup_edges
 
     dist = dedup_edges(edges.select_columns(["src", "dst"]))
+    if score == "cosine":
+        dist = dist.materialize()  # consumed twice: pair stream + in-degrees
 
     def center_bucket(batch: pa.Table) -> np.ndarray:
         return mix64(batch["src"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
@@ -293,7 +307,10 @@ def cocitation_topk(
         starts = np.flatnonzero(new)
         total = np.add.reduceat(sc, starts)
         ka, kb = sa[starts], sb[starts]
-        o3 = np.lexsort((kb, ka, -total))[:k]
+        if score == "cosine":
+            o3 = slice(None)  # ranking needs in-degrees: trim later
+        else:
+            o3 = np.lexsort((kb, ka, -total))[:k]
         return pa.table(
             {
                 "a": pa.array(ka[o3], pa.int64()),
@@ -303,7 +320,48 @@ def cocitation_topk(
         )
 
     parts = bucketed_reduce(pairs, pair_bucket, sum_topk)
-    return parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)
+    if score == "count":
+        return parts.sort(["cnt", "a", "b"], descending=[True, False, False]).limit(k)
+
+    # cosine: attach indeg(a), indeg(b) (distinct-source counts) via the
+    # same distributed degree co-group the jaccard predictor uses
+    from everythinggraph_ray.stages.agg import sum_by_key
+    from everythinggraph_ray.graph.triangles import _attach_degree
+
+    def indeg_partial(batch: pa.Table) -> pa.Table:
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        vid, cnt = np.unique(d, return_counts=True)
+        return pa.table({"vid": pa.array(vid, pa.int64()), "c": pa.array(cnt, pa.int64())})
+
+    indeg = sum_by_key(
+        dist.map_batches(indeg_partial, batch_format="pyarrow"), "vid", ["c"],
+        out_names=["deg"],
+    )
+    with_da = _attach_degree(parts, indeg, "a", "da")
+    with_db = _attach_degree(with_da, indeg, "b", "db")
+
+    def cosine_topk(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        da = batch["da"].to_numpy(zero_copy_only=False).astype(np.float64)
+        db = batch["db"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cos = c.astype(np.float64) / (np.sqrt(da) * np.sqrt(db))
+        o = np.lexsort((b, a, -cos))[:k]
+        return pa.table(
+            {
+                "a": pa.array(a[o], pa.int64()),
+                "b": pa.array(b[o], pa.int64()),
+                "cnt": pa.array(c[o], pa.int64()),
+                "cosine": pa.array(cos[o], pa.float64()),
+            }
+        )
+
+    return (
+        with_db.map_batches(cosine_topk, batch_format="pyarrow")
+        .sort(["cosine", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )
 
 
 def butterfly_count(

@@ -880,3 +880,129 @@ SQL_EMB_SQ8_RECALL = (
 
 ANALYTICS_EXTRA_QUERIES["emb_sq8_recall"] = q_emb_sq8_recall
 ANALYTICS_EXTRA_ORACLES["emb_sq8_recall"] = SQL_EMB_SQ8_RECALL
+
+
+# ----------------------------------------------------------------------
+# Pairwise Pearson correlation profile over lineitem numeric columns
+# ----------------------------------------------------------------------
+_CORR_COLS = ["qty", "price_d", "disc_pct", "tax_pct"]
+
+
+def q_lineitem_corr(sf_dir):
+    """Pairwise Pearson correlations over lineitem's numeric columns
+    (quantity, whole-dollar price, discount %, tax %) — the ANALYZE-
+    style correlation profile, the rel_assortativity moment device
+    generalized to all 6 column pairs. ONE streaming pass folds all 15
+    int64 moments (4 sums, 4 square-sums, 6 cross-sums, n) per batch;
+    quantization floor(x·s + 0.5) keeps every moment exact int64
+    (price² sums peak ~5e15, six orders inside int64), and each r is
+    the identical guarded float expression on both sides."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "qty": np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5).astype(np.int64),
+            "price_d": np.floor(batch["l_extendedprice"].to_numpy(zero_copy_only=False) + 0.5).astype(np.int64),
+            "disc_pct": np.floor(batch["l_discount"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64),
+            "tax_pct": np.floor(batch["l_tax"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64),
+        }
+        out = {"n": pa.array([batch.num_rows], pa.int64())}
+        for c in _CORR_COLS:
+            out[f"s_{c}"] = pa.array([int(cols[c].sum())], pa.int64())
+            out[f"s2_{c}"] = pa.array([int((cols[c] * cols[c]).sum())], pa.int64())
+        for i, a in enumerate(_CORR_COLS):
+            for b in _CORR_COLS[i + 1:]:
+                out[f"x_{a}_{b}"] = pa.array([int((cols[a] * cols[b]).sum())], pa.int64())
+        return pa.table(out)
+
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    s = {c: int(p[f"s_{c}"].sum()) for c in _CORR_COLS}
+    s2 = {c: int(p[f"s2_{c}"].sum()) for c in _CORR_COLS}
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            sxy = int(p[f"x_{a}_{b}"].sum())
+            num = float(n) * float(sxy) - float(s[a]) * float(s[b])
+            vx = float(n) * float(s2[a]) - float(s[a]) * float(s[a])
+            vy = float(n) * float(s2[b]) - float(s[b]) * float(s[b])
+            r = num / (np.sqrt(vx) * np.sqrt(vy)) if vx > 0 and vy > 0 else 0.0
+            rows.append((a, b, n, s[a], s[b], sxy, s2[a], s2[b], float(r)))
+    return pd.DataFrame(
+        rows,
+        columns=["x_name", "y_name", "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2", "r"],
+    ).astype(
+        {
+            "x_name": "string", "y_name": "string", "n": "int64", "sum_x": "int64",
+            "sum_y": "int64", "sum_xy": "int64", "sum_x2": "int64", "sum_y2": "int64",
+        }
+    )
+
+
+def _corr_sql() -> str:
+    base = (
+        "WITH q AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty, "
+        "CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price_d, "
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct, "
+        "CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct FROM lineitem) "
+    )
+    arms = []
+    cols = _CORR_COLS
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            arms.append(
+                f"SELECT '{a}' AS x_name, '{b}' AS y_name, "
+                f"CAST(count(*) AS BIGINT) AS n, CAST(sum({a}) AS BIGINT) AS sum_x, "
+                f"CAST(sum({b}) AS BIGINT) AS sum_y, CAST(sum({a} * {b}) AS BIGINT) AS sum_xy, "
+                f"CAST(sum({a} * {a}) AS BIGINT) AS sum_x2, CAST(sum({b} * {b}) AS BIGINT) AS sum_y2, "
+                f"CASE WHEN (CAST(count(*) AS DOUBLE) * CAST(sum({a} * {a}) AS DOUBLE) - CAST(sum({a}) AS DOUBLE) * CAST(sum({a}) AS DOUBLE)) > 0 "
+                f"AND (CAST(count(*) AS DOUBLE) * CAST(sum({b} * {b}) AS DOUBLE) - CAST(sum({b}) AS DOUBLE) * CAST(sum({b}) AS DOUBLE)) > 0 "
+                f"THEN (CAST(count(*) AS DOUBLE) * CAST(sum({a} * {b}) AS DOUBLE) - CAST(sum({a}) AS DOUBLE) * CAST(sum({b}) AS DOUBLE)) / "
+                f"(sqrt(CAST(count(*) AS DOUBLE) * CAST(sum({a} * {a}) AS DOUBLE) - CAST(sum({a}) AS DOUBLE) * CAST(sum({a}) AS DOUBLE)) * "
+                f"sqrt(CAST(count(*) AS DOUBLE) * CAST(sum({b} * {b}) AS DOUBLE) - CAST(sum({b}) AS DOUBLE) * CAST(sum({b}) AS DOUBLE))) "
+                f"ELSE 0.0 END AS r FROM q"
+            )
+    return base + " UNION ALL ".join(arms)
+
+
+ANALYTICS_EXTRA_QUERIES["lineitem_corr"] = q_lineitem_corr
+ANALYTICS_EXTRA_ORACLES["lineitem_corr"] = _corr_sql()
+
+
+# ----------------------------------------------------------------------
+# Cosine-normalized co-citation (item-item collaborative filtering)
+# ----------------------------------------------------------------------
+def q_rel_cocitation_cosine(sf_dir):
+    """Top-20 co-cited pairs ranked by the popularity-discounted cosine
+    cnt / (sqrt(indeg(a)) * sqrt(indeg(b))) — the item-item
+    collaborative-filtering similarity over the order→part incidence
+    (graph/linkpred.py cocitation_topk score='cosine': the raw-count
+    projection plus two distributed in-degree attaches; the sqrt/
+    division expression is shared token-for-token with the oracle)."""
+    from everythinggraph_ray.graph.linkpred import cocitation_topk
+    from everythinggraph_ray.pipelines.queries import rel_edges
+
+    return cocitation_topk(rel_edges(sf_dir), 20, score="cosine")
+
+
+def _cocitation_cosine_sql() -> str:
+    from everythinggraph_ray.pipelines.queries import SQL_REL_EDGES
+
+    return (
+        f"WITH d AS (SELECT DISTINCT src, dst FROM ({SQL_REL_EDGES})), "
+        "ind AS (SELECT dst AS vid, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY dst), "
+        "p AS (SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM d e1 JOIN d e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+        "GROUP BY e1.dst, e2.dst) "
+        "SELECT p.a, p.b, p.cnt, "
+        "CAST(p.cnt AS DOUBLE) / (sqrt(CAST(ia.deg AS DOUBLE)) * sqrt(CAST(ib.deg AS DOUBLE))) AS cosine "
+        "FROM p JOIN ind ia ON ia.vid = p.a JOIN ind ib ON ib.vid = p.b "
+        "ORDER BY cosine DESC, p.a, p.b LIMIT 20"
+    )
+
+
+ANALYTICS_EXTRA_QUERIES["rel_cocitation_cosine"] = q_rel_cocitation_cosine
+ANALYTICS_EXTRA_ORACLES["rel_cocitation_cosine"] = _cocitation_cosine_sql()

@@ -396,3 +396,70 @@ def test_sq8_recall_bounds_and_degradation(tmp_path):
     assert len(got) == 8
     assert got["n_overlap"].between(0, 10).all()
     assert got["n_overlap"].mean() > 3  # coarse geometry survives 8-bit codes
+
+
+def test_lineitem_corr_equals_numpy(tmp_path):
+    from everythinggraph_ray.pipelines.analytics_extra import q_lineitem_corr
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    price = np.round(qty * 100 + rng.uniform(0, 500, n), 2)  # correlated with qty
+    li = pd.DataFrame(
+        {
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n) / 100.0, 2),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet")
+    got = _to_df(q_lineitem_corr(str(d)))
+    row = got[(got["x_name"] == "qty") & (got["y_name"] == "price_d")].iloc[0]
+    qi = np.floor(qty + 0.5).astype(np.int64)
+    pi = np.floor(price + 0.5).astype(np.int64)
+    exp_r = np.corrcoef(qi, pi)[0, 1]
+    assert abs(float(row["r"]) - exp_r) < 1e-9
+    assert float(row["r"]) > 0.9  # the planted correlation
+    assert int(row["sum_x"]) == int(qi.sum()) and int(row["sum_xy"]) == int((qi * pi).sum())
+    assert len(got) == 6
+
+
+def test_cocitation_cosine_equals_bruteforce():
+    import pyarrow as pa
+
+    import ray.data
+
+    from everythinggraph_ray.graph.linkpred import cocitation_topk
+
+    rng = np.random.default_rng(29)
+    src = rng.integers(0, 50, 400).astype(np.int64)
+    dst = rng.integers(100, 140, 400).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    got = cocitation_topk(edges, 10, score="cosine").to_pandas().reset_index(drop=True)
+
+    es = sorted({(a, b) for a, b in zip(src, dst)})
+    from collections import defaultdict
+
+    outs = defaultdict(set)
+    indeg = defaultdict(int)
+    for a, b in es:
+        outs[a].add(b)
+        indeg[b] += 1
+    cnt = defaultdict(int)
+    for a in outs:
+        ns = sorted(outs[a])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cnt[(ns[i], ns[j])] += 1
+    scored = [
+        (p, c, c / (np.sqrt(float(indeg[p[0]])) * np.sqrt(float(indeg[p[1]]))))
+        for p, c in cnt.items()
+    ]
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    exp = scored[:10]
+    assert [(int(r["a"]), int(r["b"])) for _, r in got.iterrows()] == [p for p, _, _ in exp]
+    assert got["cnt"].tolist() == [c for _, c, _ in exp]
+    assert np.allclose(got["cosine"].to_numpy(), [s for _, _, s in exp], atol=1e-12)
