@@ -1006,3 +1006,70 @@ def _cocitation_cosine_sql() -> str:
 
 ANALYTICS_EXTRA_QUERIES["rel_cocitation_cosine"] = q_rel_cocitation_cosine
 ANALYTICS_EXTRA_ORACLES["rel_cocitation_cosine"] = _cocitation_cosine_sql()
+
+
+# ----------------------------------------------------------------------
+# EWMA smoothing of the hourly event-rate series
+# ----------------------------------------------------------------------
+def q_events_ewma(sf_dir):
+    """Exponentially-weighted moving average (alpha = 1/2) of the
+    hourly TOTAL event count — the classic streaming smoother behind
+    rate forecasting/anomaly baselines. The hourly series folds
+    distributed (batch partials + bucketed sum); the inherently
+    sequential recurrence s_t = 0.5*s_{t-1} + 0.5*x_t runs on the
+    driver over that SMALL series in the exact order the SQL
+    recursion replays, so the doubles are bit-equal. Surface is
+    integer micro-units via floor(s*1e6 + 0.5): alpha = 1/2 makes
+    every s an exact DYADIC rational, so .5 display-rounding ties are
+    the common case, not the corner case — round() would split
+    half-even (numpy) vs half-away (DuckDB) on a third of the rows."""
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hr = (us // HOUR_US) * HOUR_US
+        u, c = np.unique(hr, return_counts=True)
+        return pa.table(
+            {"hour_us": pa.array(u, pa.int64()), "x": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hourly = sum_by_key(
+        ev.map_batches(hour_partial, batch_format="pyarrow"), "hour_us", ["x"]
+    ).to_pandas()
+    if not len(hourly):
+        return pd.DataFrame(
+            {"hour": pd.to_datetime([]), "x": pd.array([], dtype="int64"),
+             "ewma_u": pd.array([], dtype="int64")}
+        )
+    hourly = hourly.sort_values("hour_us").reset_index(drop=True)
+    x = hourly["x"].to_numpy(np.int64)
+    s = float(x[0])
+    out = [s]
+    for xi in x[1:]:
+        s = 0.5 * s + 0.5 * float(xi)
+        out.append(s)
+    return pd.DataFrame(
+        {
+            "hour": pd.to_datetime(hourly["hour_us"].to_numpy(np.int64), unit="us"),
+            "x": pd.array(x, dtype="int64"),
+            "ewma_u": pd.array(
+                np.floor(np.array(out, np.float64) * 1e6 + 0.5).astype(np.int64),
+                dtype="int64",
+            ),
+        }
+    )
+
+
+SQL_EVENTS_EWMA = (
+    "WITH RECURSIVE h AS (SELECT date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+    "o AS (SELECT hour, x, row_number() OVER (ORDER BY hour) AS i FROM h), "
+    "r AS (SELECT hour, x, i, CAST(x AS DOUBLE) AS s FROM o WHERE i = 1 "
+    "UNION ALL SELECT o.hour, o.x, o.i, 0.5 * r.s + 0.5 * CAST(o.x AS DOUBLE) "
+    "FROM r JOIN o ON o.i = r.i + 1) "
+    "SELECT hour, x, CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS ewma_u FROM r"
+)
+
+
+ANALYTICS_EXTRA_QUERIES["events_ewma"] = q_events_ewma
+ANALYTICS_EXTRA_ORACLES["events_ewma"] = SQL_EVENTS_EWMA

@@ -463,3 +463,21 @@ def test_cocitation_cosine_equals_bruteforce():
     assert [(int(r["a"]), int(r["b"])) for _, r in got.iterrows()] == [p for p, _, _ in exp]
     assert got["cnt"].tolist() == [c for _, c, _ in exp]
     assert np.allclose(got["cosine"].to_numpy(), [s for _, _, s in exp], atol=1e-12)
+
+
+def test_ewma_equals_serial_recursion(events_dir):
+    from everythinggraph_ray.pipelines.analytics_extra import q_events_ewma
+
+    d, ev = events_dir
+    got = _to_df(q_events_ewma(d)).sort_values("hour").reset_index(drop=True)
+    series = ev["ts"].dt.floor("h").value_counts().sort_index()
+    x = series.to_numpy(np.int64)
+    s = float(x[0])
+    exp = [s]
+    for xi in x[1:]:
+        s = 0.5 * s + 0.5 * float(xi)
+        exp.append(s)
+    exp_u = np.floor(np.array(exp) * 1e6 + 0.5).astype(np.int64)
+    assert got["hour"].tolist() == series.index.tolist()
+    assert got["x"].tolist() == x.tolist()
+    assert got["ewma_u"].tolist() == exp_u.tolist()
