@@ -1073,3 +1073,82 @@ SQL_EVENTS_EWMA = (
 
 ANALYTICS_EXTRA_QUERIES["events_ewma"] = q_events_ewma
 ANALYTICS_EXTRA_ORACLES["events_ewma"] = SQL_EVENTS_EWMA
+
+
+# ----------------------------------------------------------------------
+# Chi-square independence statistic (brand x size band over part)
+# ----------------------------------------------------------------------
+def q_part_chi2(sf_dir):
+    """Independence test between p_brand and the p_size quintile band —
+    the chi-square drift/contingency companion of events_ks. Cell,
+    row and column counts fold distributed (bounded 25x5 cells); the
+    statistic is the integer-exact per-cell fold
+    chi2_milli = Σ ((o*n − r*c)² * 1000) // (r*c*n), evaluated in
+    arbitrary-precision Python ints on the driver and HUGEINT in SQL
+    ((o*n)² exceeds int64 once n > ~55k rows — numpy would wrap
+    silently, so the small cell table deliberately leaves numpy)."""
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_size"]
+    )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        br = np.asarray(batch["p_brand"].to_pylist(), object)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = (sz - 1) * 5 // 50  # sizes 1..50 -> bands 0..4
+        df = (
+            pd.DataFrame({"brand": br, "band": band})
+            .groupby(["brand", "band"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "brand": pa.array(df["brand"].astype(str), pa.string()),
+                "band": pa.array(df["band"].to_numpy(np.int64), pa.int64()),
+                "o": pa.array(df["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        part.map_batches(cell_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["brand", "band"], as_index=False)["o"]
+        .sum()
+    )
+    n = int(cells["o"].sum())
+    r_tot = cells.groupby("brand")["o"].sum().to_dict()
+    c_tot = cells.groupby("band")["o"].sum().to_dict()
+    chi = 0
+    for _, row in cells.iterrows():
+        o, r, c = int(row["o"]), int(r_tot[row["brand"]]), int(c_tot[int(row["band"])])
+        chi += ((o * n - r * c) ** 2 * 1000) // (r * c * n)  # python ints: no wrap
+    out = cells.copy()
+    out["r"] = out["brand"].map(r_tot).astype(np.int64)
+    out["c"] = out["band"].map(c_tot).astype(np.int64)
+    out["chi2_milli"] = np.int64(chi)
+    return out.astype(
+        {"brand": "string", "band": "int64", "o": "int64", "r": "int64", "c": "int64",
+         "chi2_milli": "int64"}
+    )[["brand", "band", "o", "r", "c", "chi2_milli"]]
+
+
+SQL_PART_CHI2 = (
+    "WITH cells AS (SELECT p_brand AS brand, "
+    "CAST((p_size - 1) * 5 // 50 AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS o "
+    "FROM part GROUP BY 1, 2), "
+    "r AS (SELECT brand, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY brand), "
+    "c AS (SELECT band, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY band), "
+    "n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), "
+    "j AS (SELECT cells.brand, cells.band, cells.o, r.r, c.c, (SELECT n FROM n) AS n "
+    "FROM cells JOIN r USING (brand) JOIN c USING (band)), "
+    # d*d, not d ** 2: DuckDB's ** is pow() and returns DOUBLE, silently
+    # breaking the exact HUGEINT chain
+    "d AS (SELECT brand, band, o, r, c, n, "
+    "CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS dd FROM j), "
+    "chi AS (SELECT CAST(sum((dd * dd * 1000) "
+    "// (CAST(r AS HUGEINT) * c * n)) AS BIGINT) AS chi2_milli FROM d) "
+    "SELECT brand, band, o, r, c, (SELECT chi2_milli FROM chi) AS chi2_milli FROM j"
+)
+
+
+ANALYTICS_EXTRA_QUERIES["part_chi2"] = q_part_chi2
+ANALYTICS_EXTRA_ORACLES["part_chi2"] = SQL_PART_CHI2

@@ -481,3 +481,44 @@ def test_ewma_equals_serial_recursion(events_dir):
     assert got["hour"].tolist() == series.index.tolist()
     assert got["x"].tolist() == x.tolist()
     assert got["ewma_u"].tolist() == exp_u.tolist()
+
+
+def test_part_chi2_detects_dependence(tmp_path):
+    """chi2 statistic: near zero on an independent grid, large when
+    brand determines size; matches an arbitrary-precision serial fold."""
+    from everythinggraph_ray.pipelines.analytics_extra import q_part_chi2
+
+    def run(df):
+        d = tmp_path / f"sf{len(df)}"
+        d.mkdir(exist_ok=True)
+        df.to_parquet(d / "part.parquet")
+        return _to_df(q_part_chi2(str(d)))
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    ind = pd.DataFrame(
+        {
+            "p_brand": [f"Brand#{i % 5}" for i in range(n)],
+            "p_size": rng.integers(1, 51, n).astype(np.int32),
+        }
+    )
+    dep = pd.DataFrame(
+        {
+            "p_brand": [f"Brand#{i % 5}" for i in range(n)],
+            # brand i only ships sizes in its own decile band
+            "p_size": [(i % 5) * 10 + 1 + int(rng.integers(0, 10)) for i in range(n)],
+        }
+    )
+    chi_ind = int(run(ind)["chi2_milli"].iloc[0])
+    chi_dep = int(run(dep)["chi2_milli"].iloc[0])
+    assert chi_dep > 20 * max(chi_ind, 1)
+
+    # serial replay with python ints
+    got = run(dep)
+    cells = got[["brand", "band", "o", "r", "c"]]
+    nn = int(cells.drop_duplicates(["brand", "band"])["o"].sum())
+    chi = 0
+    for _, row in cells.iterrows():
+        o, r, c = int(row["o"]), int(row["r"]), int(row["c"])
+        chi += ((o * nn - r * c) ** 2 * 1000) // (r * c * nn)
+    assert chi == chi_dep
