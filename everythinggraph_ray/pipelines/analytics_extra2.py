@@ -1,0 +1,586 @@
+"""Analytics batch (session 8): TPC-H Q8-lite market share, rolling
+7-day distinct users, last-touch attribution, Levenshtein verify pairs,
+and centered-energy embedding outliers.
+
+Each is a (ray_fn, oracle_sql) pair continuing queries.py's exactness
+discipline — integer surfaces wherever a float could reassociate, and
+any shared expression tree written token-for-token on both sides.
+
+Distributed shapes:
+- ``q8_market_share``: the three big joins (lineitem x PROMO part on
+  partkey, x supplier-nation flag on suppkey, x ASIA-customer orders on
+  orderkey) all go through the bucketed ``hash_join``; non-qualifying
+  rows drop AT THE ATTACH, the share division is integer ppm on a
+  per-year aggregate (HUGEINT chain on the SQL side).
+- ``events_rolling_users``: rolling 7-day distinct users per day —
+  dedup (day, user) via one bucketed pair-fold, EXPAND each surviving
+  pair to its 7 window-end days (bounded 7x blowup of the already
+  deduped pairs, not the raw events), dedup again, count per day. The
+  day filter set is O(timespan), never O(events).
+- ``events_attribution``: last-touch conversion attribution — the
+  lag() window device (events_lag_stats precedent): one user-bucketed
+  co-group, vectorized pandas shift inside the bucket, tie-broken by
+  (ts, event_id) on both sides.
+- ``docs_lev_pairs``: exact Levenshtein over blocked candidate pairs
+  (same lang + same 12-char prefix; 64-char comparison window). The
+  per-block pairing is quadratic IN THE BLOCK — fine for prefix blocks
+  (data-bounded small); the principled scale paths for unbounded
+  blocks are docs_jaccard_join (AllPairs) / docs_snm_pairs. DuckDB's
+  levenshtein() is the oracle.
+- ``emb_outliers``: top-20 anomalous vectors by centered L2 energy
+  score = sum_d (n*q_id - S_d)^2 over per-element quantized ints —
+  scale-free of any float division, exact on both sides (HUGEINT in
+  SQL, Python-int object math per batch in Ray; the per-dim sums S_d
+  are a 64-value broadcast, the top-20 a per-batch partial combiner).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from everythinggraph_ray.datapipe.joins import hash_join
+from everythinggraph_ray.stages.agg import (
+    bucketed_reduce,
+    grouped_top_k,
+    mix64,
+    mix64_pair,
+    sum_by_key,
+)
+
+ANALYTICS2_QUERIES: dict = {}
+ANALYTICS2_ORACLES: dict = {}
+
+DAY_US = 86_400_000_000
+
+# ----------------------------------------------------------------------
+# TPC-H Q8-lite: national market share per order year
+# ----------------------------------------------------------------------
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_3"
+
+
+def _cents(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    # floor(x+0.5), not np.round: numpy rounds half-EVEN, DuckDB half-away
+    return np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+
+
+def q_q8_market_share(sf_dir):
+    """TPC-H Q8-lite: NATION_3 suppliers' share (ppm) of PROMO-part
+    revenue sold to ASIA-region customers, per order year. Mirrors
+    tpch_q8.sql's share-of-volume shape (reference has no SQL tier;
+    semantics per SURVEY §2 training-data additions). All three probe
+    joins are bucketed hash_joins with qualify-at-attach drops; the
+    small dims (nation x region, supplier nation flag) ride as
+    broadcast maps."""
+    import duckdb
+
+    # tiny dims: nationkey -> in-ASIA flag / name (25 + 5 rows, driver-side)
+    con = duckdb.connect()
+    nr = con.execute(
+        f"SELECT n_nationkey, n_name, r_name FROM read_parquet('{os.path.join(sf_dir, 'nation.parquet')}') n "
+        f"JOIN read_parquet('{os.path.join(sf_dir, 'region.parquet')}') r ON r.r_regionkey = n.n_regionkey"
+    ).fetch_df()
+    con.close()
+    asia_nk = set(nr.loc[nr["r_name"] == Q8_REGION, "n_nationkey"].astype(int))
+    nation_nk = set(nr.loc[nr["n_name"] == Q8_NATION, "n_nationkey"].astype(int))
+    asia_ref = ray.put(asia_nk)
+    nk_ref = ray.put(nation_nk)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+
+    def asia_only(batch: pa.Table) -> pa.Table:
+        ok = ray.get(asia_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, np.fromiter(ok, np.int64)) if ok else np.zeros(len(nk), bool)
+        return pa.table(
+            {"c_custkey": pa.array(batch["c_custkey"].to_numpy(zero_copy_only=False)[keep], pa.int64())}
+        )
+
+    cust_a = cust.map_batches(asia_only, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def oyear(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "order_year": pa.array(year, pa.int64()),
+            }
+        )
+
+    ord_a = hash_join(
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        cust_a,
+        on="o_custkey",
+        right_on="c_custkey",
+        right_cols=[],
+    )
+
+    part_t = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+
+    def promo_only(batch: pa.Table) -> pa.Table:
+        pt = np.asarray(batch["p_type"].to_pylist(), object)
+        keep = pt == Q8_TYPE
+        return pa.table(
+            {"p_partkey": pa.array(batch["p_partkey"].to_numpy(zero_copy_only=False)[keep], pa.int64())}
+        )
+
+    part_p = part_t.map_batches(promo_only, batch_format="pyarrow")
+
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def nflag(batch: pa.Table) -> pa.Table:
+        ok = ray.get(nk_ref)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isn = (np.isin(nk, np.fromiter(ok, np.int64)) if ok else np.zeros(len(nk), bool)).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(batch["s_suppkey"].to_numpy(zero_copy_only=False), pa.int64()),
+                "is_n": pa.array(isn, pa.int64()),
+            }
+        )
+
+    supp_f = supp.map_batches(nflag, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev_c": pa.array(
+                    _cents(
+                        batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                        batch["l_discount"].to_numpy(zero_copy_only=False),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li_p = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        part_p,
+        on="l_partkey",
+        right_on="p_partkey",
+        right_cols=[],
+    )
+    li_ps = hash_join(li_p, supp_f, on="l_suppkey", right_on="s_suppkey", right_cols=["is_n"])
+    li_all = hash_join(
+        li_ps, ord_a, on="l_orderkey", right_on="o_orderkey", right_cols=["order_year"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        yr = batch["order_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = batch["rev_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isn = batch["is_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(yr, return_inverse=True)
+        return pa.table(
+            {
+                "order_year": pa.array(u, pa.int64()),
+                "total_c": pa.array(np.bincount(inv, weights=rv).astype(np.int64), pa.int64()),
+                "nation_c": pa.array(np.bincount(inv, weights=rv * isn).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = sum_by_key(
+        li_all.map_batches(partials, batch_format="pyarrow"), "order_year", ["total_c", "nation_c"]
+    ).to_pandas()
+    agg = agg.sort_values("order_year").reset_index(drop=True)
+    agg["share_ppm"] = [
+        int(n) * 1_000_000 // int(t) for n, t in zip(agg["nation_c"], agg["total_c"])
+    ]
+    return agg.astype(
+        {"order_year": "int64", "total_c": "int64", "nation_c": "int64", "share_ppm": "int64"}
+    )[["order_year", "total_c", "nation_c", "share_ppm"]]
+
+
+SQL_Q8 = (
+    "WITH v AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year, "
+    "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS rev_c, "
+    f"CASE WHEN sn.n_name = '{Q8_NATION}' THEN 1 ELSE 0 END AS is_n "
+    "FROM lineitem l "
+    f"JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{Q8_TYPE}' "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
+    f"JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = '{Q8_REGION}' "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation sn ON sn.n_nationkey = s.s_nationkey) "
+    "SELECT order_year, CAST(sum(rev_c) AS BIGINT) AS total_c, "
+    "CAST(sum(rev_c * is_n) AS BIGINT) AS nation_c, "
+    "CAST(CAST(sum(rev_c * is_n) AS HUGEINT) * 1000000 // sum(rev_c) AS BIGINT) AS share_ppm "
+    "FROM v GROUP BY order_year"
+)
+
+ANALYTICS2_QUERIES["q8_market_share"] = q_q8_market_share
+ANALYTICS2_ORACLES["q8_market_share"] = SQL_Q8
+
+
+# ----------------------------------------------------------------------
+# Rolling 7-day distinct users per active day
+# ----------------------------------------------------------------------
+def q_events_rolling_users(sf_dir):
+    """Distinct users in the trailing 7-day window ending at each
+    active day — the DAU/WAU rolling-uniques report. COUNT(DISTINCT)
+    OVER RANGE isn't a combinable aggregate, so the engine dedups
+    (day, user) once (bucketed pair fold), expands each pair to its 7
+    window-end days (a bounded 7x blowup of DEDUPED pairs), dedups
+    (end_day, user) again, and counts rows per end day; only window
+    ends that are real active days survive (the day set is
+    O(timespan), broadcast as a driver set)."""
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        d = us // DAY_US
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.stack([d, uid], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "d": pa.array(uniq[:, 0], pa.int64()),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
+                "one": pa.array(np.ones(len(uniq), np.int64), pa.int64()),
+            }
+        )
+
+    pairs = ev.map_batches(day_user, batch_format="pyarrow")
+
+    # dedup (day, user): bucketed fold keyed on the pair hash
+    def bucket_pair(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["d"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        ).astype(np.int64) & 0x7FFFFFFF
+
+    def dedup_pair(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["d", "user_id"])
+        return pa.table(
+            {
+                "d": pa.array(df["d"].to_numpy(np.int64), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    du = bucketed_reduce(pairs, bucket_pair, dedup_pair)
+
+    # active-day set: O(timespan) rows, safe on the driver
+    days = sorted(
+        int(r["d"]) for r in sum_by_key(pairs, "d", ["one"]).select_columns(["d"]).take_all()
+    )
+    days_ref = ray.put(set(days))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = (d[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        uids = np.repeat(uid, 7)
+        ok = ray.get(days_ref)
+        keep = np.isin(ends, np.fromiter(ok, np.int64))
+        return pa.table(
+            {
+                "day": pa.array(ends[keep], pa.int64()),
+                "user_id": pa.array(uids[keep], pa.int64()),
+            }
+        )
+
+    expanded = du.map_batches(expand, batch_format="pyarrow")
+
+    def bucket_end(batch: pa.Table) -> np.ndarray:
+        return mix64_pair(
+            batch["day"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        ).astype(np.int64) & 0x7FFFFFFF
+
+    def count_end(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["day", "user_id"])
+        cnt = df.groupby("day").size()
+        return pa.table(
+            {
+                "day": pa.array(cnt.index.to_numpy(np.int64), pa.int64()),
+                "users7": pa.array(cnt.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # a (day,user) window pair lands in exactly one bucket, so per-bucket
+    # partial counts sum exactly
+    per_bucket = bucketed_reduce(expanded, bucket_end, count_end)
+    return sum_by_key(per_bucket, "day", ["users7"])
+
+
+SQL_ROLLING_USERS = (
+    "WITH du AS (SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d, "
+    "user_id FROM events), "
+    "days AS (SELECT DISTINCT d FROM du) "
+    "SELECT days.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS users7 "
+    "FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d "
+    "GROUP BY days.d"
+)
+
+ANALYTICS2_QUERIES["events_rolling_users"] = q_events_rolling_users
+ANALYTICS2_ORACLES["events_rolling_users"] = SQL_ROLLING_USERS
+
+
+# ----------------------------------------------------------------------
+# Last-touch attribution: event type preceding each purchase
+# ----------------------------------------------------------------------
+def q_events_attribution(sf_dir):
+    """Last-touch conversion attribution: for every purchase event, the
+    user's immediately preceding event type (lag over (ts, event_id)
+    within the user stream; '(none)' when the purchase opens the
+    stream), counted per preceding type. Same user-bucketed co-group +
+    vectorized pandas shift as events_lag_stats."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def attrib(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id")["event_type"].shift().fillna("(none)")
+        purchases = prev[df["event_type"].to_numpy() == "purchase"]
+        cnt = purchases.value_counts()
+        return pa.table(
+            {
+                "prev_type": pa.array(cnt.index.astype(str), pa.string()),
+                "conversions": pa.array(cnt.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # final fold: at most |event types|+1 keys per bucket — tiny on the driver
+    per_bucket = bucketed_reduce(ev, bucket_of, attrib).to_pandas()
+    out = per_bucket.groupby("prev_type", as_index=False)["conversions"].sum()
+    return out.astype({"prev_type": "string", "conversions": "int64"})
+
+
+SQL_ATTRIBUTION = (
+    "WITH e AS (SELECT user_id, event_id, event_type, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events) "
+    "SELECT coalesce(prev, '(none)') AS prev_type, CAST(count(*) AS BIGINT) AS conversions "
+    "FROM e WHERE event_type = 'purchase' GROUP BY 1"
+)
+
+ANALYTICS2_QUERIES["events_attribution"] = q_events_attribution
+ANALYTICS2_ORACLES["events_attribution"] = SQL_ATTRIBUTION
+
+
+# ----------------------------------------------------------------------
+# Levenshtein distance over blocked candidate pairs
+# ----------------------------------------------------------------------
+LEV_PFX = 12
+LEV_WIN = 64
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost edit distance, row-vectorized DP: O(len(a))
+    numpy passes over len(b)-wide rows (never a per-cell Python loop).
+    Matches DuckDB's levenshtein()."""
+    if a == b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    if len(ca) == 0:
+        return len(cb)
+    if len(cb) == 0:
+        return len(ca)
+    idx = np.arange(len(cb) + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ch in enumerate(ca):
+        cur = np.empty(len(cb) + 1, np.int64)
+        cur[0] = i + 1
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (cb != ch))
+        # insertion chain cur[j] = min_{k<=j}(cur[k] + (j-k)) via the
+        # arange-offset identity: j + minaccum(cur - j)
+        t = cur - idx
+        np.minimum.accumulate(t, out=t)
+        prev = t + idx
+    return int(prev[-1])
+
+
+def q_docs_lev_pairs(sf_dir):
+    """Edit-distance verify over blocked candidates: pairs of documents
+    sharing (lang, first-12-chars), distance computed on the 64-char
+    comparison window — the classic post-blocking near-dup verifier.
+    Blocks co-locate via one bucketed co-group on the block-key hash;
+    within a block the pair set is the exact doc_id-ordered cross
+    (quadratic IN THE BLOCK, data-bounded; see docs_jaccard_join /
+    docs_snm_pairs for blocks that can't be bounded). DuckDB's
+    levenshtein() is the oracle — unit costs, codepoint-level."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        txt = np.asarray(batch["text"].to_pylist(), object)
+        lang = np.asarray(batch["lang"].to_pylist(), object)
+        key = np.asarray([f"{la}|{t[:LEV_PFX]}" for la, t in zip(lang, txt)], object)
+        win = np.asarray([t[:LEV_WIN] for t in txt], object)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.string()),
+                "doc_id": batch["doc_id"],
+                "s": pa.array(win, pa.string()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        # stable across worker processes (Python hash() is seed-randomized)
+        from hashlib import blake2b
+
+        h = np.asarray(
+            [
+                int.from_bytes(blake2b(k.encode(), digest_size=8).digest(), "little")
+                for k in batch["key"].to_pylist()
+            ],
+            np.uint64,
+        )
+        return mix64(h).astype(np.int64) & 0x7FFFFFFF
+
+    def pairs_in_block(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        out1, out2, dist = [], [], []
+        for _, grp in df.groupby("key"):  # blocks are small by construction
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy(np.int64)
+            ss = grp["s"].to_numpy(object)
+            i, j = np.triu_indices(len(ids), k=1)
+            out1.append(ids[i])
+            out2.append(ids[j])
+            dist.append(np.asarray([_levenshtein(ss[a], ss[b]) for a, b in zip(i, j)], np.int64))
+        if not out1:
+            return pa.table(
+                {
+                    "doc1": pa.array([], pa.int64()),
+                    "doc2": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc1": pa.array(np.concatenate(out1), pa.int64()),
+                "doc2": pa.array(np.concatenate(out2), pa.int64()),
+                "dist": pa.array(np.concatenate(dist), pa.int64()),
+            }
+        )
+
+    return bucketed_reduce(docs.map_batches(keyed, batch_format="pyarrow"), bucket_of, pairs_in_block)
+
+
+SQL_LEV_PAIRS = (
+    f"WITH d AS (SELECT doc_id, lang, substr(text, 1, {LEV_PFX}) AS pfx, "
+    f"substr(text, 1, {LEV_WIN}) AS s FROM documents) "
+    "SELECT a.doc_id AS doc1, b.doc_id AS doc2, "
+    "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+    "FROM d a JOIN d b ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id"
+)
+
+ANALYTICS2_QUERIES["docs_lev_pairs"] = q_docs_lev_pairs
+ANALYTICS2_ORACLES["docs_lev_pairs"] = SQL_LEV_PAIRS
+
+
+# ----------------------------------------------------------------------
+# Embedding outliers by centered L2 energy
+# ----------------------------------------------------------------------
+EMB_OUTLIER_K = 20
+
+
+def q_emb_outliers(sf_dir):
+    """Top-20 anomalous embeddings by centered L2 energy:
+    score_i = sum_d (n*q_id − S_d)^2 with q = floor(x*1e6 + 0.5) —
+    the n^2-scaled squared distance from the mean, kept in exact
+    integers so no float variance division can reassociate. S_d is a
+    64-long broadcast (per-batch partial sums, one driver add); the
+    top-20 rides the per-batch partial-top-k combiner. Squares are
+    Python-int object math per batch (HUGEINT analogue; n*q ~ 1e12 at
+    petascale would overflow an int64 square)."""
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def quant(batch: pa.Table) -> np.ndarray:
+        x = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        return np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        q = quant(batch)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(q.shape[1], dtype=np.int64), pa.int64()),
+                "sd": pa.array(q.sum(axis=0, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(q.shape[1], q.shape[0], np.int64), pa.int64()),
+            }
+        )
+
+    sums = sum_by_key(
+        emb.map_batches(partial_sums, batch_format="pyarrow"), "dim", ["sd", "n"]
+    ).to_pandas().sort_values("dim")
+    S = sums["sd"].to_numpy(np.int64)
+    n = int(sums["n"].iloc[0])
+    s_ref = ray.put((S, n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        Sd, nn = ray.get(s_ref)
+        q = quant(batch)
+        # object math: (n*q - S) squares exceed int64 at petascale n
+        c = (q.astype(object) * nn) - Sd.astype(object)
+        sc = (c * c).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "score": pa.array(sc.astype(np.int64), pa.int64()),
+                "g": pa.array(np.zeros(len(q), np.int64), pa.int64()),
+            }
+        )
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+    top = grouped_top_k(
+        scored, "g", [("score", False), ("vec_id", True)], EMB_OUTLIER_K
+    )
+    return top.select_columns(["vec_id", "score"])
+
+
+SQL_EMB_OUTLIERS = (
+    "WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+    "CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS qv "
+    "FROM embeddings), "
+    "s AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS sd FROM q GROUP BY dim), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
+    "d AS (SELECT q.vec_id, CAST(q.qv AS HUGEINT) * (SELECT n FROM n) - s.sd AS dd "
+    "FROM q JOIN s USING (dim)), "
+    "sc AS (SELECT vec_id, CAST(sum(dd * dd) AS BIGINT) AS score FROM d GROUP BY vec_id) "
+    "SELECT vec_id, score FROM sc "
+    f"QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {EMB_OUTLIER_K}"
+)
+
+ANALYTICS2_QUERIES["emb_outliers"] = q_emb_outliers
+ANALYTICS2_ORACLES["emb_outliers"] = SQL_EMB_OUTLIERS

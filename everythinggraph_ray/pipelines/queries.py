@@ -8537,3 +8537,11 @@ from everythinggraph_ray.pipelines.analytics_extra import (  # noqa: E402
 
 QUERIES.update(ANALYTICS_EXTRA_QUERIES)
 ORACLES.update(ANALYTICS_EXTRA_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra2 import (  # noqa: E402
+    ANALYTICS2_ORACLES,
+    ANALYTICS2_QUERIES,
+)
+
+QUERIES.update(ANALYTICS2_QUERIES)
+ORACLES.update(ANALYTICS2_ORACLES)

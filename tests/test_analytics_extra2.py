@@ -1,0 +1,197 @@
+"""Session-8 analytics batch (Q8 share / rolling users / attribution /
+Levenshtein pairs / embedding outliers): serial-replay exactness on
+synthetic fixtures, independent of the driver's DuckDB sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from everythinggraph_ray.pipelines.analytics_extra2 import (
+    _levenshtein,
+    q_docs_lev_pairs,
+    q_emb_outliers,
+    q_events_attribution,
+    q_events_rolling_users,
+)
+
+
+def _to_df(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _ref_lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, dp[j] = dp[j], cur
+    return dp[n]
+
+
+def test_levenshtein_matches_textbook_dp():
+    rng = np.random.default_rng(11)
+    alpha = "abcde"
+    for _ in range(200):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 24)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 24)))
+        assert _levenshtein(a, b) == _ref_lev(a, b)
+    assert _levenshtein("", "") == 0
+    assert _levenshtein("abc", "") == 3
+    assert _levenshtein("", "xyz") == 3
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    n = 3000
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 20 * 86400, n) * 1_000_000, unit="us", origin="2024-03-01"
+            ),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase"], n, p=[0.55, 0.3, 0.15]
+            ),
+            "value": np.round(rng.uniform(0, 10, n), 4),
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path_factory.mktemp("ev2")
+    ev.to_parquet(d / "events.parquet")
+    return str(d), ev
+
+
+def test_rolling_users_equals_serial_window(events_dir):
+    d, ev = events_dir
+    got = _to_df(q_events_rolling_users(d)).sort_values("day").reset_index(drop=True)
+    day = (
+        ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    )
+    du = pd.DataFrame({"d": day, "u": ev["user_id"]}).drop_duplicates()
+    days = np.sort(du["d"].unique())
+    want = [
+        (int(e), int(du.loc[(du["d"] >= e - 6) & (du["d"] <= e), "u"].nunique()))
+        for e in days
+    ]
+    want = pd.DataFrame(want, columns=["day", "users7"])
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_attribution_equals_serial_lag(events_dir):
+    d, ev = events_dir
+    got = (
+        _to_df(q_events_attribution(d))
+        .sort_values("prev_type")
+        .reset_index(drop=True)
+        .astype({"prev_type": str, "conversions": "int64"})
+    )
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    prev = s.groupby("user_id")["event_type"].shift().fillna("(none)")
+    want = (
+        prev[s["event_type"].to_numpy() == "purchase"]
+        .value_counts()
+        .rename_axis("prev_type")
+        .reset_index(name="conversions")
+        .sort_values("prev_type")
+        .reset_index(drop=True)
+        .astype({"prev_type": str, "conversions": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def docs_emb_dir(tmp_path_factory):
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts, langs = [], []
+    for i in range(120):
+        base = " ".join(rng.choice(words, 20))
+        texts.append(base)
+        langs.append(rng.choice(["en", "de"]))
+        if i % 4 == 0:  # shared-prefix near-twins so blocks pair up
+            texts.append(base[:30] + " " + " ".join(rng.choice(words, 10)))
+            langs.append(langs[-1])
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": [rng.uniform(-0.5, 0.5, 16).astype(np.float32) for _ in range(80)],
+            "label": np.zeros(80, np.int32),
+        }
+    )
+    d = tmp_path_factory.mktemp("de2")
+    docs.to_parquet(d / "documents.parquet")
+    emb.to_parquet(d / "embeddings.parquet")
+    return str(d), docs, emb
+
+
+def test_lev_pairs_equals_serial_blocking(docs_emb_dir):
+    d, docs, _ = docs_emb_dir
+    got = (
+        _to_df(q_docs_lev_pairs(d))
+        .sort_values(["doc1", "doc2"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    rows = []
+    key = docs["lang"] + "|" + docs["text"].str[:12]
+    for _, grp in docs.assign(key=key).groupby("key"):
+        grp = grp.sort_values("doc_id")
+        ids = grp["doc_id"].to_numpy()
+        ss = grp["text"].str[:64].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i], ids[j], _ref_lev(ss[i], ss[j])))
+    want = (
+        pd.DataFrame(rows, columns=["doc1", "doc2", "dist"])
+        .sort_values(["doc1", "doc2"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    assert len(want) > 0  # fixture must exercise non-trivial blocks
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_emb_outliers_equals_serial_energy(docs_emb_dir):
+    d, _, emb = docs_emb_dir
+    got = (
+        _to_df(q_emb_outliers(d)).sort_values("vec_id").reset_index(drop=True).astype("int64")
+    )
+    x = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    q = np.floor(x * 1_000_000 + 0.5).astype(np.int64).astype(object)
+    n = len(q)
+    S = q.sum(axis=0)
+    c = q * n - S
+    score = (c * c).sum(axis=1)
+    order = sorted(range(n), key=lambda i: (-int(score[i]), i))[:20]
+    want = (
+        pd.DataFrame(
+            {"vec_id": np.asarray(order, np.int64), "score": [int(score[i]) for i in order]}
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
