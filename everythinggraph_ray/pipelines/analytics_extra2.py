@@ -584,3 +584,434 @@ SQL_EMB_OUTLIERS = (
 
 ANALYTICS2_QUERIES["emb_outliers"] = q_emb_outliers
 ANALYTICS2_ORACLES["emb_outliers"] = SQL_EMB_OUTLIERS
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q9-lite: supplier-nation profit on a named part family
+# ----------------------------------------------------------------------
+Q9_PART = "rod"
+# supply cost proxy: 60% of retail cents (no partsupp table in this corpus)
+Q9_COST_NUM, Q9_COST_DEN = 3, 5
+
+
+def q_q9_profit(sf_dir):
+    """TPC-H Q9-lite: profit per (supplier nation, order year) for
+    parts whose name contains 'rod'. profit = revenue cents −
+    qty · (60% of retail cents) — partsupp doesn't exist in this corpus
+    so the supply cost is an integer retail-price proxy, identical on
+    both sides. Joins: lineitem x matching part (cost attach) and
+    x orders (year attach) through the bucketed hash_join; supplier →
+    nation name rides the 25-row broadcast map."""
+    import duckdb
+
+    con = duckdb.connect()
+    nmap = dict(
+        con.execute(
+            f"SELECT n_nationkey, n_name FROM read_parquet('{os.path.join(sf_dir, 'nation.parquet')}')"
+        ).fetchall()
+    )
+    con.close()
+    nref = ray.put({int(k): str(v) for k, v in nmap.items()})
+
+    part_t = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+
+    def rod_cost(batch: pa.Table) -> pa.Table:
+        names = np.asarray(batch["p_name"].to_pylist(), object)
+        keep = np.asarray([Q9_PART in n for n in names], bool)
+        cost_c = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False)[keep] * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    batch["p_partkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "cost_c": pa.array(cost_c * Q9_COST_NUM // Q9_COST_DEN, pa.int64()),
+            }
+        )
+
+    part_c = part_t.map_batches(rod_cost, batch_format="pyarrow")
+
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def sname(batch: pa.Table) -> pa.Table:
+        m = ray.get(nref)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(batch["s_suppkey"].to_numpy(zero_copy_only=False), pa.int64()),
+                "nation": pa.array([m[int(k)] for k in nk], pa.string()),
+            }
+        )
+
+    supp_n = supp.map_batches(sname, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def oyear(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "order_year": pa.array(
+                    od.astype("datetime64[Y]").astype(np.int64) + 1970, pa.int64()
+                ),
+            }
+        )
+
+    ord_y = orders.map_batches(oyear, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "qty": pa.array(
+                    np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
+                "rev_c": pa.array(
+                    _cents(
+                        batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                        batch["l_discount"].to_numpy(zero_copy_only=False),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li_p = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part_c,
+        on="l_partkey",
+        right_on="p_partkey",
+        right_cols=["cost_c"],
+    )
+    li_ps = hash_join(li_p, supp_n, on="l_suppkey", right_on="s_suppkey", right_cols=["nation"])
+    li_all = hash_join(li_ps, ord_y, on="l_orderkey", right_on="o_orderkey", right_cols=["order_year"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["profit_c"] = (
+            df["rev_c"].to_numpy(np.int64) - df["qty"].to_numpy(np.int64) * df["cost_c"].to_numpy(np.int64)
+        )
+        g = df.groupby(["nation", "order_year"], as_index=False).agg(
+            profit_c=("profit_c", "sum"), n_items=("profit_c", "size")
+        )
+        return pa.table(
+            {
+                "nation": pa.array(g["nation"].astype(str), pa.string()),
+                "order_year": pa.array(g["order_year"].to_numpy(np.int64), pa.int64()),
+                "profit_c": pa.array(g["profit_c"].to_numpy(np.int64), pa.int64()),
+                "n_items": pa.array(g["n_items"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # final fold: |nations| x |years| rows — tiny on the driver
+    parts = li_all.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["nation", "order_year"], as_index=False)[["profit_c", "n_items"]].sum()
+    return out.astype(
+        {"nation": "string", "order_year": "int64", "profit_c": "int64", "n_items": "int64"}
+    )
+
+
+SQL_Q9 = (
+    "SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS order_year, "
+    "CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) "
+    "- CAST(floor(l.l_quantity + 0.5) AS BIGINT) "
+    f"* (CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * {Q9_COST_NUM} // {Q9_COST_DEN})) "
+    "AS BIGINT) AS profit_c, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem l "
+    f"JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{Q9_PART}%' "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY sn.n_name, year(o.o_orderdate)"
+)
+
+ANALYTICS2_QUERIES["q9_profit"] = q_q9_profit
+ANALYTICS2_ORACLES["q9_profit"] = SQL_Q9
+
+
+# ----------------------------------------------------------------------
+# Mutual k-NN graph → connected components
+# ----------------------------------------------------------------------
+KNN_WCC_K = 5
+
+
+def q_emb_knn_wcc(sf_dir):
+    """Mutual k-NN clustering: each vector's top-5 cosine neighbors
+    (integer-milli similarity grid, neighbor-id tiebreak), keep edges
+    where BOTH endpoints pick each other, run the distributed WCCKernel
+    over the mutual graph — the classic density-robust embedding
+    clustering. Pairs come from the exact all-pairs baseline
+    (allpairs_similarity's broadcast-matmul device; at 100 TB the
+    generator swaps to the LSH/IVF candidate paths, the ranking +
+    mutual + WCC tail is unchanged). Full DuckDB parity: window-ranked
+    top-5 per node + self-join mutuality + the recursive min-label CTE."""
+    from everythinggraph_ray.datapipe.knn import allpairs_similarity
+    from everythinggraph_ray.datapipe.pairs import cluster_pairs
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # threshold below -1 keeps every pair: ranking needs the full row
+    pairs = allpairs_similarity(emb, threshold=-1.001)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = batch["sim_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+                "sm": pa.array(np.concatenate([sm, sm]), pa.int64()),
+            }
+        )
+
+    top = grouped_top_k(
+        pairs.map_batches(directed, batch_format="pyarrow"),
+        "u",
+        [("sm", False), ("v", True)],
+        KNN_WCC_K,
+    )
+
+    def canon_pair(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(u, v), pa.int64()),
+                "b": pa.array(np.maximum(u, v), pa.int64()),
+                "one": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    from everythinggraph_ray.stages.agg import sum_by_key_pair
+
+    counts = sum_by_key_pair(
+        top.map_batches(canon_pair, batch_format="pyarrow"), "a", "b", ["one"]
+    )
+
+    def mutual_only(batch: pa.Table) -> pa.Table:
+        keep = batch["one"].to_numpy(zero_copy_only=False) == 2
+        return pa.table(
+            {
+                "a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+                "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+            }
+        )
+
+    mutual = counts.map_batches(mutual_only, batch_format="pyarrow")
+    out = cluster_pairs(mutual).map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return df.astype({"vec_id": "int64", "cluster_id": "int64"})
+
+
+SQL_KNN_WCC = (
+    "WITH RECURSIVE s AS (SELECT a.vec_id AS u, b.vec_id AS v, "
+    "CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
+    "* 1000) AS BIGINT) AS sm "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+    "top5 AS (SELECT u, v FROM s "
+    f"QUALIFY row_number() OVER (PARTITION BY u ORDER BY sm DESC, v) <= {KNN_WCC_K}), "
+    "mut AS (SELECT t1.u AS a, t1.v AS b FROM top5 t1 "
+    "JOIN top5 t2 ON t1.u = t2.v AND t1.v = t2.u WHERE t1.u < t1.v), "
+    "und AS (SELECT a AS u, b AS v FROM mut UNION SELECT b AS u, a AS v FROM mut), "
+    "verts AS (SELECT DISTINCT u AS vid FROM und), "
+    "r(vid, lab) AS (SELECT vid, vid FROM verts "
+    "UNION SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
+    "SELECT vid AS vec_id, min(lab) AS cluster_id FROM r GROUP BY vid"
+)
+
+ANALYTICS2_QUERIES["emb_knn_wcc"] = q_emb_knn_wcc
+ANALYTICS2_ORACLES["emb_knn_wcc"] = SQL_KNN_WCC
+
+
+# ----------------------------------------------------------------------
+# Exact mode of quantity per return flag
+# ----------------------------------------------------------------------
+def q_lineitem_mode(sf_dir):
+    """Exact MODE of the (integral) quantity per return flag, smallest
+    quantity on ties — the one descriptive statistic the suite lacked.
+    Cells are bounded (|flags| x 50 quantities), so per-batch bincount
+    partials fold on the driver."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "flag": np.asarray(batch["l_returnflag"].to_pylist(), object),
+                "qty": np.floor(
+                    batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["flag", "qty"], as_index=False).size()
+        return pa.table(
+            {
+                "flag": pa.array(g["flag"].astype(str), pa.string()),
+                "qty": pa.array(g["qty"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        li.map_batches(cell_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["flag", "qty"], as_index=False)["n"]
+        .sum()
+    )
+    cells = cells.sort_values(["flag", "n", "qty"], ascending=[True, False, True])
+    out = cells.groupby("flag", as_index=False).first()
+    out = out.rename(columns={"qty": "mode_qty"})
+    return out.astype({"flag": "string", "mode_qty": "int64", "n": "int64"})[
+        ["flag", "mode_qty", "n"]
+    ]
+
+
+SQL_LINEITEM_MODE = (
+    "WITH c AS (SELECT l_returnflag AS flag, "
+    "CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty, "
+    "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2) "
+    "SELECT flag, qty AS mode_qty, n FROM c "
+    "QUALIFY row_number() OVER (PARTITION BY flag ORDER BY n DESC, qty) = 1"
+)
+
+ANALYTICS2_QUERIES["lineitem_mode"] = q_lineitem_mode
+ANALYTICS2_ORACLES["lineitem_mode"] = SQL_LINEITEM_MODE
+
+
+# ----------------------------------------------------------------------
+# Top spender per day
+# ----------------------------------------------------------------------
+def q_events_top_user_per_day(sf_dir):
+    """Per-day top spender: (day, user) spend folds exactly as
+    micro-units through the bucketed pair aggregation, then the
+    partial-top-k combiner picks one row per day (spend desc, user_id
+    asc tiebreak) — the grouped-top-1 report every ops dashboard has."""
+    from everythinggraph_ray.stages.agg import sum_by_key_pair
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id", "value"]
+    )
+
+    def day_spend(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(us // DAY_US, pa.int64()),
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+                "spend_u": pa.array(
+                    np.floor(
+                        batch["value"].to_numpy(zero_copy_only=False) * 1_000_000 + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    spend = sum_by_key_pair(
+        ev.map_batches(day_spend, batch_format="pyarrow"), "day", "user_id", ["spend_u"]
+    )
+    top = grouped_top_k(spend, "day", [("spend_u", False), ("user_id", True)], 1)
+    return top.select_columns(["day", "user_id", "spend_u"])
+
+
+SQL_TOP_USER_PER_DAY = (
+    "WITH s AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, user_id, "
+    "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS spend_u "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT day, user_id, spend_u FROM s "
+    "QUALIFY row_number() OVER (PARTITION BY day ORDER BY spend_u DESC, user_id) = 1"
+)
+
+ANALYTICS2_QUERIES["events_top_user_per_day"] = q_events_top_user_per_day
+ANALYTICS2_ORACLES["events_top_user_per_day"] = SQL_TOP_USER_PER_DAY
+
+
+# ----------------------------------------------------------------------
+# Reorder latency per market segment
+# ----------------------------------------------------------------------
+def q_orders_reorder_gap(sf_dir):
+    """Days between a customer's consecutive orders, aggregated per
+    market segment (n_gaps, total days, integer mean) — the repeat-
+    purchase latency report. Segment attaches through the bucketed
+    hash_join; gaps come from the per-customer lag co-group
+    (events_lag_stats device), partial-summed per segment inside each
+    bucket so only |segments| rows per bucket reach the driver."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    withseg = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", right_cols=["c_mktsegment"]
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["o_custkey"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def gaps(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        day = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df["day"] = day
+        lag = df.groupby("o_custkey")["day"].shift()
+        gap = (df["day"] - lag).dropna().astype(np.int64)
+        seg = df.loc[gap.index, "c_mktsegment"]
+        out = pd.DataFrame({"segment": seg, "gap": gap}).groupby("segment", as_index=False).agg(
+            n_gaps=("gap", "size"), gap_days=("gap", "sum")
+        )
+        return pa.table(
+            {
+                "segment": pa.array(out["segment"].astype(str), pa.string()),
+                "n_gaps": pa.array(out["n_gaps"].to_numpy(np.int64), pa.int64()),
+                "gap_days": pa.array(out["gap_days"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_bucket = bucketed_reduce(withseg, bucket_of, gaps).to_pandas()
+    out = per_bucket.groupby("segment", as_index=False)[["n_gaps", "gap_days"]].sum()
+    out["avg_gap_days"] = [
+        int(d) // int(n) for d, n in zip(out["gap_days"], out["n_gaps"])
+    ]
+    return out.astype(
+        {"segment": "string", "n_gaps": "int64", "gap_days": "int64", "avg_gap_days": "int64"}
+    )
+
+
+SQL_REORDER_GAP = (
+    "WITH g AS (SELECT o_custkey, "
+    "CAST(CAST(o_orderdate AS DATE) - CAST(lag(o_orderdate) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS BIGINT) AS gap "
+    "FROM orders), "
+    "j AS (SELECT c.c_mktsegment AS segment, g.gap FROM g "
+    "JOIN customer c ON c.c_custkey = g.o_custkey WHERE g.gap IS NOT NULL) "
+    "SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps, "
+    "CAST(sum(gap) AS BIGINT) AS gap_days, "
+    "CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_days "
+    "FROM j GROUP BY segment"
+)
+
+ANALYTICS2_QUERIES["orders_reorder_gap"] = q_orders_reorder_gap
+ANALYTICS2_ORACLES["orders_reorder_gap"] = SQL_REORDER_GAP

@@ -195,3 +195,60 @@ def test_emb_outliers_equals_serial_energy(docs_emb_dir):
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_top_user_per_day_equals_serial_window(events_dir):
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_events_top_user_per_day
+
+    d, ev = events_dir
+    got = (
+        _to_df(q_events_top_user_per_day(d))
+        .sort_values("day")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    day = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    vu = np.floor(ev["value"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    s = (
+        pd.DataFrame({"day": day, "user_id": ev["user_id"], "spend_u": vu})
+        .groupby(["day", "user_id"], as_index=False)["spend_u"]
+        .sum()
+        .sort_values(["day", "spend_u", "user_id"], ascending=[True, False, True])
+    )
+    want = s.groupby("day", as_index=False).first().astype("int64")
+    pd.testing.assert_frame_equal(got, want[["day", "user_id", "spend_u"]])
+
+
+def test_knn_wcc_mutuality_and_minlabel(docs_emb_dir):
+    """Serial replay: exact cosine top-5, mutual filter, min-label
+    components via union-find."""
+    from everythinggraph_ray.pipelines.analytics_extra2 import KNN_WCC_K, q_emb_knn_wcc
+
+    d, _, emb = docs_emb_dir
+    got = _to_df(q_emb_knn_wcc(d)).sort_values("vec_id").reset_index(drop=True).astype("int64")
+    x = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = np.floor(xn @ xn.T * 1000).astype(np.int64)
+    n = len(x)
+    tops = {}
+    for i in range(n):
+        order = sorted((j for j in range(n) if j != i), key=lambda j: (-sims[i, j], j))
+        tops[i] = set(order[:KNN_WCC_K])
+    mut = [(i, j) for i in range(n) for j in tops[i] if i < j and i in tops[j]]
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in mut:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted({v for p in mut for v in p})
+    want = pd.DataFrame(
+        {"vec_id": members, "cluster_id": [find(v) for v in members]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
