@@ -59,6 +59,12 @@ ANALYTICS2_ORACLES: dict = {}
 
 DAY_US = 86_400_000_000
 
+# rel edge derivation shared with queries.py (src=orderkey%V, dst=partkey%V)
+REL_V_A2 = 1000
+SQL_REL_EDGES_A2 = (
+    f"SELECT l_orderkey % {REL_V_A2} AS src, l_partkey % {REL_V_A2} AS dst FROM lineitem"
+)
+
 # ----------------------------------------------------------------------
 # TPC-H Q8-lite: national market share per order year
 # ----------------------------------------------------------------------
@@ -1015,3 +1021,270 @@ SQL_REORDER_GAP = (
 
 ANALYTICS2_QUERIES["orders_reorder_gap"] = q_orders_reorder_gap
 ANALYTICS2_ORACLES["orders_reorder_gap"] = SQL_REORDER_GAP
+
+
+# ----------------------------------------------------------------------
+# Per-language KL divergence from the global unigram distribution
+# ----------------------------------------------------------------------
+def q_docs_kl(sf_dir):
+    """KL(lang || corpus) over exact unigram counts — 'how far does
+    each language's word distribution sit from the corpus mixture', the
+    domain-shift signal next to docs_lang_entropy. Identity used (so
+    only ln over exact shared integers appears on either side):
+    KL = (Σ n·ln n − Σ n·ln n_g)/N_l − ln N_l + ln N_g. One bucketed
+    co-group keyed by TOKEN hash (all languages of a token co-locate,
+    so the in-bucket reducer sees the token's global count); per-lang
+    (A, B, N) partials fold to |langs| driver rows. round 7 (the
+    entropy float device, driver-compared bit-stable)."""
+    import re as _re
+    from hashlib import blake2b
+
+    import pyarrow.compute as pc
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rx = _re.compile(WORD_RE)
+        cnt: dict[tuple[str, str], int] = {}
+        for lg, t in zip(batch["lang"].to_pylist(), pc.utf8_lower(batch["text"]).to_pylist()):
+            for w in rx.findall(t):
+                cnt[(lg, w)] = cnt.get((lg, w), 0) + 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "lang": pa.array([a for a, _ in ks], pa.string()),
+                "token": pa.array([b for _, b in ks], pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
+                for t in batch["token"].to_pylist()
+            ),
+            np.int64,
+            count=batch.num_rows,
+        ) & 0x7FFFFFFF
+
+    def reduce_tokens(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["token", "lang"], as_index=False)["c"].sum()
+        ng = df.groupby("token")["c"].transform("sum").to_numpy(np.int64)
+        n = df["c"].to_numpy(np.int64)
+        a = n * np.log(n)
+        b = n * np.log(ng)
+        out = pd.DataFrame({"lang": df["lang"], "n": n, "a": a, "b": b}).groupby(
+            "lang", as_index=False
+        ).sum()
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"].astype(str), pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+                "a": pa.array(out["a"].to_numpy(np.float64), pa.float64()),
+                "b": pa.array(out["b"].to_numpy(np.float64), pa.float64()),
+            }
+        )
+
+    per_bucket = bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"), bucket_of, reduce_tokens
+    ).to_pandas()
+    agg = per_bucket.groupby("lang", as_index=False).sum()
+    n_g = int(agg["n"].sum())
+    kl = (agg["a"] - agg["b"]) / agg["n"] - np.log(agg["n"].to_numpy(np.float64)) + np.log(
+        float(n_g)
+    )
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"].astype("string"),
+            "n_tokens": agg["n"].astype("int64"),
+            "kl": np.round(kl, 7),
+        }
+    )
+
+
+SQL_DOCS_KL = (
+    r"WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents), "
+    r"cnt AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t), "
+    r"g AS (SELECT t, sum(n) AS ng FROM cnt GROUP BY t), "
+    r"ab AS (SELECT lang, sum(n) AS nl, sum(n * ln(n)) AS a, sum(n * ln(g.ng)) AS b "
+    r"FROM cnt JOIN g USING (t) GROUP BY lang), "
+    r"tot AS (SELECT sum(nl) AS ngl FROM ab) "
+    r"SELECT lang, CAST(nl AS BIGINT) AS n_tokens, "
+    r"round((a - b) / nl - ln(nl) + ln((SELECT ngl FROM tot)), 7) AS kl FROM ab"
+)
+
+ANALYTICS2_QUERIES["docs_kl"] = q_docs_kl
+ANALYTICS2_ORACLES["docs_kl"] = SQL_DOCS_KL
+
+
+# ----------------------------------------------------------------------
+# Customer-lifetime-value deciles over per-user spend
+# ----------------------------------------------------------------------
+def q_events_ltv_deciles(sf_dir):
+    """Per-user lifetime spend (exact micro-units) ranked into NTILE(10)
+    by (spend, user_id) through the distributed window primitive
+    (grouped_row_number ungrouped mode — no worker holds the whole
+    ranking), then per-decile user counts and totals. The user-level
+    LTV segmentation every growth team keeps."""
+    from everythinggraph_ray.stages.agg import grouped_row_number
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vu = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        u, inv = np.unique(uid, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "spend_u": pa.array(np.bincount(inv, weights=vu).astype(np.int64), pa.int64()),
+            }
+        )
+
+    spend = sum_by_key(
+        ev.map_batches(spend_partial, batch_format="pyarrow"), "user_id", ["spend_u"]
+    )
+    tiled = grouped_row_number(spend, None, "spend_u", "user_id", ntile=10)
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        t = batch["tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["spend_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(t, return_inverse=True)
+        return pa.table(
+            {
+                "tile": pa.array(u, pa.int64()),
+                "n_users": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "spend_u": pa.array(np.bincount(inv, weights=s).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        tiled.map_batches(tile_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("tile", as_index=False)[["n_users", "spend_u"]]
+        .sum()
+    )
+    return out.astype({"tile": "int64", "n_users": "int64", "spend_u": "int64"})
+
+
+SQL_LTV_DECILES = (
+    "WITH s AS (SELECT user_id, "
+    "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS spend_u "
+    "FROM events GROUP BY user_id), "
+    "t AS (SELECT user_id, spend_u, ntile(10) OVER (ORDER BY spend_u, user_id) AS tile FROM s) "
+    "SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(spend_u) AS BIGINT) AS spend_u FROM t GROUP BY tile"
+)
+
+ANALYTICS2_QUERIES["events_ltv_deciles"] = q_events_ltv_deciles
+ANALYTICS2_ORACLES["events_ltv_deciles"] = SQL_LTV_DECILES
+
+
+# ----------------------------------------------------------------------
+# All-pairs cosine similarity histogram
+# ----------------------------------------------------------------------
+def q_emb_simhist(sf_dir):
+    """Histogram of ALL pairwise cosine similarities in 0.1-wide bands —
+    the corpus-geometry profile that sizes every dedup/ANN threshold
+    decision. Bands are (sim_milli + 1000) // 100 over the exact
+    integer-milli grid (kept non-negative so // is identical on both
+    sides); counts fold as per-batch bincounts."""
+    from everythinggraph_ray.datapipe.knn import allpairs_similarity
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = allpairs_similarity(emb, threshold=-1.001)
+
+    def band_partial(batch: pa.Table) -> pa.Table:
+        sm = batch["sim_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = (sm + 1000) // 100
+        u, c = np.unique(band, return_counts=True)
+        return pa.table(
+            {"band": pa.array(u, pa.int64()), "n_pairs": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    return sum_by_key(
+        pairs.map_batches(band_partial, batch_format="pyarrow"), "band", ["n_pairs"]
+    )
+
+
+SQL_EMB_SIMHIST = (
+    "WITH p AS (SELECT CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]) * 1000) AS BIGINT) AS sm "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+    "SELECT (sm + 1000) // 100 AS band, CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM p GROUP BY 1"
+)
+
+ANALYTICS2_QUERIES["emb_simhist"] = q_emb_simhist
+ANALYTICS2_ORACLES["emb_simhist"] = SQL_EMB_SIMHIST
+
+
+# ----------------------------------------------------------------------
+# Gini coefficient of the in-degree distribution
+# ----------------------------------------------------------------------
+def q_rel_degree_gini(sf_dir):
+    """Gini coefficient of in-degree over the vertex universe — THE
+    skew statistic for a power-law link graph (how concentrated
+    attention is; drives the engine's hub-split threshold choice).
+    Exact integer surface: rank every vertex by (deg, vid) through the
+    distributed window primitive, then
+    gini_ppm = (2·Σ rank·deg − (n+1)·Σ deg) · 1e6 // (n·Σ deg).
+    Python-int driver arithmetic (HUGEINT analogue)."""
+    from everythinggraph_ray.stages.agg import grouped_row_number
+    from everythinggraph_ray.stages.edges import out_degrees
+
+    from everythinggraph_ray.pipelines.queries import rel_edges as _rel_edges
+
+    edges = _rel_edges(sf_dir)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+    indeg = out_degrees(edges.map_batches(swap, batch_format="pyarrow")).map_batches(
+        lambda t: pa.table({"vid": t["vid"], "deg": t["outdeg"]}), batch_format="pyarrow"
+    )
+    ranked = grouped_row_number(indeg, None, "deg", "vid")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "sd": pa.array([int(d.sum())], pa.int64()),
+                "srd": pa.array([int((r * d).sum())], pa.int64()),
+            }
+        )
+
+    p = ranked.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n, sd, srd = int(p["n"].sum()), int(p["sd"].sum()), int(p["srd"].sum())
+    gini_ppm = (2 * srd - (n + 1) * sd) * 1_000_000 // (n * sd)
+    return pd.DataFrame(
+        {"n_vertices": [n], "sum_deg": [sd], "gini_ppm": [gini_ppm]}
+    ).astype("int64")
+
+
+SQL_DEGREE_GINI = (
+    "WITH e AS (" + SQL_REL_EDGES_A2 + "), "
+    "verts AS (SELECT DISTINCT vid FROM "
+    "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)), "
+    "ind AS (SELECT dst AS vid, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst), "
+    "d AS (SELECT verts.vid, coalesce(ind.deg, 0) AS deg FROM verts LEFT JOIN ind USING (vid)), "
+    "r AS (SELECT vid, deg, row_number() OVER (ORDER BY deg, vid) AS rk FROM d), "
+    "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(deg) AS HUGEINT) AS sd, "
+    "CAST(sum(rk * deg) AS HUGEINT) AS srd FROM r) "
+    "SELECT CAST(n AS BIGINT) AS n_vertices, CAST(sd AS BIGINT) AS sum_deg, "
+    "CAST((2 * srd - (n + 1) * sd) * 1000000 // (n * sd) AS BIGINT) AS gini_ppm FROM s"
+)
+
+ANALYTICS2_QUERIES["rel_degree_gini"] = q_rel_degree_gini
+ANALYTICS2_ORACLES["rel_degree_gini"] = SQL_DEGREE_GINI

@@ -252,3 +252,94 @@ def test_knn_wcc_mutuality_and_minlabel(docs_emb_dir):
         {"vec_id": members, "cluster_id": [find(v) for v in members]}
     ).astype("int64")
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_ltv_deciles_equals_serial_ntile(events_dir):
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_events_ltv_deciles
+
+    d, ev = events_dir
+    got = _to_df(q_events_ltv_deciles(d)).sort_values("tile").reset_index(drop=True).astype("int64")
+    vu = np.floor(ev["value"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    s = (
+        pd.DataFrame({"user_id": ev["user_id"], "spend_u": vu})
+        .groupby("user_id", as_index=False)["spend_u"]
+        .sum()
+        .sort_values(["spend_u", "user_id"])
+        .reset_index(drop=True)
+    )
+    n, k = len(s), 10
+    base, extra = divmod(n, k)
+    tiles = np.repeat(np.arange(1, k + 1), [base + (1 if i < extra else 0) for i in range(k)])
+    s["tile"] = tiles
+    want = (
+        s.groupby("tile", as_index=False)
+        .agg(n_users=("user_id", "size"), spend_u=("spend_u", "sum"))
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_degree_gini_matches_closed_form(tmp_path):
+    """Serial replay of the rank formula on the derived edge table."""
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_rel_degree_gini
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 5000, n).astype(np.int64),
+            "l_partkey": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = _to_df(q_rel_degree_gini(str(tmp_path))).iloc[0]
+    src = li["l_orderkey"].to_numpy() % 1000
+    dst = li["l_partkey"].to_numpy() % 1000
+    verts = np.unique(np.concatenate([src, dst]))
+    deg = pd.Series(dst).value_counts().reindex(verts, fill_value=0)
+    d = deg.sort_index().to_numpy(np.int64)
+    order = np.lexsort((verts, d))
+    ds_ = d[order]
+    nn = len(ds_)
+    ranks = np.arange(1, nn + 1, dtype=np.int64)
+    sd, srd = int(ds_.sum()), int((ranks * ds_).sum())
+    want = (2 * srd - (nn + 1) * sd) * 1_000_000 // (nn * sd)
+    assert int(got["n_vertices"]) == nn
+    assert int(got["sum_deg"]) == sd
+    assert int(got["gini_ppm"]) == want
+
+
+def test_kl_nonnegative_and_zero_for_uniform(tmp_path):
+    """KL(lang||corpus) is ~0 when every language shares one word
+    distribution, and strictly positive when distributions differ."""
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_docs_kl
+
+    same = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["alpha beta gamma"] * 4,
+            "lang": ["en", "en", "de", "de"],
+            "source": ["s"] * 4,
+            "n_chars": [16] * 4,
+        }
+    )
+    d1 = tmp_path / "u"
+    d1.mkdir()
+    same.to_parquet(d1 / "documents.parquet")
+    r1 = _to_df(q_docs_kl(str(d1)))
+    assert np.allclose(r1["kl"].to_numpy(), 0.0, atol=1e-9)
+
+    diff = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["alpha alpha alpha", "alpha beta", "zeta zeta zeta", "zeta eta"],
+            "lang": ["en", "en", "de", "de"],
+            "source": ["s"] * 4,
+            "n_chars": [16] * 4,
+        }
+    )
+    d2 = tmp_path / "v"
+    d2.mkdir()
+    diff.to_parquet(d2 / "documents.parquet")
+    r2 = _to_df(q_docs_kl(str(d2)))
+    assert (r2["kl"].to_numpy() > 0.1).all()
