@@ -1288,3 +1288,208 @@ SQL_DEGREE_GINI = (
 
 ANALYTICS2_QUERIES["rel_degree_gini"] = q_rel_degree_gini
 ANALYTICS2_ORACLES["rel_degree_gini"] = SQL_DEGREE_GINI
+
+
+# ----------------------------------------------------------------------
+# Full core decomposition of the rel graph
+# ----------------------------------------------------------------------
+def q_rel_coreness(sf_dir):
+    """Core NUMBER of every vertex (vid, core) — the full degeneracy
+    decomposition (k-core gives one level; this is all of them), the
+    standard graph-quality tiering for a web corpus. Distributed
+    level-sweep peel (graph/kcore.py coreness): degree pass + two
+    bucketed semi-joins per round, loop-carried edge set settled, the
+    driver holds scalars only. No SQL oracle (a data-dependent number
+    of peel rounds can't unroll into one query) — exactness vs the
+    textbook serial peel is pytest-asserted."""
+    from everythinggraph_ray.graph.kcore import coreness
+    from everythinggraph_ray.pipelines.queries import rel_edges as _rel_edges
+
+    core, _rounds = coreness(_rel_edges(sf_dir))
+    df = core.to_pandas().sort_values("vid").reset_index(drop=True)
+    return df.astype({"vid": "int64", "core": "int64"})
+
+
+ANALYTICS2_QUERIES["rel_coreness"] = q_rel_coreness
+# rows-only: peel rounds are data-dependent (pytest-exact vs serial peel)
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q2-lite: cheapest supplier per part
+# ----------------------------------------------------------------------
+def q_q2_min_cost_supplier(sf_dir):
+    """TPC-H Q2-lite (the correlated min subquery): for every part
+    sold, the supplier offering the lowest observed unit price —
+    unit_milli = rev_cents * 1000 // qty on the exact integer grid,
+    (unit_milli, suppkey) tiebreak. One pass to the integer surface,
+    then the per-part partial-top-1 combiner; no driver state."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def unit(batch: pa.Table) -> pa.Table:
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        qty = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+                "s_suppkey": pa.array(
+                    batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+                "unit_milli": pa.array(rev * 1000 // qty, pa.int64()),
+            }
+        )
+
+    priced = li.map_batches(unit, batch_format="pyarrow")
+    top = grouped_top_k(priced, "p_partkey", [("unit_milli", True), ("s_suppkey", True)], 1)
+    return top.select_columns(["p_partkey", "s_suppkey", "unit_milli"])
+
+
+SQL_Q2 = (
+    "WITH u AS (SELECT l_partkey, l_suppkey, "
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) * 1000 "
+    "// CAST(floor(l_quantity + 0.5) AS BIGINT) AS unit_milli FROM lineitem) "
+    "SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, unit_milli FROM u "
+    "QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY unit_milli, l_suppkey) = 1"
+)
+
+ANALYTICS2_QUERIES["q2_min_cost_supplier"] = q_q2_min_cost_supplier
+ANALYTICS2_ORACLES["q2_min_cost_supplier"] = SQL_Q2
+
+
+# ----------------------------------------------------------------------
+# Day-of-week x hour activity heatmap
+# ----------------------------------------------------------------------
+def q_events_dow_hour(sf_dir):
+    """The ops heatmap: event count and exact micro-unit spend per
+    (day-of-week, hour-of-day) cell. dow is computed from epoch days
+    ((d + 4) % 7, Sunday = 0 — written identically on both sides, no
+    engine dayofweek() semantics to trust); 7 x 24 cells fold from
+    per-batch bincounts."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        dow = (us // DAY_US + 4) % 7
+        hour = us // 3_600_000_000 % 24
+        vu = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        key = dow * 24 + hour
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "dow": pa.array(u // 24, pa.int64()),
+                "hour": pa.array(u % 24, pa.int64()),
+                "n_events": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "spend_u": pa.array(np.bincount(inv, weights=vu).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["dow", "hour"], as_index=False)[["n_events", "spend_u"]]
+        .sum()
+    )
+    return out.astype("int64")
+
+
+SQL_DOW_HOUR = (
+    "SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow, "
+    "CAST(hour(ts) AS BIGINT) AS hour, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS spend_u "
+    "FROM events GROUP BY 1, 2"
+)
+
+ANALYTICS2_QUERIES["events_dow_hour"] = q_events_dow_hour
+ANALYTICS2_ORACLES["events_dow_hour"] = SQL_DOW_HOUR
+
+
+# ----------------------------------------------------------------------
+# Boilerplate-opening rate per source
+# ----------------------------------------------------------------------
+BOILER_PFX = 16
+
+
+def q_docs_boilerplate_rate(sf_dir):
+    """Share of documents per source whose 16-char opening is shared by
+    at least one other document (cross-source) — the template/
+    boilerplate contamination signal of a crawled corpus. Opening
+    fingerprints fold to group sizes via one bucketed sum (int64 key =
+    first 60 bits of md5, written identically in SQL); sizes attach
+    back through the bucketed hash_join; ppm on exact integers."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = np.asarray(
+            [
+                int(hashlib.md5(t[:BOILER_PFX].encode()).hexdigest()[:15], 16)
+                for t in batch["text"].to_pylist()
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "source": batch["source"],
+                "one": pa.array(np.ones(len(h), np.int64), pa.int64()),
+            }
+        )
+
+    fps = docs.map_batches(fp, batch_format="pyarrow")
+    sizes = sum_by_key(fps, "h", ["one"], out_names=["n"])
+    withn = hash_join(fps.drop_columns(["one"]), sizes, on="h", right_cols=["n"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": np.asarray(batch["source"].to_pylist(), object),
+                "dup": (batch["n"].to_numpy(zero_copy_only=False) > 1).astype(np.int64),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(n_docs=("dup", "size"), n_dup=("dup", "sum"))
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_dup": pa.array(g["n_dup"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        withn.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", as_index=False)[["n_docs", "n_dup"]]
+        .sum()
+    )
+    out["dup_ppm"] = [int(d) * 1_000_000 // int(n) for d, n in zip(out["n_dup"], out["n_docs"])]
+    return out.astype(
+        {"source": "string", "n_docs": "int64", "n_dup": "int64", "dup_ppm": "int64"}
+    )
+
+
+SQL_BOILERPLATE = (
+    f"WITH d AS (SELECT source, CAST(concat('0x', substr(md5(substr(text, 1, {BOILER_PFX})), 1, 15)) "
+    "AS BIGINT) AS h FROM documents), "
+    "s AS (SELECT h, count(*) AS n FROM d GROUP BY h) "
+    "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+    "CAST(CAST(sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS dup_ppm "
+    "FROM d JOIN s USING (h) GROUP BY d.source"
+)
+
+ANALYTICS2_QUERIES["docs_boilerplate_rate"] = q_docs_boilerplate_rate
+ANALYTICS2_ORACLES["docs_boilerplate_rate"] = SQL_BOILERPLATE

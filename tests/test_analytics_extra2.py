@@ -343,3 +343,87 @@ def test_kl_nonnegative_and_zero_for_uniform(tmp_path):
     diff.to_parquet(d2 / "documents.parquet")
     r2 = _to_df(q_docs_kl(str(d2)))
     assert (r2["kl"].to_numpy() > 0.1).all()
+
+
+def test_coreness_matches_serial_peel():
+    """Distributed level-sweep peel == textbook serial peel, on a graph
+    with chains (long deg<=1 cascades), a clique, and self-loop-only
+    vertices (core 0)."""
+    import ray.data
+
+    from everythinggraph_ray.graph.kcore import coreness, coreness_serial
+
+    rng = np.random.default_rng(33)
+    src = list(rng.integers(0, 300, 900))
+    dst = list(rng.integers(0, 300, 900))
+    # a 6-clique (core 5), a 40-vertex path (core 1), self-loop islands
+    for i in range(400, 406):
+        for j in range(400, 406):
+            if i < j:
+                src.append(i)
+                dst.append(j)
+    for i in range(500, 540):
+        src.append(i)
+        dst.append(i + 1)
+    src += [900, 901]
+    dst += [900, 901]
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    core, rounds = coreness(edges)
+    got = {int(r["vid"]): int(r["core"]) for r in core.take_all()}
+    want = coreness_serial(src, dst)
+    assert got == want
+    assert got[400] == 5 and got[510] == 1 and got[900] == 0
+    assert rounds >= 2
+
+
+def test_coreness_spill_cut_path():
+    """A long path graph forces > spill_every peel rounds, exercising
+    the lineage-cut branch."""
+    import ray.data
+
+    from everythinggraph_ray.graph.kcore import coreness, coreness_serial
+
+    n = 60  # path of 60 vertices peels ~30 rounds at k=1
+    src = np.arange(0, n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    core, rounds = coreness(edges)
+    got = {int(r["vid"]): int(r["core"]) for r in core.take_all()}
+    assert got == coreness_serial(src, dst)
+    assert rounds > 20  # proves the spill-cut branch ran
+
+
+def test_q2_min_cost_supplier_serial(tmp_path):
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_q2_min_cost_supplier
+
+    rng = np.random.default_rng(8)
+    n = 500
+    li = pd.DataFrame(
+        {
+            "l_partkey": rng.integers(0, 40, n).astype(np.int64),
+            "l_suppkey": rng.integers(0, 10, n).astype(np.int64),
+            "l_quantity": rng.integers(1, 50, n).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(100, 9000, n), 2),
+            "l_discount": np.round(rng.choice([0.0, 0.05, 0.1], n), 2),
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = (
+        _to_df(q_q2_min_cost_supplier(str(tmp_path)))
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    rev = np.floor(li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5).astype(np.int64)
+    qty = np.floor(li["l_quantity"] + 0.5).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "p_partkey": li["l_partkey"],
+            "s_suppkey": li["l_suppkey"],
+            "unit_milli": rev * 1000 // qty,
+        }
+    ).sort_values(["p_partkey", "unit_milli", "s_suppkey"])
+    want = df.groupby("p_partkey", as_index=False).first().astype("int64")
+    pd.testing.assert_frame_equal(got, want)
