@@ -41,6 +41,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -1493,3 +1494,236 @@ SQL_BOILERPLATE = (
 
 ANALYTICS2_QUERIES["docs_boilerplate_rate"] = q_docs_boilerplate_rate
 ANALYTICS2_ORACLES["docs_boilerplate_rate"] = SQL_BOILERPLATE
+
+
+# ----------------------------------------------------------------------
+# Deterministic text normalization (RE2 parity surface)
+# ----------------------------------------------------------------------
+def q_docs_normalize(sf_dir):
+    """The canonical text-normalization transform of a training
+    pipeline: lowercase, strip [.,;:!?] punctuation, collapse
+    whitespace runs, trim — emitted AS TEXT so the driver hash checks
+    byte parity of the transform itself. All three passes are pyarrow
+    RE2 kernels (the doc_stats device: pc.replace_substring_regex ==
+    DuckDB regexp_replace 'g')."""
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"[.,;:!?]", "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": t,
+                "n_chars_norm": pc.utf8_length(t),
+            }
+        )
+
+    out = docs.map_batches(norm, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": t["norm_text"],
+                "n_chars_norm": pa.array(
+                    t["n_chars_norm"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_NORMALIZE = (
+    r"SELECT doc_id, "
+    r"trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), "
+    r"'\s+', ' ', 'g')) AS norm_text, "
+    r"CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), "
+    r"'\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm FROM documents"
+)
+
+ANALYTICS2_QUERIES["docs_normalize"] = q_docs_normalize
+ANALYTICS2_ORACLES["docs_normalize"] = SQL_DOCS_NORMALIZE
+
+
+# ----------------------------------------------------------------------
+# MinHash-LSH candidate recall vs the exact all-pairs baseline
+# ----------------------------------------------------------------------
+MINHASH_RECALL_T = 0.5
+
+
+def q_docs_minhash_recall(sf_dir):
+    """Measured candidate-generation RECALL of the MinHash+LSH banding
+    path against exact all-pairs shingle Jaccard at the same threshold
+    — the eval a production dedup pipeline ships with its S-curve
+    parameters. Both sides verify with the SAME exact-Jaccard co-group
+    (datapipe/pairs.py pairwise_verify), so precision is 1 by
+    construction and the single output row is (n_true, n_lsh,
+    recall_ppm). The all-pairs side is the eval BASELINE (quadratic by
+    definition, like allpairs_similarity — the measured path, not the
+    100 TB path). Rows-only: MinHash permutations aren't SQL;
+    determinism + a known-recall fixture are pytest-asserted."""
+    from everythinggraph_ray.datapipe.dedup import (
+        MinHashStage,
+        jaccard,
+        shingle_payloads,
+    )
+    from everythinggraph_ray.datapipe.pairs import group_pairs, pairwise_verify
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    shingles = shingle_payloads(docs, 3).materialize()
+
+    # LSH side: band -> candidates -> exact verify >= t
+    stage = MinHashStage(64, 16, 3)
+    bands_ds = shingles.map_batches(stage.bands_from_payloads, batch_format="pyarrow")
+    cand = group_pairs(bands_ds, ["band_id", "band_hash"], max_bucket=512)
+    lsh_scored = pairwise_verify(
+        shingles, cand, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64())
+    )
+    lsh_kept = lsh_scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], MINHASH_RECALL_T)),
+        batch_format="pyarrow",
+    )
+
+    # exact baseline: every (a < b) pair through the same verify
+    ids = np.sort(
+        shingles.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(np.int64)
+    )
+    i, j = np.triu_indices(len(ids), k=1)
+    allp = ray.data.from_arrow(
+        pa.table({"a": pa.array(ids[i], pa.int64()), "b": pa.array(ids[j], pa.int64())})
+    )
+    true_scored = pairwise_verify(
+        shingles, allp, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64())
+    )
+    true_kept = true_scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], MINHASH_RECALL_T)),
+        batch_format="pyarrow",
+    )
+
+    def pair_keys(ds):
+        df = ds.select_columns(["a", "b"]).to_pandas().drop_duplicates()
+        return set(zip(df["a"].astype(int), df["b"].astype(int)))
+
+    true_set = pair_keys(true_kept)
+    lsh_set = pair_keys(lsh_kept)
+    n_true, n_lsh = len(true_set), len(lsh_set & true_set)
+    recall_ppm = n_lsh * 1_000_000 // n_true if n_true else 1_000_000
+    return pd.DataFrame(
+        {"n_true": [n_true], "n_lsh": [n_lsh], "recall_ppm": [recall_ppm]}
+    ).astype("int64")
+
+
+ANALYTICS2_QUERIES["docs_minhash_recall"] = q_docs_minhash_recall
+# rows-only: MinHash banding isn't SQL-expressible (pytest-asserted)
+
+
+# ----------------------------------------------------------------------
+# Peak 10-minute activity per user
+# ----------------------------------------------------------------------
+def q_events_peak_10min(sf_dir):
+    """Each user's busiest 10-minute tumbling window: (user_id,
+    peak_n, peak_win) with the EARLIEST window on count ties — the
+    burst profile behind rate limiting. (user, window) counts fold
+    through the bucketed pair sum; the per-user arg-max rides the
+    partial-top-1 combiner."""
+    from everythinggraph_ray.stages.agg import sum_by_key_pair
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
+    WIN_US = 600_000_000
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+                ),
+                "w": pa.array(us // WIN_US, pa.int64()),
+                "one": pa.array(np.ones(len(us), np.int64), pa.int64()),
+            }
+        )
+
+    counts = sum_by_key_pair(
+        ev.map_batches(win, batch_format="pyarrow"), "user_id", "w", ["one"]
+    )
+    top = grouped_top_k(counts, "user_id", [("one", False), ("w", True)], 1)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "peak_n": t["one"], "peak_win": t["w"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PEAK_10MIN = (
+    "WITH c AS (SELECT user_id, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS w, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+    "SELECT user_id, n AS peak_n, w AS peak_win FROM c "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, w) = 1"
+)
+
+ANALYTICS2_QUERIES["events_peak_10min"] = q_events_peak_10min
+ANALYTICS2_ORACLES["events_peak_10min"] = SQL_PEAK_10MIN
+
+
+# ----------------------------------------------------------------------
+# First/last order per customer (FIRST_VALUE / LAST_VALUE family)
+# ----------------------------------------------------------------------
+def q_orders_first_last(sf_dir):
+    """Per customer: the first and last order's price (exact cents)
+    and the day span between them — the FIRST_VALUE/LAST_VALUE window
+    pair over (orderdate, orderkey). One user-bucketed co-group,
+    vectorized first/last inside the bucket."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["o_custkey"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def first_last(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        df["price_c"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df["day"] = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        gb = df.groupby("o_custkey")
+        out = pd.DataFrame(
+            {
+                "custkey": gb.size().index.to_numpy(np.int64),
+                "n_orders": gb.size().to_numpy(np.int64),
+                "first_price_c": gb["price_c"].first().to_numpy(np.int64),
+                "last_price_c": gb["price_c"].last().to_numpy(np.int64),
+                "span_days": (gb["day"].last() - gb["day"].first()).to_numpy(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_reduce(orders, bucket_of, first_last)
+
+
+SQL_FIRST_LAST = (
+    "WITH o AS (SELECT o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "
+    "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_a, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d "
+    "FROM orders) "
+    "SELECT f.o_custkey AS custkey, n.n_orders, f.price_c AS first_price_c, "
+    "l.price_c AS last_price_c, l.day - f.day AS span_days "
+    "FROM (SELECT * FROM o WHERE rn_a = 1) f "
+    "JOIN (SELECT * FROM o WHERE rn_d = 1) l ON l.o_custkey = f.o_custkey "
+    "JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) n "
+    "ON n.o_custkey = f.o_custkey"
+)
+
+ANALYTICS2_QUERIES["orders_first_last"] = q_orders_first_last
+ANALYTICS2_ORACLES["orders_first_last"] = SQL_FIRST_LAST

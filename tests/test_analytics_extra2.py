@@ -427,3 +427,102 @@ def test_q2_min_cost_supplier_serial(tmp_path):
     ).sort_values(["p_partkey", "unit_milli", "s_suppkey"])
     want = df.groupby("p_partkey", as_index=False).first().astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_normalize_serial_parity(docs_emb_dir):
+    import re
+
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_docs_normalize
+
+    d, docs, _ = docs_emb_dir
+    got = _to_df(q_docs_normalize(d)).sort_values("doc_id").reset_index(drop=True)
+    want_text = [
+        re.sub(r"\s+", " ", re.sub(r"[.,;:!?]", "", t.lower())).strip() for t in docs["text"]
+    ]
+    assert list(got["norm_text"]) == want_text
+    assert list(got["n_chars_norm"]) == [len(t) for t in want_text]
+
+
+def test_minhash_recall_known_fixture(tmp_path):
+    """Near-identical docs must be found (recall 1.0 on an easy
+    fixture); the true-pair count matches a serial shingle-Jaccard."""
+    from everythinggraph_ray.pipelines.analytics_extra2 import (
+        MINHASH_RECALL_T,
+        q_docs_minhash_recall,
+    )
+
+    rng = np.random.default_rng(17)
+    words = ["red", "green", "blue", "cyan", "teal", "plum", "gold", "jade"]
+    texts = []
+    for i in range(30):
+        base = " ".join(rng.choice(words, 30))
+        texts.append(base)
+        if i % 3 == 0:  # a near-twin: one word changed
+            toks = base.split()
+            toks[5] = "swap"
+            texts.append(" ".join(toks))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    row = _to_df(q_docs_minhash_recall(str(tmp_path))).iloc[0]
+
+    # serial truth: 3-shingle Jaccard >= t over all pairs
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [sh(t) for t in texts]
+    n_true = sum(
+        1
+        for i in range(len(sets))
+        for j in range(i + 1, len(sets))
+        if len(sets[i] & sets[j]) / max(1, len(sets[i] | sets[j])) >= MINHASH_RECALL_T
+    )
+    assert int(row["n_true"]) == n_true
+    assert n_true >= 10  # the fixture really contains near-twins
+    assert int(row["recall_ppm"]) >= 900_000  # near-twins are easy for 16x4 bands
+
+
+def test_first_last_serial(events_dir, tmp_path):
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_orders_first_last
+
+    rng = np.random.default_rng(12)
+    n = 800
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 60, n).astype(np.int64),
+            "o_orderdate": pd.to_datetime(
+                rng.integers(0, 400, n) * 86_400_000_000, unit="us", origin="1996-01-01"
+            ),
+            "o_totalprice": np.round(rng.uniform(100, 30000, n), 2),
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    got = (
+        _to_df(q_orders_first_last(str(tmp_path)))
+        .sort_values("custkey")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    df = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).copy()
+    df["price_c"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df["day"] = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    gb = df.groupby("o_custkey")
+    want = pd.DataFrame(
+        {
+            "custkey": gb.size().index.to_numpy(np.int64),
+            "n_orders": gb.size().to_numpy(np.int64),
+            "first_price_c": gb["price_c"].first().to_numpy(np.int64),
+            "last_price_c": gb["price_c"].last().to_numpy(np.int64),
+            "span_days": (gb["day"].last() - gb["day"].first()).to_numpy(np.int64),
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
