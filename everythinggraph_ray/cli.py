@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             "spmv",
             "triangles",
             "kcore",
+            "coreness",
             "scc",
             "msf",
             "matching",
@@ -178,6 +179,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.kernel == "triangles":
         n = triangle_count(edges)
         print(json.dumps({"n_triangles": n}))
+        return 0
+
+    if args.kernel == "coreness":
+        import os
+
+        from everythinggraph_ray.graph.kcore import coreness
+
+        core, rounds = coreness(edges)
+        core.write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "coreness", "rounds": rounds, "out": args.out}))
         return 0
 
     if args.kernel == "kcore":

@@ -72,6 +72,8 @@ OPS = [
     "containment",
     "weighted-sample",
     "bm25",
+    "normalize",
+    "lev-pairs",
 ]
 
 
@@ -320,6 +322,25 @@ def _run(args) -> int:
         id_col = args.id_col or "doc_id"
         if args.op == "stats":
             res = text.doc_stats(docs, tc)
+        elif args.op == "normalize":
+            import pyarrow as pa
+            import pyarrow.compute as pc2
+
+            def _norm(batch: "pa.Table") -> "pa.Table":
+                t = pc2.utf8_lower(batch[tc])
+                t = pc2.replace_substring_regex(t, r"[.,;:!?]", "")
+                t = pc2.replace_substring_regex(t, r"\s+", " ")
+                t = pc2.utf8_trim_whitespace(t)
+                return batch.set_column(
+                    batch.schema.get_field_index(tc), tc, t
+                )
+
+            res = docs.map_batches(_norm, batch_format="pyarrow")
+        elif args.op == "lev-pairs":
+            from everythinggraph_ray.pipelines.analytics_extra2 import lev_pairs
+
+            # blocked-candidate edit-distance verify (lang + prefix blocks)
+            res = lev_pairs(docs)
         elif args.op == "quality":
             res = text.quality_score(docs, tc)
         elif args.op == "langid":

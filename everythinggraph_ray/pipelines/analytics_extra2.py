@@ -432,7 +432,7 @@ def _levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
-def q_docs_lev_pairs(sf_dir):
+def lev_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Edit-distance verify over blocked candidates: pairs of documents
     sharing (lang, first-12-chars), distance computed on the 64-char
     comparison window — the classic post-blocking near-dup verifier.
@@ -441,9 +441,6 @@ def q_docs_lev_pairs(sf_dir):
     (quadratic IN THE BLOCK, data-bounded; see docs_jaccard_join /
     docs_snm_pairs for blocks that can't be bounded). DuckDB's
     levenshtein() is the oracle — unit costs, codepoint-level."""
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
-    )
 
     def keyed(batch: pa.Table) -> pa.Table:
         txt = np.asarray(batch["text"].to_pylist(), object)
@@ -501,6 +498,15 @@ def q_docs_lev_pairs(sf_dir):
         )
 
     return bucketed_reduce(docs.map_batches(keyed, batch_format="pyarrow"), bucket_of, pairs_in_block)
+
+
+def q_docs_lev_pairs(sf_dir):
+    """Driver-surface wrapper: lev_pairs over the documents table."""
+    return lev_pairs(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+        )
+    )
 
 
 SQL_LEV_PAIRS = (
