@@ -905,6 +905,43 @@ class DagDepthKernel(Kernel):
         return new, improved, 0.0
 
 
+class ReachKernel(Kernel):
+    """Multi-source reachability: value 1 iff ANY seed reaches the
+    vertex along directed edges — the MAX semiring over {0, 1}
+    (idempotent + monotone like writeMin, so the dense-resend switch
+    applies; the single-bit generalization of MS-BFS's 63-bit OR to an
+    unbounded seed SET). Seeds land partition-local via the labelprop
+    searchsorted device; converges in eccentricity-of-the-seed-set
+    supersteps. Run on the reversed build for reaches-TO semantics."""
+
+    name = "reach"
+    combine = "max"
+    frontier = True
+    skip_self_loops = True
+    dtype = np.int64
+    resend_safe = True
+
+    def __init__(self, seeds):
+        self.seeds = np.sort(np.unique(np.asarray(list(seeds), dtype=np.int64)))
+
+    def init_values(self, vids, outdeg, ctx):
+        v = np.zeros(len(vids), dtype=np.int64)
+        if len(vids) and len(self.seeds):
+            idx = np.searchsorted(vids, self.seeds)
+            ok = (idx < len(vids)) & (vids[np.minimum(idx, len(vids) - 1)] == self.seeds)
+            v[idx[ok]] = 1
+        return v
+
+    def src_messages(self, vals, outdeg):
+        return vals
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg > old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
 class SpMVKernel(Kernel):
     """One gather-scatter step (spmv.c:98-106): y[v] = sum 0.001*x[u] over
     in-edges, x[u] = u."""

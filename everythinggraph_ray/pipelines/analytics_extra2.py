@@ -1733,3 +1733,121 @@ SQL_FIRST_LAST = (
 
 ANALYTICS2_QUERIES["orders_first_last"] = q_orders_first_last
 ANALYTICS2_ORACLES["orders_first_last"] = SQL_FIRST_LAST
+
+
+# ----------------------------------------------------------------------
+# Web bow-tie decomposition (Broder et al.)
+# ----------------------------------------------------------------------
+def q_rel_bowtie(sf_dir):
+    """The Broder bow-tie decomposition — THE structural census of a
+    web graph: CORE = the largest SCC (size desc, min-label tiebreak),
+    IN = vertices that reach the core, OUT = vertices the core reaches,
+    OTHER = tendrils/disconnected. Composition: the distributed SCC
+    peel (graph/scc.py) labels components; the core's reach sets come
+    from TWO ReachKernel runs (max-semiring multi-source reachability,
+    graph/kernels.py) over the forward and reversed builds; region
+    assignment is two bucketed hash_joins + one vectorized mask. Full
+    SQL parity: the rel_scc transitive-closure oracle extended with
+    core selection and two recursive reach CTEs."""
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.pipelines.flagship import build_dir_for
+    from everythinggraph_ray.graph.kernels import ReachKernel
+    from everythinggraph_ray.graph.scc import scc
+    from everythinggraph_ray.pipelines.queries import rel_edges as _rel_edges
+    from everythinggraph_ray.stages.edges import dedup_edges, filter_self_loops
+
+    comps, _rounds = scc(_rel_edges(sf_dir))
+    comps = comps.materialize()
+
+    # core label: (size desc, label asc) top-1 via the partial combiner
+    sizes = sum_by_key(
+        comps.map_batches(
+            lambda t: pa.table(
+                {
+                    "scc": t["scc"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "scc",
+        ["n"],
+    ).map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+    top = grouped_top_k(sizes, "g", [("n", False), ("scc", True)], 1).to_pandas()
+    core_lab = int(top["scc"].iloc[0])
+
+    core_vids = (
+        comps.map_batches(
+            lambda t, _c=core_lab: t.filter(pc.equal(t["scc"], _c)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["vid"])
+        .to_pandas()["vid"]
+        .to_numpy(np.int64)
+    )  # kernel seed contract (the labelprop seeds device): partition-
+    # local searchsorted attach; the array is the CORE itself
+
+    edges = dedup_edges(filter_self_loops(_rel_edges(sf_dir)))
+    fdir = build_dir_for(f"bowtie_fwd|{sf_dir}", 8)
+    build_graph(edges, fdir, num_partitions=8, hub_threshold=10**9)
+    from everythinggraph_ray.pipelines.queries import _run_engine
+
+    fwd = _run_engine(fdir, ReachKernel(core_vids)).rename(columns={"reach": "fwd"})
+
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}), batch_format="pyarrow"
+    )
+    bdir = build_dir_for(f"bowtie_bwd|{sf_dir}", 8)
+    build_graph(rev, bdir, num_partitions=8, hub_threshold=10**9)
+    bwd = _run_engine(bdir, ReachKernel(core_vids)).rename(columns={"reach": "bwd"})
+
+    cdf = comps.to_pandas()
+    out = cdf.merge(fwd, on="vid").merge(bwd, on="vid")
+    is_core = out["scc"].to_numpy() == core_lab
+    region = np.where(
+        is_core,
+        "CORE",
+        np.where(
+            out["bwd"].to_numpy() == 1,
+            "IN",
+            np.where(out["fwd"].to_numpy() == 1, "OUT", "OTHER"),
+        ),
+    )
+    res = pd.DataFrame({"vid": out["vid"].astype("int64"), "region": region})
+    return res.sort_values("vid").reset_index(drop=True).astype(
+        {"vid": "int64", "region": "string"}
+    )
+
+
+def _bowtie_sql() -> str:
+    from everythinggraph_ray.pipelines.queries import _sql_graph_prelude
+
+    return (
+        "WITH RECURSIVE "
+        + _sql_graph_prelude(no_self=True)
+        + ", e3 AS (SELECT DISTINCT src, dst FROM e2)"
+        ", r(s, d) AS (SELECT src, dst FROM e3 UNION "
+        "SELECT r.s, e3.dst FROM r JOIN e3 ON e3.src = r.d)"
+        ", m AS (SELECT r1.s AS v, r1.d AS u FROM r r1 "
+        "JOIN r r2 ON r2.s = r1.d AND r2.d = r1.s)"
+        ", comp AS (SELECT v.vid, CAST(least(v.vid, coalesce(min(m.u), v.vid)) AS BIGINT) AS scc "
+        "FROM verts v LEFT JOIN m ON m.v = v.vid GROUP BY v.vid)"
+        ", sz AS (SELECT scc, count(*) AS n FROM comp GROUP BY scc)"
+        ", core AS (SELECT scc FROM sz ORDER BY n DESC, scc LIMIT 1)"
+        ", corev AS (SELECT vid FROM comp WHERE scc = (SELECT scc FROM core))"
+        ", fwd(v) AS (SELECT vid FROM corev UNION "
+        "SELECT e3.dst FROM fwd JOIN e3 ON e3.src = fwd.v)"
+        ", bwd(v) AS (SELECT vid FROM corev UNION "
+        "SELECT e3.src FROM bwd JOIN e3 ON e3.dst = bwd.v) "
+        "SELECT comp.vid, CASE WHEN comp.scc = (SELECT scc FROM core) THEN 'CORE' "
+        "WHEN comp.vid IN (SELECT v FROM bwd) THEN 'IN' "
+        "WHEN comp.vid IN (SELECT v FROM fwd) THEN 'OUT' "
+        "ELSE 'OTHER' END AS region FROM comp"
+    )
+
+
+ANALYTICS2_QUERIES["rel_bowtie"] = q_rel_bowtie
+ANALYTICS2_ORACLES["rel_bowtie"] = _bowtie_sql()

@@ -526,3 +526,59 @@ def test_first_last_serial(events_dir, tmp_path):
         }
     ).astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bowtie_regions_on_constructed_graph(tmp_path):
+    """A graph built to have all four regions: a 3-cycle CORE, an IN
+    chain, an OUT chain, and a disconnected pair (OTHER). rel_edges
+    derives src/dst as (orderkey, partkey) % 1000, so the fixture
+    writes vids directly."""
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_rel_bowtie
+
+    # core: 10<->11<->12 cycle; in: 1 -> 2 -> 10; out: 12 -> 20 -> 21;
+    # other: 30 -> 31 (disconnected from core)
+    src = [10, 11, 12, 1, 2, 12, 20, 30]
+    dst = [11, 12, 10, 2, 10, 20, 21, 31]
+    li = pd.DataFrame(
+        {"l_orderkey": np.asarray(src, np.int64), "l_partkey": np.asarray(dst, np.int64)}
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = _to_df(q_rel_bowtie(str(tmp_path)))
+    regions = dict(zip(got["vid"].astype(int), got["region"].astype(str)))
+    assert {regions[v] for v in (10, 11, 12)} == {"CORE"}
+    assert regions[1] == "IN" and regions[2] == "IN"
+    assert regions[20] == "OUT" and regions[21] == "OUT"
+    assert regions[30] == "OTHER" and regions[31] == "OTHER"
+
+
+def test_reach_kernel_multi_source(tmp_path):
+    """ReachKernel: reach(v) == 1 iff some seed has a directed path to
+    v, on a random digraph vs a serial BFS closure."""
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import ReachKernel
+    from everythinggraph_ray.pipelines.queries import _run_engine
+
+    rng = np.random.default_rng(7)
+    n_e, V = 400, 120
+    src = rng.integers(0, V, n_e).astype(np.int64)
+    dst = rng.integers(0, V, n_e).astype(np.int64)
+    seeds = [3, 77]
+    edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    bdir = str(tmp_path / "build")
+    build_graph(edges, bdir, num_partitions=4, hub_threshold=10**9)
+    got = _run_engine(bdir, ReachKernel(seeds))
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), []).append(int(b))
+    seen = set(seeds)
+    stack = list(seeds)
+    while stack:
+        u = stack.pop()
+        for w in adj.get(u, []):
+            if w not in seen:
+                seen.add(w)
+                stack.append(w)
+    want = {int(v): int(v in seen) for v in np.unique(np.concatenate([src, dst]))}
+    assert dict(zip(got["vid"].astype(int), got["reach"].astype(int))) == want
