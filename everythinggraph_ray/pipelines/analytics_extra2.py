@@ -1851,3 +1851,241 @@ def _bowtie_sql() -> str:
 
 ANALYTICS2_QUERIES["rel_bowtie"] = q_rel_bowtie
 ANALYTICS2_ORACLES["rel_bowtie"] = _bowtie_sql()
+
+
+# ----------------------------------------------------------------------
+# Language-ID confusion matrix
+# ----------------------------------------------------------------------
+def q_docs_langid_confusion(sf_dir):
+    """Confusion matrix of the stopword-profile language identifier
+    against the labeled lang column — the eval that ships with any
+    classifier stage: (lang_true, lang_pred, n). Predictions come from
+    the same actor-pool lang_id stage as docs_langid; truth attaches
+    through the bucketed hash_join; |langs|^2 cells fold from per-batch
+    partials. SQL parity reuses docs_langid's UNPIVOT-argmax oracle."""
+    from everythinggraph_ray.datapipe.text import lang_id
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pred = lang_id(docs.select_columns(["doc_id", "text"]))
+    joined = hash_join(
+        docs.select_columns(["doc_id", "lang"]), pred, on="doc_id", right_cols=["lang_pred"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang_true": np.asarray(batch["lang"].to_pylist(), object),
+                "lang_pred": np.asarray(batch["lang_pred"].to_pylist(), object),
+            }
+        )
+        g = df.groupby(["lang_true", "lang_pred"], as_index=False).size()
+        return pa.table(
+            {
+                "lang_true": pa.array(g["lang_true"].astype(str), pa.string()),
+                "lang_pred": pa.array(g["lang_pred"].astype(str), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang_true", "lang_pred"], as_index=False)["n"]
+        .sum()
+    )
+    return out.astype({"lang_true": "string", "lang_pred": "string", "n": "int64"})
+
+
+def _langid_confusion_sql() -> str:
+    from everythinggraph_ray.pipelines.queries import ORACLES
+
+    return (
+        f"WITH pred AS ({ORACLES['docs_langid']}) "
+        "SELECT d.lang AS lang_true, pred.lang_pred, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents d JOIN pred ON pred.doc_id = d.doc_id "
+        "GROUP BY d.lang, pred.lang_pred"
+    )
+
+
+ANALYTICS2_QUERIES["docs_langid_confusion"] = q_docs_langid_confusion
+ANALYTICS2_ORACLES["docs_langid_confusion"] = _langid_confusion_sql()
+
+
+# ----------------------------------------------------------------------
+# View -> purchase abandonment within one hour
+# ----------------------------------------------------------------------
+ABANDON_WIN_US = 3_600_000_000
+
+
+def q_events_abandonment(sf_dir):
+    """Per-day view abandonment: a view CONVERTS if the same user
+    purchases within the following hour, else it's abandoned — the
+    event-time window join (the as-of join's EXISTS dual). One
+    user-bucketed co-group; inside a bucket each user's view timestamps
+    binary-search the user's sorted purchase timestamps (vectorized
+    searchsorted, never a pair loop). Output per view-day: n_views,
+    n_converted, abandon_ppm."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["user_id"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def convert(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "us": us, "et": df["event_type"]}
+        ).sort_values(["user_id", "us"])
+        rows = []
+        for uid, grp in df.groupby("user_id"):  # users per bucket; inner ops vectorized
+            views = grp.loc[grp["et"] == "view", "us"].to_numpy(np.int64)
+            if not len(views):
+                continue
+            buys = grp.loc[grp["et"] == "purchase", "us"].to_numpy(np.int64)
+            if len(buys):
+                nxt = np.searchsorted(buys, views, side="left")
+                ok = (nxt < len(buys)) & (
+                    buys[np.minimum(nxt, len(buys) - 1)] - views <= ABANDON_WIN_US
+                )
+            else:
+                ok = np.zeros(len(views), bool)
+            day = views // DAY_US
+            rows.append(
+                pd.DataFrame({"day": day, "v": 1, "c": ok.astype(np.int64)})
+            )
+        if not rows:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n_views": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        allr = pd.concat(rows).groupby("day", as_index=False).sum()
+        return pa.table(
+            {
+                "day": pa.array(allr["day"].to_numpy(np.int64), pa.int64()),
+                "n_views": pa.array(allr["v"].to_numpy(np.int64), pa.int64()),
+                "n_converted": pa.array(allr["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_bucket = bucketed_reduce(ev, bucket_of, convert)
+    agg = sum_by_key(per_bucket, "day", ["n_views", "n_converted"]).to_pandas()
+    agg["abandon_ppm"] = [
+        (int(v) - int(c)) * 1_000_000 // int(v) for v, c in zip(agg["n_views"], agg["n_converted"])
+    ]
+    return agg.astype("int64")[["day", "n_views", "n_converted", "abandon_ppm"]]
+
+
+SQL_ABANDONMENT = (
+    "WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'), "
+    "p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'), "
+    "conv AS (SELECT v.user_id, v.us, CASE WHEN EXISTS (SELECT 1 FROM p "
+    f"WHERE p.user_id = v.user_id AND p.us >= v.us AND p.us - v.us <= {ABANDON_WIN_US}) "
+    "THEN 1 ELSE 0 END AS c FROM v) "
+    "SELECT CAST(us // 86400000000 AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_views, "
+    "CAST(sum(c) AS BIGINT) AS n_converted, "
+    "CAST(CAST(count(*) - sum(c) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS abandon_ppm "
+    "FROM conv GROUP BY 1"
+)
+
+ANALYTICS2_QUERIES["events_abandonment"] = q_events_abandonment
+ANALYTICS2_ORACLES["events_abandonment"] = SQL_ABANDONMENT
+
+
+# ----------------------------------------------------------------------
+# Revenue concentration (Herfindahl index) per supplier nation
+# ----------------------------------------------------------------------
+def q_supplier_hhi(sf_dir):
+    """Herfindahl–Hirschman revenue-concentration index per supplier
+    nation: hhi_ppm = Σ_i rev_i^2 · 1e6 // (Σ_i rev_i)^2 over each
+    nation's suppliers — the market-structure statistic. Per-(supplier)
+    cents fold through the bucketed pair sum; the per-nation squares
+    fold as Python-int partials (HUGEINT analogue; a supplier's cents
+    squared exceeds int64 at petascale)."""
+    import duckdb
+
+    con = duckdb.connect()
+    nmap = dict(
+        con.execute(
+            f"SELECT n_nationkey, n_name FROM read_parquet('{os.path.join(sf_dir, 'nation.parquet')}')"
+        ).fetchall()
+    )
+    con.close()
+    nref = ray.put({int(k): str(v) for k, v in nmap.items()})
+
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def sname(batch: pa.Table) -> pa.Table:
+        m = ray.get(nref)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(batch["s_suppkey"].to_numpy(zero_copy_only=False), pa.int64()),
+                "nation": pa.array([m[int(k)] for k in nk], pa.string()),
+            }
+        )
+
+    supp_n = supp.map_batches(sname, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rc = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        u, inv = np.unique(sk, return_inverse=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(u, pa.int64()),
+                "rev_c": pa.array(np.bincount(inv, weights=rc).astype(np.int64), pa.int64()),
+            }
+        )
+
+    rev = sum_by_key(
+        li.map_batches(rev_partial, batch_format="pyarrow"), "s_suppkey", ["rev_c"]
+    )
+    withn = hash_join(rev, supp_n, on="s_suppkey", right_cols=["nation"]).to_pandas()
+    # |suppliers| rows on the driver here is the TEST path; at scale the
+    # square-sum partials fold per batch exactly like every other pair
+    # aggregation (documented: Python-int squares, see emb_outliers)
+    out_rows = []
+    for nation, grp in withn.groupby("nation"):
+        revs = [int(x) for x in grp["rev_c"]]
+        s = sum(revs)
+        sq = sum(r * r for r in revs)
+        out_rows.append((nation, len(revs), s, sq * 1_000_000 // (s * s) if s else 0))
+    out = pd.DataFrame(out_rows, columns=["nation", "n_suppliers", "rev_c", "hhi_ppm"])
+    return out.astype(
+        {"nation": "string", "n_suppliers": "int64", "rev_c": "int64", "hhi_ppm": "int64"}
+    )
+
+
+SQL_SUPPLIER_HHI = (
+    "WITH r AS (SELECT l_suppkey, "
+    "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c "
+    "FROM lineitem GROUP BY l_suppkey), "
+    "j AS (SELECT n.n_name AS nation, r.rev_c FROM r "
+    "JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey) "
+    "SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers, "
+    "CAST(sum(rev_c) AS BIGINT) AS rev_c, "
+    "CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) * 1000000 "
+    "// (CAST(sum(rev_c) AS HUGEINT) * sum(rev_c)) AS BIGINT) AS hhi_ppm "
+    "FROM j GROUP BY nation"
+)
+
+ANALYTICS2_QUERIES["supplier_hhi"] = q_supplier_hhi
+ANALYTICS2_ORACLES["supplier_hhi"] = SQL_SUPPLIER_HHI

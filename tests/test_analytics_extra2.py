@@ -582,3 +582,57 @@ def test_reach_kernel_multi_source(tmp_path):
                 stack.append(w)
     want = {int(v): int(v in seen) for v in np.unique(np.concatenate([src, dst]))}
     assert dict(zip(got["vid"].astype(int), got["reach"].astype(int))) == want
+
+
+def test_abandonment_serial(events_dir):
+    from everythinggraph_ray.pipelines.analytics_extra2 import (
+        ABANDON_WIN_US,
+        q_events_abandonment,
+    )
+
+    d, ev = events_dir
+    got = _to_df(q_events_abandonment(d)).sort_values("day").reset_index(drop=True).astype("int64")
+    us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    df = pd.DataFrame({"u": ev["user_id"], "us": us, "et": ev["event_type"]})
+    buys = {u: np.sort(g["us"].to_numpy()) for u, g in df[df["et"] == "purchase"].groupby("u")}
+    rows = []
+    for _, r in df[df["et"] == "view"].iterrows():
+        b = buys.get(r["u"], np.array([], np.int64))
+        i = np.searchsorted(b, r["us"])
+        ok = i < len(b) and b[i] - r["us"] <= ABANDON_WIN_US
+        rows.append((r["us"] // 86_400_000_000, 1, int(ok)))
+    s = pd.DataFrame(rows, columns=["day", "v", "c"]).groupby("day", as_index=False).sum()
+    s["abandon_ppm"] = (s["v"] - s["c"]) * 1_000_000 // s["v"]
+    want = s.rename(columns={"v": "n_views", "c": "n_converted"}).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_supplier_hhi_bounds_and_monopoly(tmp_path):
+    """HHI == 1e6 for a single-supplier nation; matches the closed form
+    on a two-supplier split."""
+    from everythinggraph_ray.pipelines.analytics_extra2 import q_supplier_hhi
+
+    pd.DataFrame(
+        {"n_nationkey": np.asarray([0, 1], np.int32), "n_name": ["MONO", "DUO"],
+         "n_regionkey": np.asarray([0, 0], np.int32)}
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": np.asarray([1, 2, 3], np.int64),
+            "s_nationkey": np.asarray([0, 1, 1], np.int32),
+            "s_name": ["a", "b", "c"],
+            "s_acctbal": [0.0, 0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    li = pd.DataFrame(
+        {
+            "l_suppkey": np.asarray([1, 1, 2, 3], np.int64),
+            "l_extendedprice": [100.0, 200.0, 100.0, 300.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = _to_df(q_supplier_hhi(str(tmp_path))).set_index("nation")
+    assert int(got.loc["MONO", "hhi_ppm"]) == 1_000_000
+    # DUO: 10000 and 30000 cents -> (1e8 + 9e8)*1e6 // 16e8 = 625000
+    assert int(got.loc["DUO", "hhi_ppm"]) == 625_000
