@@ -942,6 +942,47 @@ class ReachKernel(Kernel):
         return new, improved, 0.0
 
 
+class BipartiteLevelKernel(Kernel):
+    """WCC + BFS-level in ONE packed min-semiring pass: state is
+    ``(label << 32) | dist`` and a message adds 1 to the word, so the
+    lexicographic fixpoint per vertex is (c, d) where c is the
+    component's min vid (wcc.c:211-216 min-label semantics) and d the
+    BFS hop distance from that root — the parity ``d & 1`` is the
+    2-coloring certificate: an undirected edge whose endpoints share
+    parity closes an odd cycle, so the component is bipartite iff no
+    such edge exists (self-loops are odd cycles by definition and are
+    counted on the edge side, not here). Min over monotone packed path
+    words ⇒ idempotent + monotone, hence resend-safe like WCC. Run on
+    the UNDIRECTED build. Requires vid < 2^31 (packed-word
+    precondition, enforced like ParentSSSPHopsKernel); dist < 2^32
+    always holds (bounded by the vertex count)."""
+
+    name = "bipartite"
+    combine = "min"
+    frontier = True
+    skip_self_loops = True
+    dtype = np.int64
+    resend_safe = True
+
+    def init_values(self, vids, outdeg, ctx):
+        if len(vids) and int(vids.max()) >= (1 << 31):
+            raise ValueError(
+                "BipartiteLevelKernel packs (label<<32)|dist and requires "
+                f"every vid < 2^31; got max vid {int(vids.max())} "
+                "(use a two-column state for 63-bit-vid corpora)"
+            )
+        return vids.astype(np.int64) << np.int64(32)
+
+    def src_messages(self, vals, outdeg):
+        return vals + 1
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        improved = has_msg & (agg < old)
+        new[improved] = agg[improved]
+        return new, improved, 0.0
+
+
 class SpMVKernel(Kernel):
     """One gather-scatter step (spmv.c:98-106): y[v] = sum 0.001*x[u] over
     in-edges, x[u] = u."""

@@ -8545,3 +8545,11 @@ from everythinggraph_ray.pipelines.analytics_extra2 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS2_QUERIES)
 ORACLES.update(ANALYTICS2_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra3 import (  # noqa: E402
+    ANALYTICS3_ORACLES,
+    ANALYTICS3_QUERIES,
+)
+
+QUERIES.update(ANALYTICS3_QUERIES)
+ORACLES.update(ANALYTICS3_ORACLES)
