@@ -1118,8 +1118,8 @@ def q_part_chi2(sf_dir):
     r_tot = cells.groupby("brand")["o"].sum().to_dict()
     c_tot = cells.groupby("band")["o"].sum().to_dict()
     chi = 0
-    for _, row in cells.iterrows():
-        o, r, c = int(row["o"]), int(r_tot[row["brand"]]), int(c_tot[int(row["band"])])
+    for brand, bd, o in zip(cells["brand"], cells["band"], cells["o"]):
+        o, r, c = int(o), int(r_tot[brand]), int(c_tot[int(bd)])
         chi += ((o * n - r * c) ** 2 * 1000) // (r * c * n)  # python ints: no wrap
     out = cells.copy()
     out["r"] = out["brand"].map(r_tot).astype(np.int64)

@@ -3404,7 +3404,7 @@ def q_events_mad(sf_dir):
 
     uds = ev.map_batches(to_u, batch_format="pyarrow")
     med = grouped_quantiles(uds, "vu", [0.5], group_col="event_type").to_pandas()
-    md = {r["event_type"]: int(r["p50"]) for _, r in med.iterrows()}
+    md = {t: int(v) for t, v in zip(med["event_type"], med["p50"])}
 
     def dev(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_pylist()
@@ -3502,7 +3502,7 @@ def q_events_winsorize(sf_dir):
 
     uds = ev.map_batches(to_u, batch_format="pyarrow")
     qd = grouped_quantiles(uds, "vu", [0.05, 0.99], group_col="event_type").to_pandas()
-    band = {r["event_type"]: (int(r["p5"]), int(r["p99"])) for _, r in qd.iterrows()}
+    band = {t: (int(lo), int(hi)) for t, lo, hi in zip(qd["event_type"], qd["p5"], qd["p99"])}
 
     def clip_partial(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_pylist()
