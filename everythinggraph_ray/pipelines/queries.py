@@ -8553,3 +8553,11 @@ from everythinggraph_ray.pipelines.analytics_extra3 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS3_QUERIES)
 ORACLES.update(ANALYTICS3_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra4 import (  # noqa: E402
+    ANALYTICS4_ORACLES,
+    ANALYTICS4_QUERIES,
+)
+
+QUERIES.update(ANALYTICS4_QUERIES)
+ORACLES.update(ANALYTICS4_ORACLES)
