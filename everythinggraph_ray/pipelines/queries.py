@@ -8561,3 +8561,11 @@ from everythinggraph_ray.pipelines.analytics_extra4 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS4_QUERIES)
 ORACLES.update(ANALYTICS4_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra5 import (  # noqa: E402
+    ANALYTICS5_ORACLES,
+    ANALYTICS5_QUERIES,
+)
+
+QUERIES.update(ANALYTICS5_QUERIES)
+ORACLES.update(ANALYTICS5_ORACLES)
