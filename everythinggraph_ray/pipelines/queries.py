@@ -8569,3 +8569,11 @@ from everythinggraph_ray.pipelines.analytics_extra5 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS5_QUERIES)
 ORACLES.update(ANALYTICS5_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra6 import (  # noqa: E402
+    ANALYTICS6_ORACLES,
+    ANALYTICS6_QUERIES,
+)
+
+QUERIES.update(ANALYTICS6_QUERIES)
+ORACLES.update(ANALYTICS6_ORACLES)
