@@ -8577,3 +8577,11 @@ from everythinggraph_ray.pipelines.analytics_extra6 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS6_QUERIES)
 ORACLES.update(ANALYTICS6_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra7 import (  # noqa: E402
+    ANALYTICS7_ORACLES,
+    ANALYTICS7_QUERIES,
+)
+
+QUERIES.update(ANALYTICS7_QUERIES)
+ORACLES.update(ANALYTICS7_ORACLES)
