@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
             "louvain",
             "c4",
             "hits",
+            "bipartite",
+            "densest",
+            "local-bridges",
+            "jdm",
         ],
     )
     src = p.add_mutually_exclusive_group(required=True)
@@ -189,6 +193,72 @@ def main(argv: list[str] | None = None) -> int:
         core, rounds = coreness(edges)
         core.write_parquet(os.path.join(args.out, "data"))
         print(json.dumps({"kernel": "coreness", "rounds": rounds, "out": args.out}))
+        return 0
+
+    if args.kernel == "bipartite":
+        import os
+
+        from everythinggraph_ray.pipelines.analytics_extra3 import bipartite_census
+
+        bdir = args.build_dir or os.path.join(args.out, "build")
+        df = bipartite_census(edges, bdir)
+        ray.data.from_pandas(df).write_parquet(os.path.join(args.out, "data"))
+        print(
+            json.dumps(
+                {
+                    "kernel": "bipartite",
+                    "n_components": len(df),
+                    "n_bipartite": int(df["bipartite"].sum()),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.kernel == "densest":
+        from everythinggraph_ray.graph.triangles import _canonical_undirected
+        from everythinggraph_ray.pipelines.analytics_extra4 import _densest_peel_stats
+
+        stats = _densest_peel_stats(_canonical_undirected(edges))
+        r, v, e, dppm = max(stats, key=lambda t: (t[3], t[1], -t[0]))
+        print(
+            json.dumps(
+                {
+                    "kernel": "densest",
+                    "rounds": len(stats),
+                    "best_round": r,
+                    "n_vertices": v,
+                    "n_edges": e,
+                    "density_ppm": dppm,
+                }
+            )
+        )
+        return 0
+
+    if args.kernel == "local-bridges":
+        from everythinggraph_ray.pipelines.analytics_extra5 import local_bridge_census
+
+        df = local_bridge_census(edges)
+        print(
+            json.dumps(
+                {
+                    "kernel": "local-bridges",
+                    "n_edges": int(df.loc[0, "n_edges"]),
+                    "n_local_bridges": int(df.loc[0, "n_local_bridges"]),
+                    "bridge_ppm": int(df.loc[0, "bridge_ppm"]),
+                }
+            )
+        )
+        return 0
+
+    if args.kernel == "jdm":
+        import os
+
+        from everythinggraph_ray.pipelines.analytics_extra7 import jdm_classes
+
+        df = jdm_classes(edges)
+        ray.data.from_pandas(df).write_parquet(os.path.join(args.out, "data"))
+        print(json.dumps({"kernel": "jdm", "n_classes": len(df), "out": args.out}))
         return 0
 
     if args.kernel == "kcore":

@@ -46,8 +46,8 @@ def asof_join(
     # schema probe via one Arrow batch: robust for Arrow- AND
     # pandas-backed datasets (base_schema of a pandas block has no Arrow
     # field types); costs one first-block read per side
-    lschema = left.take_batch(1, batch_format="pyarrow").schema
-    rschema = right.take_batch(1, batch_format="pyarrow").schema
+    lschema = _peek_schema(left)
+    rschema = _peek_schema(right)
     left_cols = lschema.names
     out_fields = [(c, lschema.field(c).type) for c in left_cols]
     out_fields += [(c, rschema.field(c).type) for c in value_cols]
@@ -128,6 +128,20 @@ def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
     return h.astype(np.int64) & 0x7FFFFFFF
 
 
+def _peek_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Arrow schema of ``ds``, tolerating EMPTY datasets: take_batch
+    raises on zero rows, but block metadata still carries the schema
+    (an iterative peel can legitimately hand either side an empty set —
+    the densest-subgraph final round)."""
+    try:
+        return ds.take_batch(1, batch_format="pyarrow").schema
+    except ValueError:
+        sch = ds.schema()
+        return pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -175,8 +189,8 @@ def hash_join(
     right_cols = list(right_cols or [])
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"{how} join emits left columns only; right_cols must be empty")
-    lschema = left.take_batch(1, batch_format="pyarrow").schema
-    rschema = right.take_batch(1, batch_format="pyarrow").schema
+    lschema = _peek_schema(left)
+    rschema = _peek_schema(right)
     left_cols = lschema.names
     clash = set(right_cols) & set(left_cols)
     if clash:
@@ -298,8 +312,8 @@ def range_join(
     if closed not in ("both", "left", "right", "neither"):
         raise ValueError(f"closed must be both/left/right/neither, got {closed!r}")
     W = np.int64(bucket_width_us)
-    lschema = left.take_batch(1, batch_format="pyarrow").schema
-    rschema = right.take_batch(1, batch_format="pyarrow").schema
+    lschema = _peek_schema(left)
+    rschema = _peek_schema(right)
     left_cols = lschema.names
     clash = set(right_cols) & set(left_cols)
     if clash:

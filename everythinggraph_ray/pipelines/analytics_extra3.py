@@ -64,20 +64,24 @@ DAY_US = 86_400_000_000
 # ----------------------------------------------------------------------
 # Bipartiteness census per component (odd-cycle certificate)
 # ----------------------------------------------------------------------
-def q_rel_bipartite(sf_dir):
-    """Per-component bipartiteness: ONE BipartiteLevelKernel pass over
-    the undirected build gives every vertex its component label and BFS
-    parity packed in one int64; an undirected edge whose endpoints
-    share parity closes an odd cycle (self-loops included — a length-1
-    cycle is odd). Output: (component, n_vertices, n_edges, odd_edges,
+def bipartite_census(edges: ray.data.Dataset, build_dir: str) -> pd.DataFrame:
+    """Per-component bipartiteness census over arbitrary int64 edges:
+    ONE BipartiteLevelKernel pass over the undirected build at
+    ``build_dir`` gives every vertex its component label and BFS parity
+    packed in one int64; an undirected edge whose endpoints share
+    parity closes an odd cycle (self-loops included — a length-1 cycle
+    is odd). Output: (component, n_vertices, n_edges, odd_edges,
     bipartite) — the 2-colorability census of the whole graph from one
-    traversal + one edge sweep."""
+    traversal + one edge sweep. Shared by q_rel_bipartite and the
+    ``bipartite`` CLI op."""
+    from everythinggraph_ray.graph.build import build_graph
     from everythinggraph_ray.graph.engine import GraphEngine
     from everythinggraph_ray.graph.kernels import BipartiteLevelKernel
-    from everythinggraph_ray.pipelines.queries import _rel_build, rel_edges
-    from everythinggraph_ray.stages.edges import dedup_edges
+    from everythinggraph_ray.stages.edges import dedup_edges, undirect_edges
 
-    eng = GraphEngine(_rel_build(sf_dir, undirect=True))
+    edges = edges.select_columns(["src", "dst"]).materialize()  # consumed twice
+    build_graph(undirect_edges(edges), build_dir, num_partitions=8, hub_threshold=10**9)
+    eng = GraphEngine(build_dir)
     try:
         res = eng.run(BipartiteLevelKernel())
         packed = res["dataset"]
@@ -121,7 +125,7 @@ def q_rel_bipartite(sf_dir):
             }
         )
 
-    ue = dedup_edges(rel_edges(sf_dir).map_batches(canon, batch_format="pyarrow"))
+    ue = dedup_edges(edges.map_batches(canon, batch_format="pyarrow"))
 
     lab_a = lab.map_batches(
         lambda t: pa.table({"vid": t["vid"], "component": t["component"], "par_a": t["par"]}),
@@ -176,6 +180,17 @@ def q_rel_bipartite(sf_dir):
 
     df = out.map_batches(finish, batch_format="pyarrow").to_pandas()
     return df.sort_values("component").reset_index(drop=True).astype("int64")
+
+
+def q_rel_bipartite(sf_dir):
+    """Bipartiteness census of the rel graph (see bipartite_census);
+    the undirected build is the cached _rel_build layout."""
+    from everythinggraph_ray.pipelines.flagship import build_dir_for
+    from everythinggraph_ray.pipelines.queries import rel_edges
+
+    return bipartite_census(
+        rel_edges(sf_dir), build_dir_for(f"relbip|{sf_dir}", 8)
+    )
 
 
 def _bipartite_sql() -> str:

@@ -419,16 +419,16 @@ ANALYTICS5_ORACLES["supplier_lead_time"] = SQL_LEAD_TIME
 # ----------------------------------------------------------------------
 # Local-bridge census (edges with truss support 0)
 # ----------------------------------------------------------------------
-def q_rel_local_bridges(sf_dir):
+def local_bridge_census(edges: ray.data.Dataset) -> pd.DataFrame:
     """Local bridges of the simple undirected graph: edges whose
     endpoints share no common neighbor (span > 2 — Easley–Kleinberg's
     weak-tie structure) ⇔ triangle support 0. One per-batch fold over
     the existing edge_support operator: (n_edges, n_local_bridges,
-    bridge_ppm)."""
+    bridge_ppm). Shared by q_rel_local_bridges and the
+    ``local-bridges`` CLI op."""
     from everythinggraph_ray.graph.truss import edge_support
-    from everythinggraph_ray.pipelines.queries import rel_edges
 
-    sup = edge_support(rel_edges(sf_dir))
+    sup = edge_support(edges)
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch["support"].to_numpy(zero_copy_only=False)
@@ -449,6 +449,12 @@ def q_rel_local_bridges(sf_dir):
             "bridge_ppm": [(1_000_000 * nb) // ne if ne else 0],
         }
     ).astype("int64")
+
+
+def q_rel_local_bridges(sf_dir):
+    from everythinggraph_ray.pipelines.queries import rel_edges
+
+    return local_bridge_census(rel_edges(sf_dir))
 
 
 def _local_bridges_sql() -> str:

@@ -115,17 +115,16 @@ ANALYTICS7_ORACLES["q11_part_value"] = SQL_Q11
 # ----------------------------------------------------------------------
 # Joint degree matrix in log2 degree classes
 # ----------------------------------------------------------------------
-def q_rel_jdm(sf_dir):
+def jdm_classes(edges: ray.data.Dataset) -> pd.DataFrame:
     """Joint degree matrix of the simple undirected graph: for every
     distinct edge, the unordered pair of endpoint DEGREE CLASSES
     (class = bit_length(deg), i.e. log2 buckets) — the
     class-granularity view behind rel_assortativity (which edges exist:
     hub–hub or hub–leaf?). Two bucketed degree attaches + one pair-sum;
-    output is O(log²V) rows."""
+    output is O(log²V) rows. Shared by q_rel_jdm and the ``jdm`` CLI op."""
     from everythinggraph_ray.graph.triangles import _canonical_undirected
-    from everythinggraph_ray.pipelines.queries import rel_edges
 
-    ue = _canonical_undirected(rel_edges(sf_dir))
+    ue = _canonical_undirected(edges)
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["src"].to_numpy(zero_copy_only=False)
@@ -165,6 +164,12 @@ def q_rel_jdm(sf_dir):
         j.map_batches(classes, batch_format="pyarrow"), "class_lo", "class_hi", ["n_edges"]
     ).to_pandas()
     return out.sort_values(["class_lo", "class_hi"]).reset_index(drop=True).astype("int64")
+
+
+def q_rel_jdm(sf_dir):
+    from everythinggraph_ray.pipelines.queries import rel_edges
+
+    return jdm_classes(rel_edges(sf_dir))
 
 
 def _jdm_sql() -> str:

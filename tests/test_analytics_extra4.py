@@ -210,6 +210,20 @@ def _serial_peel(src, dst):
     return stats
 
 
+def test_densest_peel_star_empties_mid_round():
+    # star K1,10: the center survives the threshold but every leaf is
+    # peeled, so the src-side semi join leaves edges whose dst side then
+    # empties the set — the hash_join empty-input path (joins._peek_schema)
+    src = np.zeros(10, np.int64)
+    dst = np.arange(1, 11, dtype=np.int64)
+    from everythinggraph_ray.graph.triangles import _canonical_undirected
+
+    e = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    got = _densest_peel_stats(_canonical_undirected(e))
+    assert got == _serial_peel(src, dst)
+    assert got[0][:3] == (0, 11, 10)
+
+
 def test_densest_peel_matches_serial():
     from everythinggraph_ray.graph.triangles import _canonical_undirected
 
