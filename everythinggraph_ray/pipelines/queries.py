@@ -8585,3 +8585,15 @@ from everythinggraph_ray.pipelines.analytics_extra7 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS7_QUERIES)
 ORACLES.update(ANALYTICS7_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra8 import (  # noqa: E402
+    ANALYTICS8_ORACLES,
+    ANALYTICS8_QUERIES,
+)
+from everythinggraph_ray.pipelines.analytics_extra8 import (  # noqa: E402
+    register_late as _a8_register_late,
+)
+
+QUERIES.update(ANALYTICS8_QUERIES)
+ORACLES.update(ANALYTICS8_ORACLES)
+_a8_register_late(ORACLES)
