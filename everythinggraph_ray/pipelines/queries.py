@@ -8597,3 +8597,11 @@ from everythinggraph_ray.pipelines.analytics_extra8 import (  # noqa: E402
 QUERIES.update(ANALYTICS8_QUERIES)
 ORACLES.update(ANALYTICS8_ORACLES)
 _a8_register_late(ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra9 import (  # noqa: E402
+    ANALYTICS9_ORACLES,
+    ANALYTICS9_QUERIES,
+)
+
+QUERIES.update(ANALYTICS9_QUERIES)
+ORACLES.update(ANALYTICS9_ORACLES)

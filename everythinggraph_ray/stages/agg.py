@@ -473,6 +473,155 @@ def grouped_row_number(
     return bucketed_reduce(assigned, cell_bucket, rank_cell, num_buckets=num_buckets)
 
 
+def running_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    *,
+    group_col: str | None = None,
+    out_col: str = "running",
+    num_range_buckets: int = 16,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Distributed SQL window ``SUM(val) OVER (PARTITION BY group ORDER
+    BY order, tiebreak)`` — the global PREFIX SCAN, exact, with no worker
+    ever holding a whole group (grouped_row_number's range-partitioned
+    shape, accumulating int64 SUMS instead of counts):
+
+      1. per-group range splitters from ``grouped_quantiles`` (exact
+         histogram — equal order values always co-locate, so the
+         (order, tiebreak) tie-break resolves locally);
+      2. (group, range-bucket) partial SUMS fold to per-bucket exclusive
+         START OFFSETS — an O(groups × num_range_buckets) driver table
+         broadcast once via ray.put (the textbook two-phase scan: local
+         scan + scanned block offsets);
+      3. one bucketed co-group sorts each cell and emits offset + local
+         inclusive cumsum.
+
+    ``order_col`` / ``tiebreak_col`` / ``val_col`` must be
+    integer-valued; ``tiebreak_col`` unique within its group (the window
+    frame is then a total order, so the running value is deterministic —
+    ties under RANGE semantics would not be)."""
+    import pandas as pd
+    import ray as _ray
+
+    gcols = [group_col] if group_col else []
+    B = max(2, int(num_range_buckets))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("__k", pa.array(k, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    qs = [i / B for i in range(1, B)]
+    spl_df = grouped_quantiles(
+        keyed, "__k", qs, group_col=group_col, num_buckets=num_buckets
+    ).to_pandas()
+    qcols = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    spl_mat = spl_df[qcols].to_numpy(np.int64)
+    spl_keys = spl_df[group_col].to_numpy(object) if group_col else [None]
+    splitters = {k: np.sort(spl_mat[i]) for i, k in enumerate(spl_keys)}
+    spl_ref = _ray.put(splitters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        spl = _ray.get(spl_ref)
+        k = batch["__k"].to_numpy(zero_copy_only=False)
+        b = np.zeros(len(k), np.int64)
+        if group_col:
+            gv = batch[group_col].to_pandas().to_numpy(object)
+            for g in pd.unique(gv):
+                m = gv == g
+                b[m] = np.searchsorted(spl[g], k[m], side="left")
+        else:
+            b[:] = np.searchsorted(spl[None], k, side="left")
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    assigned = keyed.map_batches(assign, batch_format="pyarrow")
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch[c].to_pandas() for c in gcols}
+            | {
+                "__b": batch["__b"].to_numpy(zero_copy_only=False),
+                "__s": batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(gcols + ["__b"], as_index=False, dropna=False)["__s"].sum()
+        cols = {c: pa.Array.from_pandas(g[c]) for c in gcols}
+        cols["__b"] = pa.array(g["__b"].to_numpy(np.int64), pa.int64())
+        cols["__s"] = pa.array(g["__s"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def cell_bucket(batch: pa.Table) -> np.ndarray:
+        from everythinggraph_ray.datapipe.joins import _key_hash
+
+        h = (
+            _key_hash(batch, gcols).astype(np.uint64)
+            if gcols
+            else np.zeros(batch.num_rows, np.uint64)
+        )
+        return (
+            (h ^ mix64(batch["__b"].to_numpy(zero_copy_only=False))).astype(np.int64)
+            & 0x7FFFFFFF
+        )
+
+    def sum_red(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(gcols + ["__b"], as_index=False, dropna=False)["__s"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sums = bucketed_reduce(
+        assigned.map_batches(sum_partial, batch_format="pyarrow"),
+        cell_bucket,
+        sum_red,
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    offsets: dict = {}
+    for key, grp in sums.groupby(gcols, dropna=False) if gcols else [((None,), sums)]:
+        gkey = key[0] if isinstance(key, tuple) else key
+        grp = grp.sort_values("__b")
+        bs = grp["__b"].to_numpy(np.int64)
+        ss = grp["__s"].to_numpy(np.int64)
+        off = np.concatenate([[0], ss.cumsum()[:-1]])
+        offsets[gkey] = dict(zip(bs.tolist(), off.tolist()))
+    off_ref = _ray.put(offsets)
+
+    def scan_cell(g: pa.Table) -> pa.Table:
+        offs = _ray.get(off_ref)
+        df = g.to_pandas().sort_values(gcols + ["__k", tiebreak_col], kind="stable")
+        v = df[val_col].to_numpy(np.int64)
+        local = (
+            df.assign(__v=v)
+            .groupby(gcols + ["__b"], sort=False, dropna=False)["__v"]
+            .cumsum()
+            .to_numpy(np.int64)
+        )
+        if gcols:
+            base = np.fromiter(
+                (
+                    offs[gv][bv]
+                    for gv, bv in zip(
+                        df[group_col].to_numpy(object), df["__b"].to_numpy(np.int64)
+                    )
+                ),
+                np.int64,
+                len(df),
+            )
+        else:
+            base = np.fromiter(
+                (offs[None][bv] for bv in df["__b"].to_numpy(np.int64)),
+                np.int64,
+                len(df),
+            )
+        df = df.drop(columns=["__k", "__b"])
+        df[out_col] = base + local
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_reduce(assigned, cell_bucket, scan_cell, num_buckets=num_buckets)
+
+
 def settle(ds: ray.data.Dataset, num_blocks: int = 8) -> ray.data.Dataset:
     """Materialize LOOP-CARRIED state with a bounded block count.
 
