@@ -8605,3 +8605,15 @@ from everythinggraph_ray.pipelines.analytics_extra9 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS9_QUERIES)
 ORACLES.update(ANALYTICS9_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra10 import (  # noqa: E402
+    ANALYTICS10_ORACLES,
+    ANALYTICS10_QUERIES,
+)
+from everythinggraph_ray.pipelines.analytics_extra10 import (  # noqa: E402
+    register_late as _a10_register_late,
+)
+
+QUERIES.update(ANALYTICS10_QUERIES)
+ORACLES.update(ANALYTICS10_ORACLES)
+_a10_register_late(ORACLES)
