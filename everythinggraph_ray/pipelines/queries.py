@@ -8617,3 +8617,11 @@ from everythinggraph_ray.pipelines.analytics_extra10 import (  # noqa: E402
 QUERIES.update(ANALYTICS10_QUERIES)
 ORACLES.update(ANALYTICS10_ORACLES)
 _a10_register_late(ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra11 import (  # noqa: E402
+    ANALYTICS11_ORACLES,
+    ANALYTICS11_QUERIES,
+)
+
+QUERIES.update(ANALYTICS11_QUERIES)
+ORACLES.update(ANALYTICS11_ORACLES)
