@@ -8625,3 +8625,11 @@ from everythinggraph_ray.pipelines.analytics_extra11 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS11_QUERIES)
 ORACLES.update(ANALYTICS11_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra12 import (  # noqa: E402
+    ANALYTICS12_ORACLES,
+    ANALYTICS12_QUERIES,
+)
+
+QUERIES.update(ANALYTICS12_QUERIES)
+ORACLES.update(ANALYTICS12_ORACLES)
