@@ -8633,3 +8633,11 @@ from everythinggraph_ray.pipelines.analytics_extra12 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS12_QUERIES)
 ORACLES.update(ANALYTICS12_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra13 import (  # noqa: E402
+    ANALYTICS13_ORACLES,
+    ANALYTICS13_QUERIES,
+)
+
+QUERIES.update(ANALYTICS13_QUERIES)
+ORACLES.update(ANALYTICS13_ORACLES)
