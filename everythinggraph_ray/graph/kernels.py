@@ -1071,3 +1071,68 @@ class LatestDepartureKernel(Kernel):
         improved = has_msg & (agg > old)
         new[improved] = agg[improved]
         return new, improved, 0.0
+
+
+class PathCountBFSKernel(Kernel):
+    """Shortest-path COUNTING BFS (the sigma stage of Brandes, surfaced
+    as a single-source kernel): state packs ``(dist << 32) | nsp`` where
+    dist uses rel_bfs conventions (root 1, unreached 0) and nsp is the
+    number of distinct shortest root->v paths.
+
+    This is the engine's first SUM-combine FRONTIER kernel: in
+    synchronous BFS the frontier at round k is exactly layer k, so every
+    sigma contribution to a layer-(k+1) vertex arrives in one round and
+    the sum-combined message total IS sigma(v) — no re-send is ever safe
+    (sum is not idempotent), hence resend_safe stays False and the
+    engine keeps sparse frontier scatter throughout. The level written
+    at discovery time comes from a per-instance superstep counter
+    (every partition actor applies exactly once per superstep, so the
+    counters stay in lockstep); mid-run checkpoint/resume would desync
+    the counter and is not supported for this kernel.
+
+    Precondition: sigma < 2^32 (packed). apply() raises on overflow
+    rather than silently corrupting the dist field.
+    """
+
+    name = "sp_counts"
+    combine = "sum"
+    frontier = True
+    dtype = np.int64
+    skip_self_loops = True
+
+    def __init__(self, root: int):
+        self.root = int(root)
+        self._lvl = 1  # root's dist; first apply discovers level 2
+
+    def init_values(self, vids, outdeg, ctx):
+        v = np.zeros(len(vids), dtype=np.int64)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            v[i] = (np.int64(1) << np.int64(32)) | np.int64(1)
+        return v
+
+    def init_active(self, vids, ctx):
+        a = np.zeros(len(vids), dtype=bool)
+        i = np.searchsorted(vids, self.root)
+        if i < len(vids) and vids[i] == self.root:
+            a[i] = True
+        return a
+
+    def src_messages(self, vals, outdeg):
+        return vals & np.int64(0xFFFFFFFF)  # sigma only; dist implied by round
+
+    def apply(self, old, agg, has_msg, ctx):
+        self._lvl += 1
+        new = old.copy()
+        touch = has_msg & (old == 0)
+        if touch.any():
+            sig = agg[touch].astype(np.int64)
+            if int(sig.max()) >= (1 << 32):
+                raise ValueError("sp_counts sigma overflows the 32-bit pack")
+            new[touch] = (np.int64(self._lvl) << np.int64(32)) | sig
+        return new, touch, 0.0
+
+    @staticmethod
+    def decode(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        packed = packed.astype(np.int64)
+        return packed >> np.int64(32), packed & np.int64(0xFFFFFFFF)

@@ -8641,3 +8641,11 @@ from everythinggraph_ray.pipelines.analytics_extra13 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS13_QUERIES)
 ORACLES.update(ANALYTICS13_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra14 import (  # noqa: E402
+    ANALYTICS14_ORACLES,
+    ANALYTICS14_QUERIES,
+)
+
+QUERIES.update(ANALYTICS14_QUERIES)
+ORACLES.update(ANALYTICS14_ORACLES)
