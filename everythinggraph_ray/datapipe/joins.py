@@ -153,9 +153,11 @@ def hash_join(
     num_buckets: int = 64,
     impl: str = "bucketed",
 ) -> ray.data.Dataset:
-    """Distributed hash equi-join: ``inner`` / ``left`` (attach
-    ``right_cols``), ``semi`` / ``anti`` (filter left by key existence —
-    the blocklist/allowlist filters of corpus curation).
+    """Distributed hash equi-join: ``inner`` / ``left`` / ``full`` (attach
+    ``right_cols``; ``full`` keeps unmatched rows of BOTH sides with the
+    join keys coalesced from whichever side is present), ``semi`` /
+    ``anti`` (filter left by key existence — the blocklist/allowlist
+    filters of corpus curation).
 
     ``impl='bucketed'`` (default) is this repo's bucketed co-group;
     ``impl='native'`` delegates to Ray Data 2.49's experimental
@@ -178,8 +180,8 @@ def hash_join(
     match — inner/semi drop them, left/anti keep them unmatched. Right
     key columns (``right_on``, default ``on``) are renamed to left's.
     ``semi`` emits each matching left row once (no multiplication)."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
+    if how not in ("inner", "left", "full", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/full/semi/anti, got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     r_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
@@ -199,6 +201,11 @@ def hash_join(
     out_fields += [(c, rschema.field(c).type) for c in right_cols]
 
     if impl == "native":
+        if how == "full":
+            # Ray's full_outer drops/nulls the right key cols for
+            # unmatched-right rows; this contract COALESCES keys from
+            # whichever side is present — bucketed impl only.
+            raise ValueError("how='full' requires impl='bucketed'")
         # Dataset.join drops the right key cols when right_on is given and
         # emits left cols + right value cols — select down to the contract.
         jt = {"inner": "inner", "left": "left_outer", "semi": "left_semi", "anti": "left_anti"}[how]
@@ -252,8 +259,8 @@ def hash_join(
             .to_pandas()
             .dropna(subset=on)
         )
-        if how in ("inner", "left"):
-            if how == "left":
+        if how in ("inner", "left", "full"):
+            if how in ("left", "full"):
                 # unmatched left rows put NA into right cols after the
                 # merge — pre-cast int64 right cols to pandas nullable
                 # Int64 so that NA doesn't float64-coerce (and corrupt)
@@ -261,7 +268,14 @@ def hash_join(
                 for c in right_cols:
                     if pa.types.is_integer(rschema.field(c).type):
                         rf[c] = rf[c].astype("Int64")
-            m = lf.merge(rf, on=on, how=how)
+            if how == "full":
+                # full outer also NAs the LEFT columns on unmatched-right
+                # rows — same nullable-Int64 guard on the left side; the
+                # join keys themselves coalesce from whichever side exists
+                for c in left_cols:
+                    if pa.types.is_integer(lschema.field(c).type):
+                        lf[c] = lf[c].astype("Int64")
+            m = lf.merge(rf, on=on, how="outer" if how == "full" else how)
         else:
             keys = rf[on].drop_duplicates()
             if how == "semi":

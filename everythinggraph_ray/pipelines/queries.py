@@ -8649,3 +8649,11 @@ from everythinggraph_ray.pipelines.analytics_extra14 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS14_QUERIES)
 ORACLES.update(ANALYTICS14_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra15 import (  # noqa: E402
+    ANALYTICS15_ORACLES,
+    ANALYTICS15_QUERIES,
+)
+
+QUERIES.update(ANALYTICS15_QUERIES)
+ORACLES.update(ANALYTICS15_ORACLES)

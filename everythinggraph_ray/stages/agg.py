@@ -633,5 +633,27 @@ def settle(ds: ray.data.Dataset, num_blocks: int = 8) -> ray.data.Dataset:
     ``repartition`` keeps every round O(1) blocks and flat wall time.
     (``from_arrow_refs(to_arrow_refs())`` also truncates the plan but
     not the block count, and rapid ref round-trips tripped a ray-core
-    refcount fatal — prefer this device for loop state.)"""
+    refcount fatal — prefer this device for loop state.)
+
+    Scope: settle is enough for SINGLE-variable loops (state flows
+    through one dataset). It does NOT stop plan-DAG compounding when a
+    round carries TWO interlocked variables that each consume the other
+    (stable matching's holds+cursors): plan BUILD time then doubles per
+    round (measured: hash_join construction 0.05s -> 1.35s in 8
+    rounds). Use ``sever`` for that shape."""
     return ds.repartition(num_blocks).materialize()
+
+
+def sever(ds: ray.data.Dataset, num_blocks: int = 2) -> ray.data.Dataset:
+    """HARD lineage cut for multi-variable loop state: round-trip the
+    blocks through ``to_arrow_refs`` -> ``from_arrow_refs``. Data stays
+    in the object store (no driver pull); the new Dataset's plan is a
+    bare InputData, so interlocked recurrences (holds <-> cursors) stay
+    O(1) plan size per round where ``settle`` alone compounds
+    Fibonacci-style. Blocks are coalesced first so block count stays
+    bounded too. The historical ray-core refcount fatal came from
+    sub-100ms round-trip storms; at one cut per BSP round (>=100ms of
+    real work between cuts) it has been stable across the test suite —
+    if it ever resurfaces, fall back to a driver round-trip for
+    bounded state."""
+    return ray.data.from_arrow_refs(ds.repartition(num_blocks).to_arrow_refs())
