@@ -8657,3 +8657,11 @@ from everythinggraph_ray.pipelines.analytics_extra15 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS15_QUERIES)
 ORACLES.update(ANALYTICS15_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra16 import (  # noqa: E402
+    ANALYTICS16_ORACLES,
+    ANALYTICS16_QUERIES,
+)
+
+QUERIES.update(ANALYTICS16_QUERIES)
+ORACLES.update(ANALYTICS16_ORACLES)
