@@ -8665,3 +8665,11 @@ from everythinggraph_ray.pipelines.analytics_extra16 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS16_QUERIES)
 ORACLES.update(ANALYTICS16_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra17 import (  # noqa: E402
+    ANALYTICS17_ORACLES,
+    ANALYTICS17_QUERIES,
+)
+
+QUERIES.update(ANALYTICS17_QUERIES)
+ORACLES.update(ANALYTICS17_ORACLES)
