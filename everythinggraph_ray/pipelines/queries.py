@@ -8673,3 +8673,11 @@ from everythinggraph_ray.pipelines.analytics_extra17 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS17_QUERIES)
 ORACLES.update(ANALYTICS17_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra18 import (  # noqa: E402
+    ANALYTICS18_ORACLES,
+    ANALYTICS18_QUERIES,
+)
+
+QUERIES.update(ANALYTICS18_QUERIES)
+ORACLES.update(ANALYTICS18_ORACLES)
