@@ -8681,3 +8681,11 @@ from everythinggraph_ray.pipelines.analytics_extra18 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS18_QUERIES)
 ORACLES.update(ANALYTICS18_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra19 import (  # noqa: E402
+    ANALYTICS19_ORACLES,
+    ANALYTICS19_QUERIES,
+)
+
+QUERIES.update(ANALYTICS19_QUERIES)
+ORACLES.update(ANALYTICS19_ORACLES)
