@@ -8689,3 +8689,11 @@ from everythinggraph_ray.pipelines.analytics_extra19 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS19_QUERIES)
 ORACLES.update(ANALYTICS19_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra20 import (  # noqa: E402
+    ANALYTICS20_ORACLES,
+    ANALYTICS20_QUERIES,
+)
+
+QUERIES.update(ANALYTICS20_QUERIES)
+ORACLES.update(ANALYTICS20_ORACLES)
