@@ -8697,3 +8697,11 @@ from everythinggraph_ray.pipelines.analytics_extra20 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS20_QUERIES)
 ORACLES.update(ANALYTICS20_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra21 import (  # noqa: E402
+    ANALYTICS21_ORACLES,
+    ANALYTICS21_QUERIES,
+)
+
+QUERIES.update(ANALYTICS21_QUERIES)
+ORACLES.update(ANALYTICS21_ORACLES)
