@@ -8705,3 +8705,11 @@ from everythinggraph_ray.pipelines.analytics_extra21 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS21_QUERIES)
 ORACLES.update(ANALYTICS21_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra22 import (  # noqa: E402
+    ANALYTICS22_ORACLES,
+    ANALYTICS22_QUERIES,
+)
+
+QUERIES.update(ANALYTICS22_QUERIES)
+ORACLES.update(ANALYTICS22_ORACLES)
