@@ -8713,3 +8713,11 @@ from everythinggraph_ray.pipelines.analytics_extra22 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS22_QUERIES)
 ORACLES.update(ANALYTICS22_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra23 import (  # noqa: E402
+    ANALYTICS23_ORACLES,
+    ANALYTICS23_QUERIES,
+)
+
+QUERIES.update(ANALYTICS23_QUERIES)
+ORACLES.update(ANALYTICS23_ORACLES)
