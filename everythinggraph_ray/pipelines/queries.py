@@ -8721,3 +8721,11 @@ from everythinggraph_ray.pipelines.analytics_extra23 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS23_QUERIES)
 ORACLES.update(ANALYTICS23_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra24 import (  # noqa: E402
+    ANALYTICS24_ORACLES,
+    ANALYTICS24_QUERIES,
+)
+
+QUERIES.update(ANALYTICS24_QUERIES)
+ORACLES.update(ANALYTICS24_ORACLES)
