@@ -8729,3 +8729,11 @@ from everythinggraph_ray.pipelines.analytics_extra24 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS24_QUERIES)
 ORACLES.update(ANALYTICS24_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra25 import (  # noqa: E402
+    ANALYTICS25_ORACLES,
+    ANALYTICS25_QUERIES,
+)
+
+QUERIES.update(ANALYTICS25_QUERIES)
+ORACLES.update(ANALYTICS25_ORACLES)
