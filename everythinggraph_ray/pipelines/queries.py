@@ -8737,3 +8737,11 @@ from everythinggraph_ray.pipelines.analytics_extra25 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS25_QUERIES)
 ORACLES.update(ANALYTICS25_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra26 import (  # noqa: E402
+    ANALYTICS26_ORACLES,
+    ANALYTICS26_QUERIES,
+)
+
+QUERIES.update(ANALYTICS26_QUERIES)
+ORACLES.update(ANALYTICS26_ORACLES)
