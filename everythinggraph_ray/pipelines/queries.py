@@ -8745,3 +8745,11 @@ from everythinggraph_ray.pipelines.analytics_extra26 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS26_QUERIES)
 ORACLES.update(ANALYTICS26_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra27 import (  # noqa: E402
+    ANALYTICS27_ORACLES,
+    ANALYTICS27_QUERIES,
+)
+
+QUERIES.update(ANALYTICS27_QUERIES)
+ORACLES.update(ANALYTICS27_ORACLES)
