@@ -8753,3 +8753,11 @@ from everythinggraph_ray.pipelines.analytics_extra27 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS27_QUERIES)
 ORACLES.update(ANALYTICS27_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra28 import (  # noqa: E402
+    ANALYTICS28_ORACLES,
+    ANALYTICS28_QUERIES,
+)
+
+QUERIES.update(ANALYTICS28_QUERIES)
+ORACLES.update(ANALYTICS28_ORACLES)
