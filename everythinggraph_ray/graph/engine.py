@@ -80,6 +80,7 @@ _COMBINE_UFUNC = {
     "min": np.minimum,
     "max": np.maximum,
     "or": np.bitwise_or,
+    "and": np.bitwise_and,  # meet of bitsets: dataflow kernels (dominators)
 }
 
 
@@ -88,6 +89,8 @@ def _combine_identity(combine: str, dtype) -> float | int:
         return np.inf if dtype == np.float64 else np.iinfo(np.int64).max
     if combine == "max":
         return -np.inf if dtype == np.float64 else np.iinfo(np.int64).min
+    if combine == "and":
+        return -1  # all 64 bits set: the full set is AND's identity
     return 0  # sum / or
 
 

@@ -27,7 +27,7 @@ UNREACHED = np.iinfo(np.int64).max
 
 class Kernel:
     name = "kernel"
-    combine = "sum"  # 'sum' | 'min'
+    combine = "sum"  # 'sum' | 'min' | 'max' | 'or' | 'and' (engine._COMBINE_UFUNC)
     frontier = False
     needs_weights = False
     skip_self_loops = False
@@ -1136,3 +1136,69 @@ class PathCountBFSKernel(Kernel):
     def decode(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         packed = packed.astype(np.int64)
         return packed >> np.int64(32), packed & np.int64(0xFFFFFFFF)
+
+
+class LandmarkDominatorKernel(Kernel):
+    """Landmark dominators by iterative dataflow over the AND semiring —
+    the classic dom(v) = {v} ∪ ⋂_{p∈pred(v)} dom(p) equations (Allen/
+    Cocke), restricted to membership of 63 landmark vertices so a
+    vertex's dominator SET fits the engine's one-int64-per-vertex state
+    (bit i = landmark i dominates v; bit 63 unused so reachable masks
+    stay non-negative; the untouched init value -1 = "full set" doubles
+    as the unreachable sentinel, and IS the AND identity, so resending
+    from unreached vertices is a no-op — fully resend-safe).
+
+    Chaotic-iteration soundness: values only lose bits (monotone meet),
+    the old value accumulates every constraint ever received, and every
+    changed vertex re-notifies its successors — the same asynchronous-
+    dataflow argument as the WCC min-label kernel. Converges to the
+    greatest fixpoint = the true dominator sets (restricted to the
+    landmark universe). The first 'and'-combine rider of the engine's
+    semiring registry (reference extension surface: random.h:64-69
+    algo_func vtable, SURVEY §2.j).
+    """
+
+    name = "dominators"
+    combine = "and"
+    frontier = True
+    dtype = np.int64
+    resend_safe = True
+
+    def __init__(self, root: int, bits: dict[int, int]):
+        """``bits``: vid -> bit index (< 63); must include the root."""
+        if root not in bits:
+            raise ValueError("root must be a landmark (have a bit)")
+        if any(b < 0 or b > 62 for b in bits.values()):
+            raise ValueError("landmark bits must be in [0, 62]")
+        self.root = int(root)
+        self.bits = {int(v): int(b) for v, b in bits.items()}
+
+    def _selfbits_for(self, vids: np.ndarray) -> np.ndarray:
+        sb = np.zeros(len(vids), np.int64)
+        if len(vids) and self.bits:
+            lv = np.fromiter(self.bits.keys(), np.int64, count=len(self.bits))
+            lb = np.fromiter(self.bits.values(), np.int64, count=len(self.bits))
+            idx = np.searchsorted(vids, lv)
+            ok = (idx < len(vids)) & (vids[np.minimum(idx, len(vids) - 1)] == lv)
+            sb[idx[ok]] = np.int64(1) << lb[ok]
+        return sb
+
+    def init_values(self, vids, outdeg, ctx):
+        self._selfbit = self._selfbits_for(np.asarray(vids, np.int64))
+        vals = np.full(len(vids), -1, np.int64)
+        at = np.searchsorted(vids, self.root)
+        if at < len(vids) and vids[at] == self.root:
+            vals[at] = np.int64(1) << self.bits[self.root]
+        return vals
+
+    def init_active(self, vids, ctx):
+        return np.asarray(vids, np.int64) == self.root
+
+    def apply(self, old, agg, has_msg, ctx):
+        new = old.copy()
+        cand = (old[has_msg] & agg[has_msg]) | self._selfbit[has_msg]
+        changed_local = cand != old[has_msg]
+        new[has_msg] = cand
+        changed = np.zeros(len(old), bool)
+        changed[np.flatnonzero(has_msg)[changed_local]] = True
+        return new, changed, 0.0

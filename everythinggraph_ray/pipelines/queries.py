@@ -8761,3 +8761,11 @@ from everythinggraph_ray.pipelines.analytics_extra28 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS28_QUERIES)
 ORACLES.update(ANALYTICS28_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra29 import (  # noqa: E402
+    ANALYTICS29_ORACLES,
+    ANALYTICS29_QUERIES,
+)
+
+QUERIES.update(ANALYTICS29_QUERIES)
+ORACLES.update(ANALYTICS29_ORACLES)
