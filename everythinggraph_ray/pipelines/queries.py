@@ -8769,3 +8769,11 @@ from everythinggraph_ray.pipelines.analytics_extra29 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS29_QUERIES)
 ORACLES.update(ANALYTICS29_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra30 import (  # noqa: E402
+    ANALYTICS30_ORACLES,
+    ANALYTICS30_QUERIES,
+)
+
+QUERIES.update(ANALYTICS30_QUERIES)
+ORACLES.update(ANALYTICS30_ORACLES)
