@@ -8777,3 +8777,11 @@ from everythinggraph_ray.pipelines.analytics_extra30 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS30_QUERIES)
 ORACLES.update(ANALYTICS30_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra31 import (  # noqa: E402
+    ANALYTICS31_ORACLES,
+    ANALYTICS31_QUERIES,
+)
+
+QUERIES.update(ANALYTICS31_QUERIES)
+ORACLES.update(ANALYTICS31_ORACLES)
