@@ -56,6 +56,11 @@ def _get_kernel(args):
         "earliest-arrival": lambda: K.EarliestArrivalKernel(args.root),
         "latest-departure": lambda: K.LatestDepartureKernel(args.root),
         "spmv": lambda: K.SpMVKernel(),
+        # landmarks/root are derived from the edge universe pre-build
+        # (main() stashes them on args)
+        "dominators": lambda: K.LandmarkDominatorKernel(
+            args._dom_root, args._dom_bits
+        ),
     }
     return table[args.kernel]()
 
@@ -105,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
             "densest",
             "local-bridges",
             "jdm",
+            "dominators",
         ],
     )
     src = p.add_mutually_exclusive_group(required=True)
@@ -498,6 +504,28 @@ def main(argv: list[str] | None = None) -> int:
         # the kernel needs the GLOBAL seed count up front (a partition
         # only sees its own vids); counted distributed before the build
         args.ppr_n_seeds = E.seed_vertex_count(edges, args.ppr_seed_mod)
+
+    if args.kernel == "dominators":
+        # landmark bits = the 63 smallest universe vids (distributed
+        # fold); root = --root if it is a landmark, else the smallest
+        import numpy as _np
+        import pyarrow as _pa
+
+        def _mins(t):
+            vs = _np.unique(
+                _np.r_[
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )[:63]
+            return _pa.table({"v": _pa.array(vs, _pa.int64())})
+
+        cand = edges.map_batches(_mins, batch_format="pyarrow").to_pandas()
+        land = _np.unique(cand["v"].to_numpy(_np.int64))[:63]
+        args._dom_bits = {int(v): i for i, v in enumerate(land)}
+        args._dom_root = (
+            int(args.root) if int(args.root) in args._dom_bits else int(land[0])
+        )
 
     if args.warm_state and args.kernel != "pagerank":
         p.error("--warm-state is a pagerank-only flag")
