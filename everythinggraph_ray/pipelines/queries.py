@@ -8785,3 +8785,11 @@ from everythinggraph_ray.pipelines.analytics_extra31 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS31_QUERIES)
 ORACLES.update(ANALYTICS31_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra32 import (  # noqa: E402
+    ANALYTICS32_ORACLES,
+    ANALYTICS32_QUERIES,
+)
+
+QUERIES.update(ANALYTICS32_QUERIES)
+ORACLES.update(ANALYTICS32_ORACLES)
