@@ -8793,3 +8793,11 @@ from everythinggraph_ray.pipelines.analytics_extra32 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS32_QUERIES)
 ORACLES.update(ANALYTICS32_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra33 import (  # noqa: E402
+    ANALYTICS33_ORACLES,
+    ANALYTICS33_QUERIES,
+)
+
+QUERIES.update(ANALYTICS33_QUERIES)
+ORACLES.update(ANALYTICS33_ORACLES)
