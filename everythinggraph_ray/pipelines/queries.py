@@ -8801,3 +8801,11 @@ from everythinggraph_ray.pipelines.analytics_extra33 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS33_QUERIES)
 ORACLES.update(ANALYTICS33_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra34 import (  # noqa: E402
+    ANALYTICS34_ORACLES,
+    ANALYTICS34_QUERIES,
+)
+
+QUERIES.update(ANALYTICS34_QUERIES)
+ORACLES.update(ANALYTICS34_ORACLES)
