@@ -8809,3 +8809,11 @@ from everythinggraph_ray.pipelines.analytics_extra34 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS34_QUERIES)
 ORACLES.update(ANALYTICS34_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra35 import (  # noqa: E402
+    ANALYTICS35_ORACLES,
+    ANALYTICS35_QUERIES,
+)
+
+QUERIES.update(ANALYTICS35_QUERIES)
+ORACLES.update(ANALYTICS35_ORACLES)
