@@ -293,6 +293,13 @@ def q_rel_threshold_cascade(sf_dir):
         )
         n = int(active.count())
         counts.append((rnd, n))
+        if n == counts[-2][1]:
+            # monotone fixpoint: every remaining round is identical —
+            # emit the constant tail without running the barriers
+            counts.extend(
+                (r, n) for r in range(rnd + 1, CASCADE_ROUNDS + 1)
+            )
+            break
 
     out = pd.DataFrame(counts, columns=["rnd", "n_active"]).astype("int64")
     return _typed_collect(
