@@ -8817,3 +8817,11 @@ from everythinggraph_ray.pipelines.analytics_extra35 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS35_QUERIES)
 ORACLES.update(ANALYTICS35_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra36 import (  # noqa: E402
+    ANALYTICS36_ORACLES,
+    ANALYTICS36_QUERIES,
+)
+
+QUERIES.update(ANALYTICS36_QUERIES)
+ORACLES.update(ANALYTICS36_ORACLES)
