@@ -8825,3 +8825,11 @@ from everythinggraph_ray.pipelines.analytics_extra36 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS36_QUERIES)
 ORACLES.update(ANALYTICS36_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra37 import (  # noqa: E402
+    ANALYTICS37_ORACLES,
+    ANALYTICS37_QUERIES,
+)
+
+QUERIES.update(ANALYTICS37_QUERIES)
+ORACLES.update(ANALYTICS37_ORACLES)
