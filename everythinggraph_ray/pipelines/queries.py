@@ -8833,3 +8833,11 @@ from everythinggraph_ray.pipelines.analytics_extra37 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS37_QUERIES)
 ORACLES.update(ANALYTICS37_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra38 import (  # noqa: E402
+    ANALYTICS38_ORACLES,
+    ANALYTICS38_QUERIES,
+)
+
+QUERIES.update(ANALYTICS38_QUERIES)
+ORACLES.update(ANALYTICS38_ORACLES)
