@@ -8841,3 +8841,11 @@ from everythinggraph_ray.pipelines.analytics_extra38 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS38_QUERIES)
 ORACLES.update(ANALYTICS38_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra39 import (  # noqa: E402
+    ANALYTICS39_ORACLES,
+    ANALYTICS39_QUERIES,
+)
+
+QUERIES.update(ANALYTICS39_QUERIES)
+ORACLES.update(ANALYTICS39_ORACLES)
