@@ -8849,3 +8849,11 @@ from everythinggraph_ray.pipelines.analytics_extra39 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS39_QUERIES)
 ORACLES.update(ANALYTICS39_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra40 import (  # noqa: E402
+    ANALYTICS40_ORACLES,
+    ANALYTICS40_QUERIES,
+)
+
+QUERIES.update(ANALYTICS40_QUERIES)
+ORACLES.update(ANALYTICS40_ORACLES)
