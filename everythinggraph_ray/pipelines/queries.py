@@ -8857,3 +8857,11 @@ from everythinggraph_ray.pipelines.analytics_extra40 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS40_QUERIES)
 ORACLES.update(ANALYTICS40_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra41 import (  # noqa: E402
+    ANALYTICS41_ORACLES,
+    ANALYTICS41_QUERIES,
+)
+
+QUERIES.update(ANALYTICS41_QUERIES)
+ORACLES.update(ANALYTICS41_ORACLES)
