@@ -8865,3 +8865,11 @@ from everythinggraph_ray.pipelines.analytics_extra41 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS41_QUERIES)
 ORACLES.update(ANALYTICS41_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra42 import (  # noqa: E402
+    ANALYTICS42_ORACLES,
+    ANALYTICS42_QUERIES,
+)
+
+QUERIES.update(ANALYTICS42_QUERIES)
+ORACLES.update(ANALYTICS42_ORACLES)
