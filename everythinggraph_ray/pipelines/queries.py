@@ -8873,3 +8873,11 @@ from everythinggraph_ray.pipelines.analytics_extra42 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS42_QUERIES)
 ORACLES.update(ANALYTICS42_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra43 import (  # noqa: E402
+    ANALYTICS43_ORACLES,
+    ANALYTICS43_QUERIES,
+)
+
+QUERIES.update(ANALYTICS43_QUERIES)
+ORACLES.update(ANALYTICS43_ORACLES)
