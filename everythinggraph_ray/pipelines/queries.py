@@ -8881,3 +8881,11 @@ from everythinggraph_ray.pipelines.analytics_extra43 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS43_QUERIES)
 ORACLES.update(ANALYTICS43_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra44 import (  # noqa: E402
+    ANALYTICS44_ORACLES,
+    ANALYTICS44_QUERIES,
+)
+
+QUERIES.update(ANALYTICS44_QUERIES)
+ORACLES.update(ANALYTICS44_ORACLES)
