@@ -1202,3 +1202,33 @@ class LandmarkDominatorKernel(Kernel):
         changed = np.zeros(len(old), bool)
         changed[np.flatnonzero(has_msg)[changed_local]] = True
         return new, changed, 0.0
+
+
+class MultiSeedHopsKernel(SSSPHopsKernel):
+    """Hop distance to the NEAREST of a seed SET (dist 0 at every seed)
+    — the min-dist field greedy k-center / facility-location rounds
+    need; plain SSSPHopsKernel generalized to a seed vector."""
+
+    name = "multiseed_hops"
+
+    def __init__(self, seeds: list[int]):
+        if not seeds:
+            raise ValueError("need at least one seed")
+        self.seeds = np.unique(np.asarray(seeds, np.int64))
+
+    def _seed_positions(self, vids):
+        if not len(vids):
+            return np.empty(0, np.int64)
+        idx = np.searchsorted(vids, self.seeds)
+        ok = (idx < len(vids)) & (vids[np.minimum(idx, len(vids) - 1)] == self.seeds)
+        return idx[ok]
+
+    def init_values(self, vids, outdeg, ctx):
+        d = np.full(len(vids), UNREACHED, dtype=np.int64)
+        d[self._seed_positions(vids)] = 0
+        return d
+
+    def init_active(self, vids, ctx):
+        a = np.zeros(len(vids), dtype=bool)
+        a[self._seed_positions(vids)] = True
+        return a

@@ -8889,3 +8889,11 @@ from everythinggraph_ray.pipelines.analytics_extra44 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS44_QUERIES)
 ORACLES.update(ANALYTICS44_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra45 import (  # noqa: E402
+    ANALYTICS45_ORACLES,
+    ANALYTICS45_QUERIES,
+)
+
+QUERIES.update(ANALYTICS45_QUERIES)
+ORACLES.update(ANALYTICS45_ORACLES)
