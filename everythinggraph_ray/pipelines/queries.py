@@ -8897,3 +8897,11 @@ from everythinggraph_ray.pipelines.analytics_extra45 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS45_QUERIES)
 ORACLES.update(ANALYTICS45_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra46 import (  # noqa: E402
+    ANALYTICS46_ORACLES,
+    ANALYTICS46_QUERIES,
+)
+
+QUERIES.update(ANALYTICS46_QUERIES)
+ORACLES.update(ANALYTICS46_ORACLES)
