@@ -8905,3 +8905,11 @@ from everythinggraph_ray.pipelines.analytics_extra46 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS46_QUERIES)
 ORACLES.update(ANALYTICS46_ORACLES)
+
+from everythinggraph_ray.pipelines.analytics_extra47 import (  # noqa: E402
+    ANALYTICS47_ORACLES,
+    ANALYTICS47_QUERIES,
+)
+
+QUERIES.update(ANALYTICS47_QUERIES)
+ORACLES.update(ANALYTICS47_ORACLES)
