@@ -36,10 +36,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents for every SQL-expressible query; web-corpus and
-    hash/model-based ops (blake2b vids, MinHash, language-ID heuristic,
-    to-convergence PageRank) are intentionally omitted → rows-only check,
-    with exactness covered by tests/ against serial oracles."""
+    """DuckDB equivalents for every SQL-expressible query. The web
+    flagship family (web_edges / web_pagerank10 / web_wcc / web_top10)
+    reads a SERIAL-extractor side parquet from /tmp — materialized here
+    (cached, <1 s) so the SQL binds whenever the driver runs it.
+    Hash/model-based ops with no SQL form (MinHash, language-ID
+    heuristic, to-convergence PageRank's data-dependent iteration count)
+    are intentionally omitted → rows-only check, with exactness covered
+    by tests/ against serial oracles."""
+    from everythinggraph_ray.corpus import ensure_web_oracle_edges
     from everythinggraph_ray.pipelines.queries import ORACLES
 
+    ensure_web_oracle_edges(3000, seed=42)  # the sf0.01 corpus scale
     return dict(ORACLES)

@@ -201,3 +201,74 @@ def ensure_corpus(n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus")
     except OSError:  # a concurrent caller won the race: use theirs
         shutil.rmtree(work, ignore_errors=True)
     return d
+
+
+def web_oracle_edges_path(
+    n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus"
+) -> str:
+    """Deterministic /tmp path of the serial-reference web edge table —
+    computable WITHOUT materializing it (the oracle SQL strings embed this
+    path at import; ``ensure_web_oracle_edges`` fills it lazily)."""
+    return os.path.join(root, f"web_oracle_edges_n{n_pages}_s{seed}_v1.parquet")
+
+
+def ensure_web_oracle_edges(
+    n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus"
+) -> str:
+    """Write (once) and return a SERIAL-reference ``(src, dst)`` vid edge
+    table for the DuckDB web-graph oracles.
+
+    This is the independent side of the web flagship correctness check
+    (round-3 VERDICT item 1): the whole pipeline — keep-latest capture per
+    url, per-page link extraction, url→vid hashing — runs SERIALLY through
+    the reference functions (:mod:`everythinggraph_ray.html`,
+    :mod:`everythinggraph_ray.hashing`), never through Ray, and the result
+    is parked at a deterministic /tmp path that the oracle SQL reads with
+    ``read_parquet``. DuckDB then densely renumbers the vids
+    (``row_number() OVER (ORDER BY vid)``) and re-derives PageRank/WCC in
+    pure SQL, so the driver's hash check compares the DISTRIBUTED
+    extract→renumber→kernel path against a serial+SQL derivation that
+    shares no Ray code. Duplicate links are kept (multiplicity — the
+    reference treats duplicate edges as multiplicity, init_all.h has no
+    dedup), matching stages/extract.pages_to_edges.
+    """
+    import pandas as pd
+
+    from everythinggraph_ray.hashing import urls_to_vids
+    from everythinggraph_ray.html import extract_links
+
+    path = web_oracle_edges_path(n_pages, seed, root)
+    if os.path.exists(path):
+        return path
+    corpus = ensure_corpus(n_pages, seed, root=root)
+    t = pq.read_table(corpus, columns=["url", "warc_ts", "html"])
+    df = pd.DataFrame(
+        {
+            "url": t["url"].to_pylist(),
+            "ts": t["warc_ts"].to_pandas(),
+            "html": t["html"].to_pylist(),
+        }
+    )
+    # keep-latest capture per url (corpus guarantees distinct ts per url)
+    df = df.sort_values("ts", kind="stable").groupby("url", as_index=False).tail(1)
+    src_urls: list[str] = []
+    dst_urls: list[str] = []
+    for u, h in zip(df["url"], df["html"]):
+        for link in extract_links(h, u):
+            src_urls.append(u)
+            dst_urls.append(link)
+    out = pa.table(
+        {
+            "src": pa.array(urls_to_vids(src_urls), pa.int64()),
+            "dst": pa.array(urls_to_vids(dst_urls), pa.int64()),
+        }
+    )
+    import uuid
+
+    work = f"{path}.building-{uuid.uuid4().hex[:8]}"
+    pq.write_table(out, work)
+    try:
+        os.rename(work, path)
+    except OSError:
+        os.unlink(work)
+    return path

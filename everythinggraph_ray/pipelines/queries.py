@@ -1818,9 +1818,57 @@ def q_web_extract_text(sf_dir):
     return pages_to_text(pages)
 
 
+def _web_dense_edges_dir(sf_dir) -> str:
+    """DISTRIBUTED pages → url-hash edges → dense renumber, cached as
+    parquet under /tmp keyed by corpus (shared by the four hash-checked
+    web flagship queries — round-3 VERDICT item 1). Every stage in the
+    cached artifact is the Ray path (extract actors, bucketed keep-latest,
+    bucketed distinct + range-partitioned rank, two bucketed joins); the
+    DuckDB side re-derives the same table from the SERIAL extractor's
+    side parquet (corpus.ensure_web_oracle_edges) + SQL row_number, so
+    the driver hash genuinely crosses implementations."""
+    from everythinggraph_ray.stages.agg import dense_renumber_edges
+
+    corpus = _corpus_for(sf_dir)
+    d = f"/tmp/egray_dense/{os.path.basename(corpus)}_v1"
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+        import uuid
+
+        work = f"{d}.building-{uuid.uuid4().hex[:8]}"
+        dense_renumber_edges(
+            pages_to_edges(ray.data.read_parquet(corpus))
+        ).write_parquet(work)
+        with open(os.path.join(work, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(work, d)
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
+    return d
+
+
 def q_web_edges(sf_dir):
-    pages = ray.data.read_parquet(_corpus_for(sf_dir))
-    return pages_to_edges(pages)
+    """The flagship edge table with DENSELY renumbered endpoints (rank of
+    the 63-bit url-hash vid over sorted distinct vids) — duplicate links
+    kept as multiplicity. Hash-checked against the serial-extractor side
+    parquet + SQL dense_rank (no Ray code on the oracle side)."""
+    return ray.data.read_parquet(_web_dense_edges_dir(sf_dir))
+
+
+def q_web_pagerank10(sf_dir):
+    """Fixed-10-iteration reference PageRank over the dense web graph
+    (pagerank_simple.c:43 runs exactly 10 timed iterations) — the web
+    flagship's hash-checkable PR witness (the to-convergence variant
+    web_pagerank stays rows-only: iteration count is data-dependent)."""
+    bdir = build_dir_for(f"webdense|{_corpus_for(sf_dir)}", 8)
+    build_graph(
+        ray.data.read_parquet(_web_dense_edges_dir(sf_dir)), bdir, num_partitions=8
+    )
+    df = _run_engine(bdir, PageRankKernel(), n_iters=10)
+    df["pagerank"] = np.round(df["pagerank"].to_numpy(), 7)
+    return df[["vid", "pagerank"]]
 
 
 ANCHOR_TOPK = 20
@@ -1886,8 +1934,10 @@ def q_web_pagerank(sf_dir):
 
 def q_web_top10(sf_dir):
     """Top-10 pages by rank — the distributed form of the reference's
-    Rank[0..9] print (pagerank_simple.c:159-161). Sort + limit."""
-    df = q_web_pagerank(sf_dir)
+    Rank[0..9] print after its 10 fixed iterations (pagerank_simple.c:43,
+    159-161). Ranks rounded to 1e-7 BEFORE the sort so the tie-break
+    (rank desc, vid) selects identically to the SQL oracle."""
+    df = q_web_pagerank10(sf_dir)
     return (
         df.sort_values(["pagerank", "vid"], ascending=[False, True])
         .head(10)
@@ -2213,10 +2263,15 @@ def q_web_kcore(sf_dir):
 
 
 def q_web_wcc(sf_dir):
+    """Weakly-connected components of the dense-renumbered web graph
+    (exact min-label fixpoint) — hash-checked against a recursive DuckDB
+    min-propagation over the serial-extractor side parquet."""
     corpus = _corpus_for(sf_dir)
-    bdir = build_dir_for(f"webund|{corpus}", 8)
+    bdir = build_dir_for(f"webdenseund|{corpus}", 8)
     build_graph(
-        undirect_edges(pages_to_edges(ray.data.read_parquet(corpus))), bdir, num_partitions=8
+        undirect_edges(ray.data.read_parquet(_web_dense_edges_dir(sf_dir))),
+        bdir,
+        num_partitions=8,
     )
     df = _run_engine(bdir, WCCKernel())
     return df.rename(columns={"wcc": "component"})
@@ -6173,9 +6228,17 @@ def _walks_sql(length: int = WALK_LEN) -> str:
     return "WITH " + ", ".join(parts) + f" SELECT walk, step, vid FROM ({union})"
 
 
-def _pagerank10_sql() -> str:
+def _pagerank10_sql(
+    edges_prelude: str | None = None, tail: str | None = None
+) -> str:
+    """Reference-semantics 10-iteration PageRank as an unrolled CTE chain
+    (init prev=0.15, dangling mass dropped — pagerank_simple.c:43-55,94-98).
+    ``edges_prelude`` overrides the leading CTEs ending in an ``e(src,
+    dst)`` table (default: the derived relational edge table); ``tail``
+    overrides the final SELECT (web_top10 reuses the chain with a
+    LIMIT)."""
     ctes = [
-        f"e AS ({SQL_REL_EDGES})",
+        edges_prelude or f"e AS ({SQL_REL_EDGES})",
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
         "deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src)",
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
@@ -6188,7 +6251,11 @@ def _pagerank10_sql() -> str:
             f"FROM e JOIN r{k-1} p ON p.vid = e.src JOIN deg ON deg.vid = e.src "
             f"GROUP BY e.dst) s ON s.vid = v.vid)"
         )
-    return "WITH " + ", ".join(ctes) + " SELECT vid, round(r, 7) AS pagerank FROM r10"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + (tail or " SELECT vid, round(r, 7) AS pagerank FROM r10")
+    )
 
 
 def _pagerank10_dangling_sql() -> str:
@@ -7856,6 +7923,65 @@ def _curation_oracles() -> dict[str, str]:
 
 ORACLES.update(_curation_oracles())
 
+
+# ----------------------------------------------------------------------
+# web flagship oracles (round-3 VERDICT item 1): DuckDB re-derives the
+# dense web graph from the SERIAL extractor's side parquet
+# (corpus.ensure_web_oracle_edges — no Ray code touches it), renumbers
+# vids with row_number() OVER (ORDER BY vid), and replays the kernels in
+# SQL. __ray_entry__.oracle_sql() materializes the side parquet lazily
+# before returning these strings.
+# ----------------------------------------------------------------------
+def _web_sql_prelude(n_pages: int = 3000, *, undirect: bool = False) -> str:
+    from everythinggraph_ray.corpus import web_oracle_edges_path
+
+    p = web_oracle_edges_path(n_pages)
+    parts = [
+        f"we AS (SELECT src, dst FROM read_parquet('{p}'))",
+        "wm AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS id "
+        "FROM (SELECT DISTINCT vid FROM (SELECT src AS vid FROM we UNION ALL SELECT dst AS vid FROM we)))",
+        "e AS (SELECT ms.id AS src, md.id AS dst FROM we "
+        "JOIN wm ms ON ms.vid = we.src JOIN wm md ON md.vid = we.dst)",
+    ]
+    if undirect:
+        parts.append(
+            "und AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst "
+            "UNION SELECT dst AS u, src AS v FROM e WHERE src <> dst)"
+        )
+    return ", ".join(parts)
+
+
+def _web_oracle_sqls(n_pages: int = 3000) -> dict[str, str]:
+    """The four hash-checkable web flagship oracles for an (n_pages,
+    seed=42) corpus. The driver's correctness pass runs at sf0.01 →
+    the 3000-page corpus (_CORPUS_ROWS); pytest exercises the same
+    builders at the 800-page fixture scale."""
+    pre = _web_sql_prelude(n_pages)
+    return {
+        "web_edges": f"WITH {pre} SELECT src, dst FROM e",
+        "web_pagerank10": _pagerank10_sql(edges_prelude=pre),
+        "web_top10": _pagerank10_sql(
+            edges_prelude=pre,
+            tail=(
+                " SELECT vid, round(r, 7) AS pagerank FROM r10 "
+                "ORDER BY pagerank DESC, vid LIMIT 10"
+            ),
+        ),
+        "web_wcc": (
+            "WITH RECURSIVE "
+            + _web_sql_prelude(n_pages, undirect=True)
+            + ", verts AS (SELECT DISTINCT vid FROM "
+            "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))"
+            ", r(vid, lab) AS (SELECT vid, vid FROM verts UNION "
+            "SELECT und.v, r.lab FROM r JOIN und ON und.u = r.vid WHERE r.lab < und.v) "
+            "SELECT v.vid, m.c AS component FROM verts v "
+            "JOIN (SELECT vid, min(lab) AS c FROM r GROUP BY vid) m ON m.vid = v.vid"
+        ),
+    }
+
+
+ORACLES.update(_web_oracle_sqls())
+
 ORACLES["docs_inverted_index"] = (
     r"WITH t AS (SELECT doc_id, "
     r"unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token "
@@ -8390,6 +8516,7 @@ QUERIES = {
     "web_edges": q_web_edges,
     "web_anchor_text": q_web_anchor_text,
     "web_pagerank": q_web_pagerank,
+    "web_pagerank10": q_web_pagerank10,
     "web_top10": q_web_top10,
     "web_wcc": q_web_wcc,
     "web_hits": q_web_hits,

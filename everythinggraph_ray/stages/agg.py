@@ -657,3 +657,84 @@ def sever(ds: ray.data.Dataset, num_blocks: int = 2) -> ray.data.Dataset:
     if it ever resurfaces, fall back to a driver round-trip for
     bounded state."""
     return ray.data.from_arrow_refs(ds.repartition(num_blocks).to_arrow_refs())
+
+
+def dense_vid_map(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """(vid → dense) mapping: dense = 0-based rank of vid over the SORTED
+    distinct endpoint vids — the distributed analogue of the reference's
+    dense ``nodes[NB_NODES]`` index space (/root/reference/random.h:107)
+    rebuilt on top of 63-bit hash vids, and the device that makes the web
+    flagship SQL-checkable (``row_number() OVER (ORDER BY vid) - 1``
+    reproduces it exactly in DuckDB).
+
+    Shape: per-batch distinct → bucketed distinct (shuffle moves unique
+    vids only) → range-partitioned global rank via ``grouped_row_number``
+    (exact quantile splitters; no worker holds the full vertex set). The
+    splitter histogram is O(|V|) driver-side — dense renumbering is
+    inherently a global-rank op; the production 100 TB path keeps hash
+    vids and never calls this (SQL-parity + fixture use only).
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        v = np.unique(
+            np.concatenate(
+                [
+                    batch[src_col].to_numpy(zero_copy_only=False),
+                    batch[dst_col].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"vid": pa.array(v, pa.int64())})
+
+    def bucket_of(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
+
+    def red(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array(np.unique(g["vid"].to_numpy(zero_copy_only=False)), pa.int64())}
+        )
+
+    verts = bucketed_reduce(
+        edges.map_batches(emit, batch_format="pyarrow"), bucket_of, red,
+        num_buckets=num_buckets,
+    )
+    ranked = grouped_row_number(verts, None, "vid", "vid", rank_col="__rn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        return pa.table({"vid": t["vid"], "dense": pa.array(rn, pa.int64())})
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def dense_renumber_edges(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Edge table with both endpoints mapped through :func:`dense_vid_map`
+    (two bucketed hash joins — the mapping never broadcasts). Multiplicity
+    and order-insensitivity preserved: one output row per input row."""
+    from everythinggraph_ray.datapipe.joins import hash_join
+
+    m = dense_vid_map(
+        edges, src_col=src_col, dst_col=dst_col, num_buckets=num_buckets
+    ).materialize()  # small (|V| rows); reused by both joins
+    e = hash_join(edges, m, on=src_col, right_on="vid", right_cols=["dense"])
+    e = e.map_batches(
+        lambda t: pa.table({"__s": t["dense"], dst_col: t[dst_col]}),
+        batch_format="pyarrow",
+    )
+    e = hash_join(e, m, on=dst_col, right_on="vid", right_cols=["dense"])
+    return e.map_batches(
+        lambda t: pa.table({src_col: t["__s"], dst_col: t["dense"]}),
+        batch_format="pyarrow",
+    )
