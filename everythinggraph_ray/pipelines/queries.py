@@ -702,11 +702,31 @@ def q_rel_salsa10(sf_dir):
 
 
 def q_rel_pagerank(sf_dir):
-    """To-convergence PageRank (the north-rule mode). No SQL oracle
-    (iteration count is data-dependent); matched vs the NumPy oracle in
-    tests."""
-    df = _run_engine(_rel_build(sf_dir), PageRankKernel(), tol=1e-6)
-    return df[["vid", "pagerank"]]
+    """To-convergence PageRank (the north-rule mode), surfaced as an
+    integer-grid AGREEMENT WITNESS so the driver can hash-check it
+    (round-3 VERDICT item 2): the PUSH engine and the PULL engine both
+    run to max|Δ| < 1e-6 and the query returns ONE row
+    (n_vertices, n_agree) where agreement is exact equality of
+    round(rank·1e9). The oracle asserts n_agree = n_vertices = the SQL
+    vertex count — any push/pull divergence beyond 1e-9 hash-fails.
+    Per-vertex exactness vs the serial NumPy oracle stays
+    pytest-covered; the full rank vectors remain driver-visible via
+    rel_pagerank10 / rel_pagerank10_pull."""
+    from everythinggraph_ray.graph.pull import pagerank_pull
+
+    push = _run_engine(_rel_build(sf_dir), PageRankKernel(), tol=1e-6)
+    res = pagerank_pull(_rel_pull_build(sf_dir), tol=1e-6)
+    pull = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+    m = push.merge(pull, on="vid", suffixes=("_push", "_pull"), how="outer")
+    g_push = np.round(m["pagerank_push"].to_numpy() * 1e9)
+    g_pull = np.round(m["pagerank_pull"].to_numpy() * 1e9)
+    agree = int(np.sum(g_push == g_pull))
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(m)], pa.int64()),
+            "n_agree": pa.array([agree], pa.int64()),
+        }
+    )
 
 
 def q_rel_pagerank10_dangling(sf_dir):
@@ -7981,6 +8001,16 @@ def _web_oracle_sqls(n_pages: int = 3000) -> dict[str, str]:
 
 
 ORACLES.update(_web_oracle_sqls())
+
+# rel_pagerank's agreement-witness oracle (round-3 VERDICT item 2): the
+# vertex count is real SQL; n_agree = n_vertices is the CLAIM the Ray
+# side must earn by converging push and pull to the same 1e-9 grid.
+ORACLES["rel_pagerank"] = (
+    f"WITH e AS ({SQL_REL_EDGES}), verts AS (SELECT DISTINCT vid FROM "
+    "(SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+    "CAST(count(*) AS BIGINT) AS n_agree FROM verts"
+)
 
 ORACLES["docs_inverted_index"] = (
     r"WITH t AS (SELECT doc_id, "
