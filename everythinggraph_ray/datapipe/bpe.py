@@ -38,16 +38,9 @@ from everythinggraph_ray.stages.agg import bucketed_reduce
 
 
 def _blake_bucket(col: pa.Array) -> np.ndarray:
-    from hashlib import blake2b
+    from everythinggraph_ray.stages.agg import string_buckets
 
-    return np.fromiter(
-        (
-            int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-            for t in col.to_pylist()
-        ),
-        dtype=np.int64,
-        count=len(col),
-    )
+    return string_buckets(col)
 
 
 def word_counts(
@@ -149,21 +142,9 @@ def bpe_train(
             )
 
         def pair_bucket(batch: pa.Table) -> np.ndarray:
-            from hashlib import blake2b
+            from everythinggraph_ray.stages.agg import string_buckets
 
-            return np.fromiter(
-                (
-                    int.from_bytes(
-                        blake2b(
-                            (l + "\x00" + r).encode(), digest_size=4
-                        ).digest(),
-                        "little",
-                    )
-                    for l, r in zip(batch["l"].to_pylist(), batch["r"].to_pylist())
-                ),
-                dtype=np.int64,
-                count=batch.num_rows,
-            )
+            return string_buckets(batch["l"], batch["r"])
 
         def pair_red(g: pa.Table) -> pa.Table:
             d = g.to_pandas().groupby(["l", "r"], as_index=False)["c"].sum()

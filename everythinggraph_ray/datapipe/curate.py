@@ -189,14 +189,9 @@ def decontaminate(
     )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
-                for g in batch["gram"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        from everythinggraph_ray.stages.agg import string_buckets
+
+        return string_buckets(batch["gram"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas()

@@ -74,28 +74,15 @@ def _doc_bigrams(docs: ray.data.Dataset, text_col: str, id_col: str) -> ray.data
 
 
 def _str_pair_bucket(batch: pa.Table) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(
-                blake2b(a.encode() + b"\x00" + b.encode(), digest_size=4).digest(),
-                "little",
-            )
-            for a, b in zip(batch["w1"].to_pylist(), batch["w2"].to_pylist())
-        ),
-        dtype=np.int64,
-        count=batch.num_rows,
-    )
+    from everythinggraph_ray.stages.agg import string_buckets
+
+    return string_buckets(batch["w1"], batch["w2"])
 
 
 def _str_bucket(batch: pa.Table) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(blake2b(a.encode(), digest_size=4).digest(), "little")
-            for a in batch["w1"].to_pylist()
-        ),
-        dtype=np.int64,
-        count=batch.num_rows,
-    )
+    from everythinggraph_ray.stages.agg import string_buckets
+
+    return string_buckets(batch["w1"])
 
 
 def bigram_lm(

@@ -278,16 +278,9 @@ def cms_heavy_hitters(
         return pa.table({"token": pa.array(sorted(seen), pa.string())})
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        from hashlib import blake2b
+        from everythinggraph_ray.stages.agg import string_buckets
 
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-                for t in batch["token"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["token"])
 
     def estimate(g: pa.Table) -> pa.Table:
         toks = sorted(set(g["token"].to_pylist()))

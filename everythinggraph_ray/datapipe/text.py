@@ -193,19 +193,10 @@ def top_tokens(docs: ray.data.Dataset, k: int = 50, text_col: str = "text") -> r
             }
         )
 
-    from hashlib import blake2b
-
-    from everythinggraph_ray.stages.agg import bucketed_reduce
+    from everythinggraph_ray.stages.agg import bucketed_reduce, string_buckets
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-                for t in batch["token"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["token"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby("token", as_index=False)["c"].sum()
@@ -270,17 +261,10 @@ def tfidf_top_terms(
     tf = docs.map_batches(emit_tf, batch_format="pyarrow")
 
     # df = rows per token (tf rows are unique per (doc, token))
-    from hashlib import blake2b
-
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-                for t in batch["token"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        from everythinggraph_ray.stages.agg import string_buckets
+
+        return string_buckets(batch["token"])
 
     def red(g: pa.Table) -> pa.Table:
         d = g.to_pandas().groupby("token", as_index=False).size()
@@ -363,16 +347,9 @@ def inverted_index(
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        import hashlib
+        from everythinggraph_ray.stages.agg import string_buckets
 
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
-                for t in batch["token"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["token"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().sort_values(["token", id_col], kind="stable")
@@ -514,16 +491,9 @@ def top_tokens_per_lang(
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(
-                    blake2b(f"{lg}\x00{t}".encode(), digest_size=4).digest(), "little"
-                )
-                for lg, t in zip(batch[lang_col].to_pylist(), batch["token"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        from everythinggraph_ray.stages.agg import string_buckets
+
+        return string_buckets(batch[lang_col], batch["token"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby([lang_col, "token"], as_index=False)["c"].sum()

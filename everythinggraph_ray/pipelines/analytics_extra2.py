@@ -1070,14 +1070,9 @@ def q_docs_kl(sf_dir):
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-                for t in batch["token"].to_pylist()
-            ),
-            np.int64,
-            count=batch.num_rows,
-        ) & 0x7FFFFFFF
+        from everythinggraph_ray.stages.agg import string_buckets
+
+        return string_buckets(batch["token"])
 
     def reduce_tokens(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["token", "lang"], as_index=False)["c"].sum()

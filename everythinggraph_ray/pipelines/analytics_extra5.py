@@ -134,18 +134,10 @@ def q_docs_zipf_slope(sf_dir):
     )
 
 
-def _token_bucket(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    from hashlib import blake2b
+def _token_bucket(tokens) -> np.ndarray:
+    from everythinggraph_ray.stages.agg import string_buckets
 
-    lst = tokens.to_pylist()
-    return np.fromiter(
-        (
-            int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-            for t in lst
-        ),
-        dtype=np.int64,
-        count=len(lst),
-    )
+    return string_buckets(tokens)
 
 
 SQL_ZIPF = (

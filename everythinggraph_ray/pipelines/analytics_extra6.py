@@ -53,14 +53,9 @@ ANALYTICS6_ORACLES: dict = {}
 
 
 def _token_bucket(tokens) -> np.ndarray:
-    from hashlib import blake2b
+    from everythinggraph_ray.stages.agg import string_buckets
 
-    lst = tokens.to_pylist()
-    return np.fromiter(
-        (int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little") for t in lst),
-        dtype=np.int64,
-        count=len(lst),
-    )
+    return string_buckets(tokens)
 
 
 # ----------------------------------------------------------------------

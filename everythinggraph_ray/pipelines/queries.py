@@ -54,6 +54,7 @@ from everythinggraph_ray.graph.kernels import (
 )
 from everythinggraph_ray.graph.triangles import triangle_count
 from everythinggraph_ray.pipelines.flagship import build_dir_for
+from everythinggraph_ray.stages.agg import string_buckets
 from everythinggraph_ray.stages.edges import dedup_edges, out_degrees, undirect_edges
 from everythinggraph_ray.stages.extract import pages_to_edges, pages_to_text
 
@@ -1924,14 +1925,7 @@ def q_web_anchor_text(sf_dir):
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(f"{u}|{a}".encode(), digest_size=4).digest(), "little")
-                for u, a in zip(batch["dst_url"].to_pylist(), batch["anchor"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["dst_url"], batch["anchor"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["dst_url", "anchor"], as_index=False)["n"].sum()
@@ -1991,11 +1985,7 @@ def q_web_curation(sf_dir):
         return pa.table({"h": pa.array(h, pa.string()), "ok": pa.array(ok, pa.bool_())})
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (int(x[:8], 16) for x in batch["h"].to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["h"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
@@ -2406,16 +2396,7 @@ def q_docs_lang_entropy(sf_dir):
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(
-                    blake2b(f"{lg}\x00{t}".encode(), digest_size=4).digest(), "little"
-                )
-                for lg, t in zip(batch["lang"].to_pylist(), batch["token"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["lang"], batch["token"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["lang", "token"], as_index=False)["c"].sum()
@@ -3277,16 +3258,7 @@ def q_docs_hapax(sf_dir):
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(
-                    blake2b(f"{lg}\x00{t}".encode(), digest_size=4).digest(), "little"
-                )
-                for lg, t in zip(batch["lang"].to_pylist(), batch["token"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["lang"], batch["token"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["lang", "token"], as_index=False)["c"].sum()
@@ -3894,14 +3866,7 @@ def q_events_props_sum(sf_dir):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(t.encode(), digest_size=4).digest(), "little")
-                for t in batch["event_type"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["event_type"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby("event_type", as_index=False).sum()
@@ -3972,14 +3937,7 @@ def q_events_outliers(sf_dir):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(x.encode(), digest_size=4).digest(), "little")
-                for x in batch["event_type"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["event_type"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby("event_type", as_index=False).sum()
@@ -4414,14 +4372,7 @@ def q_docs_pmi_pairs(sf_dir):
         )
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(f"{a}|{b}".encode(), digest_size=4).digest(), "little")
-                for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["a"], batch["b"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["a", "b"], as_index=False)["n"].sum()
@@ -4757,17 +4708,9 @@ def q_docs_above_median_len(sf_dir):
         )
 
     from everythinggraph_ray.stages.agg import bucketed_reduce
-    from hashlib import blake2b
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(str(x).encode(), digest_size=4).digest(), "little")
-                for x in batch["lang"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["lang"])
 
     def red(g: pa.Table) -> pa.Table:
         d = g.to_pandas().groupby("lang", as_index=False)["c"].sum()
@@ -5343,14 +5286,7 @@ def q_q4_late_orders(sf_dir):
     partials = bucketed_reduce(pairs, bucket_of, red)
 
     def b2(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(s.encode(), digest_size=4).digest(), "little")
-                for s in batch["o_orderpriority"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(batch["o_orderpriority"])
 
     def fin(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby("o_orderpriority", as_index=False)["n_late"].sum()

@@ -74,8 +74,6 @@ def grouped_top_k(
     overhead once per group — the ~80x lesson at 10^5+ groups, and group
     cardinality here — domains, languages — is unbounded). Optionally
     emits 1-based ``rank_col`` within each group."""
-    from hashlib import blake2b
-
     cols = [c for c, _ in order_by]
     asc = [a for _, a in order_by]
 
@@ -95,14 +93,7 @@ def grouped_top_k(
             # their null-ness through the reducers)
             vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
             return mix64(vals).astype(np.int64) & 0x7FFFFFFF
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(str(x).encode(), digest_size=4).digest(), "little")
-                for x in col.to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        return string_buckets(col)
 
     def final(g: pa.Table) -> pa.Table:
         df = g.to_pandas().sort_values(cols, ascending=asc, kind="stable")
@@ -118,6 +109,31 @@ def grouped_top_k(
     return bucketed_reduce(
         ds.map_batches(partial, batch_format="pyarrow"), bucket_of, final
     )
+
+
+def string_buckets(*cols) -> np.ndarray:
+    """Vectorized deterministic bucket hash of one or more string (or
+    arbitrary-object) columns — pandas' C siphash via
+    ``pd.util.hash_array`` (fixed internal key, process-independent).
+    Replaces the per-row ``blake2b`` generator loops (round-3 VERDICT
+    item 3): bucket assignment only needs determinism + dispersion,
+    never cryptographic strength. Multiple columns mix with a
+    per-column tweak so (a, b) buckets differently from (b, a).
+    Output is non-negative int64 (callers take ``% B``)."""
+    import pandas as pd
+
+    out: np.ndarray | None = None
+    for i, col in enumerate(cols):
+        if isinstance(col, (pa.Array, pa.ChunkedArray)):
+            arr = col.to_pandas().to_numpy(dtype=object, na_value=None)
+        else:
+            arr = np.asarray(col, dtype=object)
+        h = pd.util.hash_array(arr, categorize=True).astype(np.uint64)
+        if i:
+            h = mix64(h ^ np.uint64(0x9E3779B97F4A7C15 * i & 0xFFFFFFFFFFFFFFFF))
+        out = h if out is None else out ^ h
+    assert out is not None, "string_buckets needs at least one column"
+    return out.astype(np.int64) & 0x7FFFFFFF
 
 
 def mix64_pair(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -78,17 +78,12 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts: str = "warc_ts
 
     import numpy as np
 
-    from everythinggraph_ray.stages.agg import bucketed_reduce
+    from everythinggraph_ray.stages.agg import bucketed_reduce, string_buckets
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(blake2b(u.encode(), digest_size=4).digest(), "little")
-                for u in batch[key].to_pylist()
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        # vectorized C siphash (co-location only — any deterministic
+        # dispersal works); was a per-row blake2b loop on the flagship path
+        return string_buckets(batch[key])
 
     def latest(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
