@@ -91,14 +91,33 @@ def _attach_degree(
         return mix64(batch["key"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
 
     def attach(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        dd = df[df["role"] == 1][["key", "degv"]].rename(columns={"degv": out_col})
-        ed = df[df["role"] == 0].drop(columns=["role", "degv"])
-        m = ed.merge(dd, on="key", how="inner")
-        cols = {endpoint: pa.array(m["key"].to_numpy(np.int64), pa.int64())}
+        # numpy-native co-group (round-3 VERDICT item 4): the degree side
+        # is unique-keyed (sum_by_key output), so the join is one argsort
+        # + searchsorted — no pandas conversion on this hot path
+        role = g["role"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        degv = g["degv"].to_numpy(zero_copy_only=False)
+        is_deg = role == 1
+        dk, dv = key[is_deg], degv[is_deg]
+        o = np.argsort(dk, kind="stable")
+        dk, dv = dk[o], dv[o]
+        e_idx = np.flatnonzero(~is_deg)
+        ek = key[e_idx]
+        pos = np.searchsorted(dk, ek)
+        if len(dk):
+            posc = np.minimum(pos, len(dk) - 1)
+            ok = dk[posc] == ek
+        else:
+            posc = pos
+            ok = np.zeros(len(ek), bool)
+        sel = e_idx[ok]
+        cols = {endpoint: pa.array(ek[ok], pa.int64())}
         for c in carry:
-            cols[c] = pa.array(m[f"c_{c}"].to_numpy(np.int64), pa.int64())
-        cols[out_col] = pa.array(m[out_col].to_numpy(np.int64), pa.int64())
+            cols[c] = pa.array(
+                g[f"c_{c}"].to_numpy(zero_copy_only=False)[sel].astype(np.int64),
+                pa.int64(),
+            )
+        cols[out_col] = pa.array(dv[posc[ok]].astype(np.int64), pa.int64())
         return pa.table(cols)
 
     return bucketed_reduce(unioned, bucket_of, attach)
