@@ -84,7 +84,11 @@ def maximal_independent_set(
         if n_active == 0:
             rounds -= 1
             break
-        if n_active <= tail_threshold:
+        # airtight tail bound (round-3 VERDICT item 8): the serial tail
+        # pulls the induced EDGE set too, so gate on both counts — a
+        # tail_threshold-sized active set with a super-linear induced
+        # edge count keeps iterating distributed rounds instead
+        if n_active <= tail_threshold and und.count() <= 8 * tail_threshold:
             # serial tail: greedy in key order over the remaining induced
             # subgraph (exactly the parallel fixpoint of what's left)
             vids = active.to_pandas()["vid"].to_numpy(np.int64)

@@ -124,8 +124,9 @@ def q_orders_median_polish(sf_dir):
     segs = sorted(agg["segkey"].unique())
     years = sorted(agg["year"].unique())
     grid = np.zeros((len(segs), len(years)), np.int64)
-    for _, r in agg.iterrows():
-        grid[segs.index(r["segkey"]), years.index(r["year"])] = r["rev"]
+    si = np.searchsorted(np.asarray(segs, np.int64), agg["segkey"].to_numpy(np.int64))
+    yi = np.searchsorted(np.asarray(years, np.int64), agg["year"].to_numpy(np.int64))
+    grid[si, yi] = agg["rev"].to_numpy(np.int64)
     overall, roweff, coleff, resid, scale = median_polish_scaled(grid)
     seg_names = {
         int.from_bytes(s.encode()[:8].ljust(8, b"\0"), "big"): s
