@@ -176,7 +176,11 @@ def main(argv: list[str] | None = None) -> int:
     from everythinggraph_ray.stages.extract import pages_to_edges
 
     if args.pages:
-        edges = pages_to_edges(ray.data.read_parquet(args.pages))
+        edges = pages_to_edges(
+            ray.data.read_parquet(
+                args.pages, columns=["url", "warc_ts", "html", "lang"]
+            )
+        )
     elif args.edges_bin:
         edges = read_binary_edges(args.edges_bin, weighted=args.weighted)
     elif args.edges_txt:

@@ -778,7 +778,9 @@ def q_emb_knn_wcc(sf_dir):
     from everythinggraph_ray.datapipe.knn import allpairs_similarity
     from everythinggraph_ray.datapipe.pairs import cluster_pairs
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     # threshold below -1 keeps every pair: ranking needs the full row
     pairs = allpairs_similarity(emb, threshold=-1.001)
 
@@ -1202,7 +1204,9 @@ def q_emb_simhist(sf_dir):
     sides); counts fold as per-batch bincounts."""
     from everythinggraph_ray.datapipe.knn import allpairs_similarity
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     pairs = allpairs_similarity(emb, threshold=-1.001)
 
     def band_partial(batch: pa.Table) -> pa.Table:

@@ -64,7 +64,10 @@ def web_pagerank(
 ):
     """pages parquet dir → PageRank result. Returns (result dict, engine or
     None); the result's 'dataset' is a Ray Dataset (vid, pagerank)."""
-    pages = ray.data.read_parquet(pages_dir)
+    # `text` is re-derived from html by the extractor: never read it here
+    pages = ray.data.read_parquet(
+        pages_dir, columns=["url", "warc_ts", "html", "lang"]
+    )
     edges = pages_to_edges(pages)
     bdir = build_dir_for(f"web|{pages_dir}", num_partitions)
     build_graph(edges, bdir, num_partitions=num_partitions)

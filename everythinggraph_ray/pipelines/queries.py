@@ -59,6 +59,9 @@ from everythinggraph_ray.stages.edges import dedup_edges, out_degrees, undirect_
 from everythinggraph_ray.stages.extract import pages_to_edges, pages_to_text
 
 REL_V = 1000
+# the columns the extract front end consumes: `text` (a wide column the
+# extractor re-derives from html) never leaves storage on these paths
+PAGE_EXTRACT_COLS = ["url", "warc_ts", "html", "lang"]
 KNN_QUERIES = 8
 KNN_K = 10
 
@@ -1835,7 +1838,7 @@ def q_rel_dag_depth(sf_dir):
 # web-graph queries (url corpus; rows-only checks, pytest-validated)
 # ----------------------------------------------------------------------
 def q_web_extract_text(sf_dir):
-    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+    pages = ray.data.read_parquet(_corpus_for(sf_dir), columns=PAGE_EXTRACT_COLS)
     return pages_to_text(pages)
 
 
@@ -1859,7 +1862,7 @@ def _web_dense_edges_dir(sf_dir) -> str:
 
         work = f"{d}.building-{uuid.uuid4().hex[:8]}"
         dense_renumber_edges(
-            pages_to_edges(ray.data.read_parquet(corpus))
+            pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS))
         ).write_parquet(work)
         with open(os.path.join(work, "_SUCCESS"), "w") as fh:
             fh.write("ok")
@@ -1908,7 +1911,7 @@ def q_web_anchor_text(sf_dir):
     from everythinggraph_ray.html import extract_anchors
     from everythinggraph_ray.stages.agg import bucketed_reduce
 
-    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+    pages = ray.data.read_parquet(_corpus_for(sf_dir), columns=["url", "html"])
 
     def emit(batch: pa.Table) -> pa.Table:
         cnt: dict[tuple[str, str], int] = {}
@@ -1942,7 +1945,11 @@ def q_web_anchor_text(sf_dir):
 def q_web_pagerank(sf_dir):
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"web|{corpus}", 8)
-    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=8)
+    build_graph(
+        pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS)),
+        bdir,
+        num_partitions=8,
+    )
     return _run_engine(bdir, PageRankKernel(), tol=1e-6)
 
 
@@ -1974,7 +1981,7 @@ def q_web_curation(sf_dir):
     from everythinggraph_ray.datapipe.text import quality_values
     from everythinggraph_ray.stages.agg import bucketed_reduce
 
-    pages = ray.data.read_parquet(_corpus_for(sf_dir))
+    pages = ray.data.read_parquet(_corpus_for(sf_dir), columns=PAGE_EXTRACT_COLS)
     ex = pages_to_text(pages)  # (url, text), keep-latest
 
     def row_stats(batch: pa.Table) -> pa.Table:
@@ -2015,7 +2022,11 @@ def _web_rank_domain_table(sf_dir):
 
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"web|{corpus}", 8)
-    build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=8)
+    build_graph(
+        pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS)),
+        bdir,
+        num_partitions=8,
+    )
     eng = GraphEngine(bdir)
     try:
         ranks = eng.run(PageRankKernel(), tol=1e-6)["dataset"].materialize()
@@ -2101,7 +2112,9 @@ def q_web_hostrank(sf_dir):
 
     corpus = _corpus_for(sf_dir)
     url_edges = explode_links(
-        dedup_keep_latest(extract_pages(ray.data.read_parquet(corpus)))
+        dedup_keep_latest(
+            extract_pages(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS))
+        )
     )
 
     def to_host_vids(batch: pa.Table) -> pa.Table:
@@ -2250,7 +2263,7 @@ def q_web_hits(sf_dir):
     corpus = _corpus_for(sf_dir)
     bdir = build_dir_for(f"webpull|{corpus}", 8)
     build_graph(
-        pages_to_edges(ray.data.read_parquet(corpus)),
+        pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS)),
         bdir,
         num_partitions=8,
         partition_edges_by="dst",
@@ -2268,7 +2281,12 @@ def q_web_kcore(sf_dir):
     rel_kcore)."""
     from everythinggraph_ray.graph.kcore import kcore
 
-    core, _rounds = kcore(pages_to_edges(ray.data.read_parquet(_corpus_for(sf_dir))), 3)
+    core, _rounds = kcore(
+        pages_to_edges(
+            ray.data.read_parquet(_corpus_for(sf_dir), columns=PAGE_EXTRACT_COLS)
+        ),
+        3,
+    )
     return core
 
 
@@ -2570,7 +2588,9 @@ def q_emb_allpairs_sim(sf_dir):
     emb_near_dup's LSH + co-group verify)."""
     from everythinggraph_ray.datapipe.knn import allpairs_similarity
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     return _typed_collect(
         allpairs_similarity(emb, threshold=0.40),
         {"a": "int64", "b": "int64", "sim_milli": "int64"},
@@ -2671,7 +2691,9 @@ def q_emb_sim_clusters(sf_dir):
     from everythinggraph_ray.datapipe.knn import allpairs_similarity
     from everythinggraph_ray.datapipe.pairs import cluster_pairs
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     pairs = allpairs_similarity(emb, threshold=EMB_CLUSTER_THRESHOLD)
     out = cluster_pairs(pairs).map_batches(
         lambda t: pa.table({"vec_id": t["doc_id"], "cluster_id": t["cluster_id"]}),
@@ -2862,7 +2884,9 @@ def q_rel_wcc_dataset(sf_dir):
 def q_knn_top10(sf_dir):
     from everythinggraph_ray.datapipe.knn import smallest_ids
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     ids = smallest_ids(emb, "vec_id", KNN_QUERIES)  # bounded min-k, no O(V) pull
     return knn_bruteforce(emb, ids, k=KNN_K)
 
@@ -2874,7 +2898,9 @@ def q_knn_ivf_top10(sf_dir):
     tradeoff is covered in pytest)."""
     from everythinggraph_ray.datapipe.knn import knn_ivf, smallest_ids
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
     return knn_ivf(emb, ids, k=KNN_K, n_centroids=8, n_probe=8)
 
@@ -2991,7 +3017,9 @@ def q_knn_pq_top10(sf_dir):
     from everythinggraph_ray.datapipe.knn import smallest_ids
     from everythinggraph_ray.datapipe.pq import knn_pq
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     ids = smallest_ids(emb, "vec_id", KNN_QUERIES)
     return knn_pq(emb, ids, k=KNN_K, m_sub=4, n_codes=16)
 
@@ -3003,7 +3031,9 @@ def q_emb_pq_codes(sf_dir):
     pytest pins codes against a serial numpy reference."""
     from everythinggraph_ray.datapipe.pq import pq_encode
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     return pq_encode(emb, m_sub=4, n_codes=16).sort("vec_id")
 
 
@@ -4735,7 +4765,9 @@ def q_emb_kmeans(sf_dir):
     init isn't SQL-expressible); exact-vs-serial in pytest."""
     from everythinggraph_ray.datapipe.cluster import emb_kmeans
 
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     res = emb_kmeans(emb, n_clusters=8, n_iters=6)
     return res["assignments"].to_pandas().sort_values("vec_id").reset_index(drop=True)
 
@@ -4981,7 +5013,7 @@ def q_supplier_nation_revenue(sf_dir):
     from everythinggraph_ray.datapipe.joins import hash_join
 
     nation = ray.data.read_parquet(
-        os.path.join(sf_dir, "nation.parquet")
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).to_pandas()
     nmap = _ray.put(
         dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))

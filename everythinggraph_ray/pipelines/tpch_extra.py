@@ -62,7 +62,9 @@ def _ts(s: str) -> np.datetime64:
 
 
 def _nation_map(sf_dir: str) -> dict[int, str]:
-    n = ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    n = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
     return dict(zip(n["n_nationkey"].astype(np.int64), n["n_name"]))
 
 
