@@ -2480,9 +2480,13 @@ def q_docs_top_quality_per_lang(sf_dir):
 
 
 def q_docs_minhash_clusters(sf_dir):
+    """Near-dup clusters WITH the starred-bucket loss metric as a
+    constant ``starred_milli`` column (round-3 VERDICT item 9): the
+    per-mille fraction of candidate pairs proposed via oversized-bucket
+    star hubs — recall loss is visible in every run's output."""
     return _typed_collect(
-        minhash_near_duplicates(_docs(sf_dir), threshold=0.8),
-        {"doc_id": "int64", "cluster_id": "int64"},
+        minhash_near_duplicates(_docs(sf_dir), threshold=0.8, with_starred_frac=True),
+        {"doc_id": "int64", "cluster_id": "int64", "starred_milli": "int64"},
     )
 
 
@@ -2495,16 +2499,29 @@ def q_docs_simhash(sf_dir):
 def q_docs_simhash_dedup(sf_dir):
     """SimHash banding candidates verified with exact n-gram Jaccard —
     (a, b, jaccard) pairs with jaccard >= 0.5, all stages distributed
-    (bucketed co-group verify). Rows-only check."""
-    from everythinggraph_ray.datapipe.dedup import ngram_jaccard_pairs, simhash_candidates
+    (bucketed co-group verify). Carries the starred-bucket loss metric
+    as a constant ``starred_milli`` column (round-3 VERDICT item 9).
+    Rows-only check."""
+    from everythinggraph_ray.datapipe.dedup import (
+        ngram_jaccard_pairs,
+        simhash_candidates,
+        starred_milli_of,
+    )
 
     docs = _docs(sf_dir)
-    cand = simhash_candidates(docs)
+    cand = simhash_candidates(docs).materialize()
+    sm = starred_milli_of(cand)
     out = ngram_jaccard_pairs(docs, cand.select_columns(["a", "b"]))
-    kept = out.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.5)), batch_format="pyarrow"
+    def gate(t: pa.Table, _sm: int = sm) -> pa.Table:
+        f = t.filter(pc.greater_equal(t["jaccard"], 0.5))
+        return f.append_column(
+            "starred_milli", pa.array(np.full(f.num_rows, _sm, np.int64), pa.int64())
+        )
+
+    kept = out.map_batches(gate, batch_format="pyarrow")
+    return _typed_collect(
+        kept, {"a": "int64", "b": "int64", "jaccard": "float64", "starred_milli": "int64"}
     )
-    return _typed_collect(kept, {"a": "int64", "b": "int64", "jaccard": "float64"})
 
 
 def _typed_collect(ds, dtypes: dict[str, str]) -> pd.DataFrame:

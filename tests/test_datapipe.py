@@ -1374,3 +1374,39 @@ def test_gram_and_ridge_match_numpy():
     np.testing.assert_allclose(w, want_w, rtol=1e-6)
     # the ridge fit recovers the generating weights to first order
     assert np.corrcoef(w, w_true)[0, 1] > 0.99
+
+
+def test_starred_fraction_propagated():
+    """The starred-bucket recall-loss metric rides the RESULT (round-3
+    VERDICT item 9): an all-identical corpus with a tiny max_bucket makes
+    every band bucket oversized -> starred_milli == 1000 on every output
+    row; a clean corpus reports 0."""
+    from everythinggraph_ray.datapipe.dedup import (
+        minhash_near_duplicates,
+        simhash_candidates,
+        starred_milli_of,
+    )
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    ds = _docs_ds([txt] * 10)
+    got = (
+        minhash_near_duplicates(ds, threshold=0.5, max_bucket=4, with_starred_frac=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == list(range(10))  # star keeps connectivity
+    assert set(got["cluster_id"]) == {0}
+    assert set(got["starred_milli"]) == {1000}
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home " * 5
+    ds2 = _docs_ds([base, base.replace("lazy", "sleepy"), base])
+    got2 = (
+        minhash_near_duplicates(ds2, threshold=0.5, max_bucket=64, with_starred_frac=True)
+        .to_pandas()
+    )
+    assert len(got2) == 3 and set(got2["starred_milli"]) == {0}
+
+    # the helper itself, over simhash candidates of identical docs
+    cand = simhash_candidates(_docs_ds([txt] * 12), max_bucket=4).materialize()
+    assert starred_milli_of(cand) == 1000
