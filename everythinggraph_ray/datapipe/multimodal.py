@@ -35,15 +35,23 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (base[:FEATURE_DIM] / 255.0).astype(np.float32)
 
 
-# resolve the codec ONCE at import: a per-payload `from PIL import Image`
-# attempt pays a failed sys.path scan per row in PIL-less environments
+# resolve the codecs ONCE at import: a per-payload `from PIL import Image`
+# attempt pays a failed sys.path scan per row in codec-less environments
 try:
     from PIL import Image as _PIL_Image  # type: ignore
 except ImportError:
     _PIL_Image = None
 
+try:
+    import soundfile as _soundfile  # type: ignore
+except ImportError:
+    _soundfile = None
+
 
 def default_decode(payload: bytes) -> np.ndarray:
+    """Image decode + feature extract: PIL (grayscale 4×4 resize) when
+    available, else the deterministic fake. Invalid payloads also fall
+    back — the stage never raises on a corrupt blob."""
     if _PIL_Image is not None:
         try:
             import io
@@ -53,6 +61,55 @@ def default_decode(payload: bytes) -> np.ndarray:
         except Exception:
             pass
     return _fake_decode(payload)
+
+
+def _wav_pcm_samples(payload: bytes) -> np.ndarray | None:
+    """Stdlib PCM WAV reader (``wave`` + numpy frombuffer): a REAL audio
+    decode path with zero external dependencies, so the audio stage is
+    exercised for real even in this container. Returns mono-flattened
+    float32 samples in [-1, 1), or None when the payload is not PCM WAV."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if sw == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if sw == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    return None
+
+
+def default_decode_audio(payload: bytes) -> np.ndarray:
+    """Audio decode + feature extract: FEATURE_DIM per-segment RMS
+    energies of the waveform. Codec ladder: soundfile (any format, when
+    installed) → stdlib ``wave`` PCM reader (always available) → the
+    deterministic fake for undecodable payloads."""
+    samples: np.ndarray | None = None
+    if _soundfile is not None:
+        try:
+            import io
+
+            data, _sr = _soundfile.read(
+                io.BytesIO(payload), dtype="float32", always_2d=False
+            )
+            samples = np.asarray(data, np.float32).reshape(-1)
+        except Exception:
+            samples = None
+    if samples is None:
+        samples = _wav_pcm_samples(payload)
+    if samples is None or not len(samples):
+        return _fake_decode(payload)
+    segs = np.array_split(samples.astype(np.float64), FEATURE_DIM)
+    return np.array(
+        [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs], np.float32
+    )
 
 
 class DecodeFeatureStage:
