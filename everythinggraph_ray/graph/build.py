@@ -212,6 +212,7 @@ def build_graph(
     hub_threshold: int | None = None,
     weighted: bool = False,
     partition_edges_by: str = "src",
+    dst_blocks: int = 1,
     filesystem=None,
 ) -> dict:
     """Partition ``edges`` (int64 src/dst [+ float64 weight]) into
@@ -223,6 +224,17 @@ def build_graph(
     driver — they are by construction few (degree > threshold bounds their
     count by n_edges / threshold).
 
+    dst_blocks: the TWO-LEVEL grid exchange (the reference's 2D blocked
+    layout, init_all.c:252-361/prgrid_cilk.c:48-88, re-expressed for a
+    distributed exchange): receivers group into ``dst_blocks`` blocks
+    (block of q = q %% B) and each sender publishes one message object
+    per block instead of one whole-fan-out object, so a receiver fetches
+    only its block's bytes from each sender — the cross-node traffic cap
+    for P in the hundreds. Must divide num_partitions; 1 (default) is
+    the flat single-object exchange. The on-disk layout is identical
+    either way (packing is derived at actor load), and kernel results
+    are bit-identical (tests/test_grid_blocks.py).
+
     filesystem: optional ``pyarrow.fs.FileSystem`` for the build layout
     (s3://, hdfs://, SubTreeFileSystem over a shared mount); default
     node-local paths. Validity is gated by ``_SUCCESS`` written LAST (no
@@ -231,6 +243,9 @@ def build_graph(
     """
     fs = resolve_fs(filesystem)
     P = int(num_partitions)
+    B = int(dst_blocks)
+    if B < 1 or P % B != 0:
+        raise ValueError(f"dst_blocks={B} must be >= 1 and divide num_partitions={P}")
     marker = os.path.join(build_dir, "_SUCCESS")
     if fs_exists(fs, marker):
         cached = read_json(fs, os.path.join(build_dir, "meta.json"))
@@ -248,6 +263,10 @@ def build_graph(
             mismatches.append(
                 f"partition_edges_by={cached.get('partition_edges_by', 'src')} "
                 f"(requested {partition_edges_by})"
+            )
+        if int(cached.get("dst_blocks", 1)) != B:
+            mismatches.append(
+                f"dst_blocks={cached.get('dst_blocks', 1)} (requested {B})"
             )
         if hub_threshold is not None and int(cached.get("hub_threshold", -1)) != int(
             hub_threshold
@@ -360,6 +379,7 @@ def build_graph(
         "n_edges": n_edges,
         "weighted": bool(weighted),
         "partition_edges_by": partition_edges_by,
+        "dst_blocks": B,
         "hub_threshold": int(hub_threshold),
         "hub_vids": [int(x) for x in hub_vids],
         "hub_outdeg": [int(x) for x in hub_outdeg],

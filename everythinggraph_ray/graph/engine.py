@@ -156,6 +156,12 @@ class GraphPartition:
             os.sched_setaffinity(0, {pid % int(cpu_limit)})
         self.pid = pid
         self.P = int(meta["P"])
+        # two-level grid exchange (build.py dst_blocks): receivers group
+        # into B blocks (block of q = q % B); messages pack BLOCK-major so
+        # each block's region is contiguous and ships as its own plasma
+        # object. B=1 degenerates to the flat one-object exchange with the
+        # identical pack order (pos == bucket).
+        self.B = int(meta.get("dst_blocks", 1) or 1)
         self.meta = meta
         self.filesystem = filesystem  # picklable pyarrow fs (None = local)
         self.fs = resolve_fs(filesystem)
@@ -263,10 +269,14 @@ class GraphPartition:
             np.arange(len(self.usrc), dtype=np.int32), self.out_counts
         )[perm_dst]
 
-        # static message packing: ONE bucket-sorted object per scatter
+        # static message packing: bucket-sorted, BLOCK-major (pos of
+        # receiver q is (q % B) * (P // B) + q // B; for B=1 pos == q, the
+        # historical flat order) — one contiguous region per receiver,
+        # grouped contiguously by block
         bucket = (self.uniq_dst % self.P).astype(np.int64)
-        self.pack_perm = np.argsort(bucket, kind="stable")
-        self.pack_offsets = np.r_[0, np.cumsum(np.bincount(bucket, minlength=self.P))]
+        pos = (bucket % self.B) * (self.P // self.B) + bucket // self.B
+        self.pack_perm = np.argsort(pos, kind="stable")
+        self.pack_offsets = np.r_[0, np.cumsum(np.bincount(pos, minlength=self.P))]
         self.uniq_packed = self.uniq_dst[self.pack_perm]
 
         # ---- hub-edge CSC block (incoming, receiver-side gather) ---------
@@ -328,6 +338,7 @@ class GraphPartition:
             f"th={self.meta.get('hub_threshold')}",
             f"w={self.meta.get('weighted')}",
             f"by={self.meta.get('partition_edges_by', 'src')}",
+            f"dstb={self.B}",
         ]
         for sub in ("edges", "verts"):
             d = os.path.join(build_dir, sub, f"p={self.pid:05d}")
@@ -437,7 +448,7 @@ class GraphPartition:
         if all_active and not k.skip_self_loops and not k.needs_weights:
             v = msgs[self.src_idx_dst_sorted]
             agg = uf.reduceat(v, self.red_starts) if len(self.red_starts) else v[:0]
-            return self.uniq_packed, agg[self.pack_perm], self.pack_offsets
+            return self._pack_out(self.uniq_packed, agg[self.pack_perm], self.pack_offsets)
         per_edge = np.repeat(msgs, self.out_counts)
         if k.needs_weights:
             per_edge = k.edge_values(per_edge, self.w_by_src)
@@ -456,9 +467,27 @@ class GraphPartition:
             uniq = np.empty(0, np.int64)
             agg = v[:0]
         bucket = (uniq % self.P).astype(np.int64)
-        order = np.argsort(bucket, kind="stable")
-        offsets = np.r_[0, np.cumsum(np.bincount(bucket, minlength=self.P))]
-        return uniq[order], agg[order], offsets
+        pos = (bucket % self.B) * (self.P // self.B) + bucket // self.B
+        order = np.argsort(pos, kind="stable")
+        offsets = np.r_[0, np.cumsum(np.bincount(pos, minlength=self.P))]
+        return self._pack_out(uniq[order], agg[order], offsets)
+
+    def _pack_out(self, uniq, agg, offsets):
+        """Flat exchange (B=1): ship the packed arrays in the step return
+        itself. Blocked exchange (B>1): split the block-major pack into B
+        plasma objects — each (uniq, agg, local offsets over the block's
+        P//B receivers) — so a receiver fetches only its block's bytes
+        from this sender. Return shape is (first, agg, offsets) with
+        ``agg=None`` marking blocked mode for _apply."""
+        if self.B == 1:
+            return uniq, agg, offsets
+        Pb = self.P // self.B
+        refs = []
+        for b in range(self.B):
+            lo, hi = int(offsets[b * Pb]), int(offsets[(b + 1) * Pb])
+            local = offsets[b * Pb : (b + 1) * Pb + 1] - offsets[b * Pb]
+            refs.append(ray.put((uniq[lo:hi], agg[lo:hi], local)))
+        return refs, None, None
 
     def _apply(self, outs):
         """Final-combine my slices of every sender's packed messages plus
@@ -474,8 +503,21 @@ class GraphPartition:
 
         hub_vals = np.zeros(n_hub, dtype=k.dtype) if n_hub else None
         hub_act = np.zeros(n_hub, dtype=bool) if n_hub else None
-        for uniq, agg, off, hub_snap, _stats in outs:
-            lo, hi = int(off[self.pid]), int(off[self.pid + 1])
+        # normalize the exchange: flat mode slices each sender's whole
+        # packed object by the global offsets; blocked mode (dst_blocks>1)
+        # fetches only MY block's object from each sender — one batched
+        # ray.get — and slices by the block-local offsets (my index within
+        # the block is pid // B since block members are q ≡ pid (mod B))
+        if outs and outs[0][1] is None:
+            payloads = ray.get([o[0][self.pid % self.B] for o in outs])
+            i = self.pid // self.B
+            slices = [(u, a, int(off[i]), int(off[i + 1])) for u, a, off in payloads]
+        else:
+            slices = [
+                (o[0], o[1], int(o[2][self.pid]), int(o[2][self.pid + 1])) for o in outs
+            ]
+        for (uniq, agg, lo, hi), out in zip(slices, outs):
+            hub_snap = out[3]
             if hi > lo:
                 dvid, dval = uniq[lo:hi], agg[lo:hi]
                 pos = np.searchsorted(self.owned_vids, dvid)
