@@ -198,8 +198,12 @@ def full_suite() -> dict:
     ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
     # 1. extraction front end (pages -> edge table)
+    PAGE_COLS = ["url", "warc_ts", "html", "lang"]  # text never read (re-derived)
+
     def _extract():
-        extra["web_edges"] = pages_to_edges(ray.data.read_parquet(corpus)).count()
+        extra["web_edges"] = pages_to_edges(
+            ray.data.read_parquet(corpus, columns=PAGE_COLS)
+        ).count()
 
     out["extract_edges"] = _best_of(_extract)
 
@@ -210,7 +214,11 @@ def full_suite() -> dict:
 
     def _web_pr():
         bdir = build_dir_for(f"benchweb|{corpus}", web_P)
-        build_graph(pages_to_edges(ray.data.read_parquet(corpus)), bdir, num_partitions=web_P)
+        build_graph(
+            pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_COLS)),
+            bdir,
+            num_partitions=web_P,
+        )
         eng = GraphEngine(bdir)
         try:
             extra["web_pagerank_iters"] = eng.run(PageRankKernel(), tol=1e-6)["iterations"]
@@ -268,7 +276,9 @@ def full_suite() -> dict:
     out["docs_minhash"] = _best_of(lambda: Q.q_docs_minhash_clusters(SF_DIR))
 
     def _knn():
-        emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        emb = ray.data.read_parquet(
+            os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
         knn_bruteforce(emb, smallest_ids(emb, "vec_id", 8), k=10)
 
     out["knn_top10"] = _best_of(_knn)

@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--build-dir", default=None, help="graph build dir (default: <out>/build)")
     p.add_argument("--partitions", type=int, default=32)
+    p.add_argument(
+        "--dst-blocks",
+        type=int,
+        default=1,
+        help="two-level grid exchange: receivers group into B blocks and "
+        "each sender ships one message object per block (multi-node "
+        "traffic cap at high P; must divide --partitions; 1 = flat)",
+    )
     p.add_argument("--undirect", action="store_true", help="append reversed edges (the reference's -u)")
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--synthesize-weights", action="store_true", help="w = src%%10 + dst%%10 (CREATE_WEIGHT)")
@@ -533,7 +541,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.warm_state and args.kernel != "pagerank":
         p.error("--warm-state is a pagerank-only flag")
-    build_graph(edges, bdir, num_partitions=args.partitions, weighted=weighted)
+    build_graph(
+        edges,
+        bdir,
+        num_partitions=args.partitions,
+        weighted=weighted,
+        dst_blocks=args.dst_blocks,
+    )
     eng = GraphEngine(bdir)
     try:
         res = eng.run(
