@@ -44,8 +44,14 @@ def oracle_sql() -> dict[str, str]:
     heuristic, to-convergence PageRank's data-dependent iteration count)
     are intentionally omitted → rows-only check, with exactness covered
     by tests/ against serial oracles."""
-    from everythinggraph_ray.corpus import ensure_web_oracle_edges
+    from everythinggraph_ray.corpus import (
+        ensure_web_oracle_anchors,
+        ensure_web_oracle_edges,
+        ensure_web_oracle_text,
+    )
     from everythinggraph_ray.pipelines.queries import ORACLES
 
     ensure_web_oracle_edges(3000, seed=42)  # the sf0.01 corpus scale
+    ensure_web_oracle_text(3000, seed=42)
+    ensure_web_oracle_anchors(3000, seed=42)
     return dict(ORACLES)

@@ -272,3 +272,93 @@ def ensure_web_oracle_edges(
     except OSError:
         os.unlink(work)
     return path
+
+
+def web_oracle_text_path(
+    n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus"
+) -> str:
+    return os.path.join(root, f"web_oracle_text_n{n_pages}_s{seed}_v1.parquet")
+
+
+def ensure_web_oracle_text(
+    n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus"
+) -> str:
+    """SERIAL-reference (url, text) table — latest capture per url, text
+    via the reference extractor. The DuckDB oracle for web_extract_text
+    reads this, making the north rule's per-row BYTE-IDENTITY invariant
+    a driver-visible hash check (not just a pytest)."""
+    import pandas as pd
+
+    from everythinggraph_ray.html import extract_text
+
+    path = web_oracle_text_path(n_pages, seed, root)
+    if os.path.exists(path):
+        return path
+    corpus = ensure_corpus(n_pages, seed, root=root)
+    t = pq.read_table(corpus, columns=["url", "warc_ts", "html"])
+    df = pd.DataFrame(
+        {
+            "url": t["url"].to_pylist(),
+            "ts": t["warc_ts"].to_pandas(),
+            "html": t["html"].to_pylist(),
+        }
+    )
+    df = df.sort_values("ts", kind="stable").groupby("url", as_index=False).tail(1)
+    out = pa.table(
+        {
+            "url": pa.array(df["url"].tolist(), pa.string()),
+            "text": pa.array([extract_text(h) for h in df["html"]], pa.string()),
+        }
+    )
+    import uuid
+
+    work = f"{path}.building-{uuid.uuid4().hex[:8]}"
+    pq.write_table(out, work)
+    try:
+        os.rename(work, path)
+    except OSError:
+        os.unlink(work)
+    return path
+
+
+def web_oracle_anchors_path(
+    n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus"
+) -> str:
+    return os.path.join(root, f"web_oracle_anchors_n{n_pages}_s{seed}_v1.parquet")
+
+
+def ensure_web_oracle_anchors(
+    n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus"
+) -> str:
+    """SERIAL-reference (dst_url, anchor) rows — one per anchor
+    occurrence over EVERY capture (the anchor-text aggregation runs over
+    all captures, matching q_web_anchor_text). DuckDB re-derives the
+    top-20 (count, target, text) from this."""
+    from everythinggraph_ray.html import extract_anchors
+
+    path = web_oracle_anchors_path(n_pages, seed, root)
+    if os.path.exists(path):
+        return path
+    corpus = ensure_corpus(n_pages, seed, root=root)
+    t = pq.read_table(corpus, columns=["url", "html"])
+    dsts: list[str] = []
+    anchors: list[str] = []
+    for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        for dst, text in extract_anchors(h, u):
+            dsts.append(dst)
+            anchors.append(text)
+    out = pa.table(
+        {
+            "dst_url": pa.array(dsts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        }
+    )
+    import uuid
+
+    work = f"{path}.building-{uuid.uuid4().hex[:8]}"
+    pq.write_table(out, work)
+    try:
+        os.rename(work, path)
+    except OSError:
+        os.unlink(work)
+    return path

@@ -2255,15 +2255,15 @@ def q_web_crawl_schedule(sf_dir):
 
 
 def q_web_hits(sf_dir):
-    """HITS over the url web graph (rows-only: url-hash vids aren't
-    SQL-expressible; the HITS machinery itself is hash-checked via
-    rel_hits10 and oracle-tested in pytest)."""
+    """HITS (10 iterations) over the DENSE web graph — hash-checked
+    since round 4 against the unrolled HITS SQL chain over the
+    serial-extractor side parquet (was rows-only with url-hash vids)."""
     from everythinggraph_ray.graph.hits import hits
 
     corpus = _corpus_for(sf_dir)
-    bdir = build_dir_for(f"webpull|{corpus}", 8)
+    bdir = build_dir_for(f"webdensepull|{corpus}", 8)
     build_graph(
-        pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS)),
+        ray.data.read_parquet(_web_dense_edges_dir(sf_dir)),
         bdir,
         num_partitions=8,
         partition_edges_by="dst",
@@ -2275,17 +2275,22 @@ def q_web_hits(sf_dir):
     return df[["vid", "auth", "hub"]]
 
 
+WEB_KCORE_SQL_ROUNDS = 12  # unrolled peel rounds in the oracle; must
+# exceed the data's true peel-round count — the query asserts it
+
+
 def q_web_kcore(sf_dir):
-    """k-core of the url web graph (k=3): the spam/leaf-tail filter on
-    the power-law link graph (rows-only; peel machinery hash-checked via
-    rel_kcore)."""
+    """k-core (k=3) of the DENSE web graph: the spam/leaf-tail filter on
+    the power-law link graph — hash-checked since round 4 against the
+    unrolled-peel SQL over the serial-extractor side parquet. The query
+    asserts the distributed peel converged within the oracle's unroll
+    budget, so a deeper-than-expected corpus fails loudly instead of
+    hash-mismatching."""
     from everythinggraph_ray.graph.kcore import kcore
 
-    core, _rounds = kcore(
-        pages_to_edges(
-            ray.data.read_parquet(_corpus_for(sf_dir), columns=PAGE_EXTRACT_COLS)
-        ),
-        3,
+    core, rounds = kcore(ray.data.read_parquet(_web_dense_edges_dir(sf_dir)), 3)
+    assert rounds <= WEB_KCORE_SQL_ROUNDS, (
+        f"web kcore peel took {rounds} rounds; raise WEB_KCORE_SQL_ROUNDS"
     )
     return core
 
@@ -6417,13 +6422,13 @@ def _coarsen_wpr10_sql() -> str:
     return "WITH " + ", ".join(ctes) + " SELECT vid AS gid, round(r, 7) AS wpagerank FROM r10"
 
 
-def _hits10_sql() -> str:
+def _hits10_sql(edges_prelude: str | None = None) -> str:
     """HITS, 10 iterations: auth_raw = sum of in-neighbor hub, L2
     normalize, hub_raw = sum of out-neighbor (scaled) auth, L2
     normalize. MATERIALIZED (each level is referenced twice — once by
     the next raw step, once by its own norm scalar)."""
     ctes = [
-        f"e AS ({SQL_REL_EDGES})",
+        edges_prelude or f"e AS ({SQL_REL_EDGES})",
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e))",
         "h0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM verts)",
     ]
@@ -6598,7 +6603,7 @@ def _coloring_sql(rounds: int = 22, max_colors: int = 64) -> str:
     return "WITH " + ", ".join(ctes) + f" SELECT vid, color FROM c{rounds}"
 
 
-def _kcore_sql(k: int = KCORE_K, rounds: int = 8) -> str:
+def _kcore_sql(k: int = KCORE_K, rounds: int = 8, edges_prelude: str | None = None) -> str:
     """Unrolled peel: round r keeps vertices whose degree in the
     surviving simple undirected edge set is >= k. ``rounds`` must exceed
     the data's true peel-round count (measured 3 at sf0.001, 1 at
@@ -6608,7 +6613,7 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = 8) -> str:
     # subqueries) — inlined, the unrolled chain re-expands the base scan
     # 3^rounds times
     ctes = [
-        f"e AS ({SQL_REL_EDGES})",
+        edges_prelude or f"e AS ({SQL_REL_EDGES})",
         "u0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src <> dst "
         "UNION SELECT dst AS u, src AS v FROM e WHERE src <> dst)",
     ]
@@ -7957,12 +7962,31 @@ def _web_sql_prelude(n_pages: int = 3000, *, undirect: bool = False) -> str:
 
 
 def _web_oracle_sqls(n_pages: int = 3000) -> dict[str, str]:
-    """The four hash-checkable web flagship oracles for an (n_pages,
-    seed=42) corpus. The driver's correctness pass runs at sf0.01 →
-    the 3000-page corpus (_CORPUS_ROWS); pytest exercises the same
-    builders at the 800-page fixture scale."""
+    """The hash-checkable web oracles for an (n_pages, seed=42) corpus.
+    The driver's correctness pass runs at sf0.01 → the 3000-page corpus
+    (_CORPUS_ROWS); pytest exercises the same builders at the 800-page
+    fixture scale. Graph kernels derive from the serial EDGE side
+    parquet; web_extract_text reads the serial (url, text) table — the
+    north rule's per-row byte-identity invariant as a driver hash check;
+    web_anchor_text re-aggregates the serial per-occurrence anchor rows."""
+    from everythinggraph_ray.corpus import (
+        web_oracle_anchors_path,
+        web_oracle_text_path,
+    )
+
     pre = _web_sql_prelude(n_pages)
     return {
+        "web_extract_text": (
+            f"SELECT url, text FROM read_parquet('{web_oracle_text_path(n_pages)}')"
+        ),
+        "web_anchor_text": (
+            f"SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n "
+            f"FROM read_parquet('{web_oracle_anchors_path(n_pages)}') "
+            f"GROUP BY dst_url, anchor "
+            f"ORDER BY n DESC, dst_url, anchor LIMIT {ANCHOR_TOPK}"
+        ),
+        "web_hits": _hits10_sql(edges_prelude=pre),
+        "web_kcore": _kcore_sql(3, WEB_KCORE_SQL_ROUNDS, edges_prelude=pre),
         "web_edges": f"WITH {pre} SELECT src, dst FROM e",
         "web_pagerank10": _pagerank10_sql(edges_prelude=pre),
         "web_top10": _pagerank10_sql(

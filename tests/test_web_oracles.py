@@ -133,3 +133,70 @@ def test_web_pagerank10_engine_vs_sql_fixture(duck, small_corpus):
     )
     assert np.array_equal(df["vid"].to_numpy(), want["vid"].to_numpy(np.int64))
     assert np.allclose(df["pagerank"], want["pagerank"], atol=2e-7)
+
+
+def test_web_text_and_anchor_oracles_fixture(duck, small_corpus):
+    """Serial (url, text) side parquet == distributed pages_to_text (the
+    byte-identity invariant as the driver sees it), and the anchor
+    oracle's top-20 equals the distributed aggregation, at 800 pages."""
+    from everythinggraph_ray.corpus import (
+        ensure_web_oracle_anchors,
+        ensure_web_oracle_text,
+    )
+    from everythinggraph_ray.pipelines.queries import _web_oracle_sqls
+    from everythinggraph_ray.stages.extract import pages_to_text
+
+    ensure_web_oracle_text(800, seed=42)
+    ensure_web_oracle_anchors(800, seed=42)
+    sqls = _web_oracle_sqls(800)
+
+    # the query body pointed at the 800-page fixture corpus (queries()
+    # entries map sf_dir -> the 3000-page corpus via _corpus_for)
+    got = _canon(
+        pages_to_text(ray.data.read_parquet(str(small_corpus))).to_pandas()
+    )
+    want = _canon(duck.execute(sqls["web_extract_text"]).fetchdf())
+    pd.testing.assert_frame_equal(got, want)
+
+    ga = _canon(q_web_anchor_text_at(small_corpus).to_pandas())
+    wa = _canon(duck.execute(sqls["web_anchor_text"]).fetchdf())
+    pd.testing.assert_frame_equal(ga, wa.astype({"n": "int64"}))
+
+
+def q_web_anchor_text_at(corpus_path):
+    """q_web_anchor_text's body pointed at an explicit corpus path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from everythinggraph_ray.html import extract_anchors
+    from everythinggraph_ray.pipelines.queries import ANCHOR_TOPK
+    from everythinggraph_ray.stages.agg import bucketed_reduce, string_buckets
+
+    pages = ray.data.read_parquet(str(corpus_path), columns=["url", "html"])
+
+    def emit(batch):
+        cnt = {}
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            for dst, text in extract_anchors(html, url):
+                k = (dst, text)
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table(
+            {
+                "dst_url": pa.array([k[0] for k in cnt], pa.string()),
+                "anchor": pa.array([k[1] for k in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    def bucket_of(batch):
+        return string_buckets(batch["dst_url"], batch["anchor"])
+
+    def red(g):
+        df = g.to_pandas().groupby(["dst_url", "anchor"], as_index=False)["n"].sum()
+        df = df.sort_values(["n", "dst_url", "anchor"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(ANCHOR_TOPK), preserve_index=False)
+
+    top = bucketed_reduce(pages.map_batches(emit, batch_format="pyarrow"), bucket_of, red)
+    return top.sort(["n", "dst_url", "anchor"], descending=[True, False, False]).limit(
+        ANCHOR_TOPK
+    )
