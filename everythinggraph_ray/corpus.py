@@ -209,7 +209,7 @@ def web_oracle_edges_path(
     """Deterministic /tmp path of the serial-reference web edge table —
     computable WITHOUT materializing it (the oracle SQL strings embed this
     path at import; ``ensure_web_oracle_edges`` fills it lazily)."""
-    return os.path.join(root, f"web_oracle_edges_n{n_pages}_s{seed}_v1.parquet")
+    return os.path.join(root, f"web_oracle_edges_n{n_pages}_s{seed}_v2.parquet")
 
 
 def ensure_web_oracle_edges(
@@ -257,8 +257,12 @@ def ensure_web_oracle_edges(
         for link in extract_links(h, u):
             src_urls.append(u)
             dst_urls.append(link)
+    # v2: urls ride alongside the vids so the SQL oracles can derive
+    # url-level facts (hosts/domains) without the blake2b hash
     out = pa.table(
         {
+            "src_url": pa.array(src_urls, pa.string()),
+            "dst_url": pa.array(dst_urls, pa.string()),
             "src": pa.array(urls_to_vids(src_urls), pa.int64()),
             "dst": pa.array(urls_to_vids(dst_urls), pa.int64()),
         }

@@ -1851,19 +1851,35 @@ def _web_dense_edges_dir(sf_dir) -> str:
     DuckDB side re-derives the same table from the SERIAL extractor's
     side parquet (corpus.ensure_web_oracle_edges) + SQL row_number, so
     the driver hash genuinely crosses implementations."""
-    from everythinggraph_ray.stages.agg import dense_renumber_edges
+    return os.path.join(_web_dense_root(sf_dir), "edges")
+
+
+def _web_dense_vidmap_dir(sf_dir) -> str:
+    """(vid, dense) mapping parquet of the dense web build — lets the
+    per-domain queries attach url-derived facts to dense vids without
+    recomputing the rank."""
+    return os.path.join(_web_dense_root(sf_dir), "vidmap")
+
+
+def _web_dense_root(sf_dir) -> str:
+    from everythinggraph_ray.stages.agg import dense_renumber_edges, dense_vid_map
 
     corpus = _corpus_for(sf_dir)
-    d = f"/tmp/egray_dense/{os.path.basename(corpus)}_v1"
+    d = f"/tmp/egray_dense/{os.path.basename(corpus)}_v2"
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         import shutil
         import uuid
 
         work = f"{d}.building-{uuid.uuid4().hex[:8]}"
-        dense_renumber_edges(
-            pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS))
-        ).write_parquet(work)
+        hash_edges = pages_to_edges(
+            ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS)
+        ).materialize()
+        m = dense_vid_map(hash_edges).materialize()
+        m.write_parquet(os.path.join(work, "vidmap"))
+        dense_renumber_edges(hash_edges, vid_map=m).write_parquet(
+            os.path.join(work, "edges")
+        )
         with open(os.path.join(work, "_SUCCESS"), "w") as fh:
             fh.write("ok")
         try:
@@ -2012,73 +2028,73 @@ def q_web_curation(sf_dir):
 
 
 def _web_rank_domain_table(sf_dir):
-    """Shared head of the per-domain web queries: PageRank over the web
-    graph joined to (url → domain) via a vid-bucketed co-group. Returns
-    a Dataset (vid, domain, pagerank rounded 1e-8)."""
+    """Shared head of the per-domain web queries: fixed-10-iteration
+    PageRank over the DENSE web graph joined to (url → domain). Dense
+    vids + the reference's timed 10-iteration mode
+    (pagerank_simple.c:43) make every consumer SQL-checkable since
+    round 4. Returns a Dataset (vid, domain, pagerank rounded 1e-8) —
+    crawled pages only (link-target-only urls have no crawled domain
+    row, exactly as before)."""
     from urllib.parse import urlsplit
 
+    from everythinggraph_ray.datapipe.joins import hash_join
     from everythinggraph_ray.hashing import urls_to_vids
-    from everythinggraph_ray.stages.agg import bucketed_reduce, grouped_top_k, mix64
+    from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
 
     corpus = _corpus_for(sf_dir)
-    bdir = build_dir_for(f"web|{corpus}", 8)
+    bdir = build_dir_for(f"webdense|{corpus}", 8)
     build_graph(
-        pages_to_edges(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS)),
-        bdir,
-        num_partitions=8,
+        ray.data.read_parquet(_web_dense_edges_dir(sf_dir)), bdir, num_partitions=8
     )
     eng = GraphEngine(bdir)
     try:
-        ranks = eng.run(PageRankKernel(), tol=1e-6)["dataset"].materialize()
+        ranks = eng.run(PageRankKernel(), n_iters=10)["dataset"].materialize()
     finally:
         eng.shutdown()
 
-    # url table: vid ↔ (url, domain); join ranks by vid via bucketed co-group
+    # (hash vid, domain) per distinct crawled url → dense vid via the
+    # persisted map; ranks attach by dense vid. Two bucketed joins.
     def url_rows(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         domains = [urlsplit(u).netloc.lower() for u in urls]
         return pa.table(
             {
-                "vid": pa.array(urls_to_vids(batch["url"]), pa.int64()),
+                "hvid": pa.array(urls_to_vids(batch["url"]), pa.int64()),
                 "domain": pa.array(domains, pa.string()),
-                "pagerank": pa.array(np.full(len(urls), -1.0), pa.float64()),
-                "role": pa.array(np.zeros(len(urls), np.int8), pa.int8()),
             }
         )
 
-    def rank_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "vid": batch["vid"],
-                "domain": pa.array([""] * n, pa.string()),
-                "pagerank": batch["pagerank"],
-                "role": pa.array(np.ones(n, np.int8), pa.int8()),
-            }
-        )
+    def by_hvid(batch: pa.Table) -> np.ndarray:
+        return mix64(batch["hvid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
 
-    pages = ray.data.read_parquet(corpus, columns=["url"])
-    unioned = pages.map_batches(url_rows, batch_format="pyarrow").union(
-        ranks.map_batches(rank_rows, batch_format="pyarrow")
+    udom = bucketed_reduce(
+        ray.data.read_parquet(corpus, columns=["url"]).map_batches(
+            url_rows, batch_format="pyarrow"
+        ),
+        by_hvid,
+        lambda g: pa.Table.from_pandas(
+            g.to_pandas().drop_duplicates("hvid"), preserve_index=False
+        ),
     )
+    vidmap = ray.data.read_parquet(_web_dense_vidmap_dir(sf_dir))
+    mapped = hash_join(
+        vidmap, udom, on="vid", right_on="hvid", right_cols=["domain"]
+    )  # (vid=hash, dense, domain); inner: link-target-only urls drop
+    out = hash_join(ranks, mapped, on="vid", right_on="dense", right_cols=["domain"])
 
-    def by_vid(batch: pa.Table) -> np.ndarray:
-        return mix64(batch["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
-
-    def join(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        u = df[df["role"] == 0][["vid", "domain"]].drop_duplicates("vid")
-        r = df[df["role"] == 1][["vid", "pagerank"]]
-        m = u.merge(r, on="vid", how="inner")
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "vid": pa.array(m["vid"].to_numpy(np.int64), pa.int64()),
-                "domain": pa.array(m["domain"].astype(str), pa.string()),
-                "pagerank": pa.array(np.round(m["pagerank"].to_numpy(), 8), pa.float64()),
+                "vid": t["vid"],
+                "domain": t["domain"],
+                "pagerank": pa.array(
+                    np.round(t["pagerank"].to_numpy(zero_copy_only=False), 8),
+                    pa.float64(),
+                ),
             }
         )
 
-    return bucketed_reduce(unioned, by_vid, join)
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_web_top_per_domain(sf_dir):
@@ -2100,11 +2116,14 @@ def q_web_hostrank(sf_dir):
     (src_host, dst_host, weight = link count), intra-host links drop,
     and WeightedPageRankKernel runs fixed-10 over the weighted build
     (rank splits proportionally to inter-host link multiplicity).
-    Host vids are the same stable 63-bit url hash applied to the
-    domain string; names join back through a bucketed co-group.
-    Rows-only (hash vids); serial weighted-PR equality in pytest."""
+    Host vids are the stable 63-bit hash of the domain string
+    internally; the OUTPUT is keyed by the domain itself, so the DuckDB
+    oracle re-derives the whole host graph from the serial-extractor
+    url side parquet and replays weighted PR10 over host strings —
+    hash-checked since round 4 (was rows-only)."""
     from urllib.parse import urlsplit
 
+    from everythinggraph_ray.datapipe.joins import hash_join
     from everythinggraph_ray.graph.kernels import WeightedPageRankKernel
     from everythinggraph_ray.hashing import urls_to_vids
     from everythinggraph_ray.stages.agg import bucketed_reduce, mix64, sum_by_key_pair
@@ -2115,7 +2134,7 @@ def q_web_hostrank(sf_dir):
         dedup_keep_latest(
             extract_pages(ray.data.read_parquet(corpus, columns=PAGE_EXTRACT_COLS))
         )
-    )
+    ).materialize()  # consumed twice: host edges + host names
 
     def to_host_vids(batch: pa.Table) -> pa.Table:
         sh = [urlsplit(u).netloc.lower() for u in batch["src_url"].to_pylist()]
@@ -2166,10 +2185,15 @@ def q_web_hostrank(sf_dir):
     finally:
         eng.shutdown()
 
-    # name join stays DISTRIBUTED (hosts scale with the crawl): per-batch
-    # distinct (host_vid, domain) rows, bucketed-dedup, one hash_join
+    # names for EVERY host in the graph (src or dst side — a linked-to
+    # but never-crawled host's name comes from the link url itself):
+    # per-batch distinct (host_vid, domain) rows, bucketed-dedup, one
+    # hash_join. Stays distributed (hosts scale with the crawl).
     def host_rows(batch: pa.Table) -> pa.Table:
-        hosts = sorted({urlsplit(u).netloc.lower() for u in batch["url"].to_pylist()})
+        hosts = sorted(
+            {urlsplit(u).netloc.lower() for u in batch["src_url"].to_pylist()}
+            | {urlsplit(u).netloc.lower() for u in batch["dst_url"].to_pylist()}
+        )
         return pa.table(
             {
                 "vid": pa.array(
@@ -2183,33 +2207,21 @@ def q_web_hostrank(sf_dir):
         return mix64(batch["vid"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
 
     names = bucketed_reduce(
-        ray.data.read_parquet(corpus, columns=["url"]).map_batches(
-            host_rows, batch_format="pyarrow"
-        ),
+        url_edges.map_batches(host_rows, batch_format="pyarrow"),
         vid_bucket,
         lambda g: pa.Table.from_pandas(
             g.to_pandas().drop_duplicates("vid"), preserve_index=False
         ),
     )
-    from everythinggraph_ray.datapipe.joins import hash_join
-
-    out = hash_join(ranks_ds, names, on="vid", right_cols=["domain"], how="left")
+    out = hash_join(ranks_ds, names, on="vid", right_cols=["domain"], how="inner")
 
     def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "vid": t["vid"],
-                # linked-to but never-crawled hosts carry no name
-                "domain": pc.fill_null(t["domain"], ""),
-                "hostrank": t["hostrank"],
-            }
-        )
+        return pa.table({"domain": t["domain"], "hostrank": t["hostrank"]})
 
     return _typed_collect(
         out.map_batches(finish, batch_format="pyarrow"),
-        {"vid": "int64", "domain": "object", "hostrank": "float64"},
+        {"domain": "object", "hostrank": "float64"},
     )
-
 
 def q_web_crawl_schedule(sf_dir):
     """Politeness-scheduled recrawl frontier: EVERY page ranked within
@@ -7947,7 +7959,7 @@ def _web_sql_prelude(n_pages: int = 3000, *, undirect: bool = False) -> str:
 
     p = web_oracle_edges_path(n_pages)
     parts = [
-        f"we AS (SELECT src, dst FROM read_parquet('{p}'))",
+        f"we AS (SELECT * FROM read_parquet('{p}'))",  # v2: src_url, dst_url, src, dst
         "wm AS (SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS id "
         "FROM (SELECT DISTINCT vid FROM (SELECT src AS vid FROM we UNION ALL SELECT dst AS vid FROM we)))",
         "e AS (SELECT ms.id AS src, md.id AS dst FROM we "
@@ -7971,13 +7983,73 @@ def _web_oracle_sqls(n_pages: int = 3000) -> dict[str, str]:
     web_anchor_text re-aggregates the serial per-occurrence anchor rows."""
     from everythinggraph_ray.corpus import (
         web_oracle_anchors_path,
+        web_oracle_edges_path,
         web_oracle_text_path,
     )
 
     pre = _web_sql_prelude(n_pages)
+    host = "lower(regexp_extract({col}, '^https?://([^/]+)', 1))"
+    # crawled-url → (dense vid, domain) attachment: edge-endpoint urls,
+    # restricted to crawled pages (the text side parquet's url set),
+    # domain from the url string, dense id through wm
+    vd_ctes = (
+        ", urls AS (SELECT DISTINCT src_url AS url, src AS hvid FROM we "
+        "UNION SELECT DISTINCT dst_url AS url, dst AS hvid FROM we)"
+        f", crawled AS (SELECT url FROM read_parquet('{web_oracle_text_path(n_pages)}'))"
+        ", udom AS (SELECT u.hvid, "
+        + host.format(col="u.url")
+        + " AS domain FROM urls u JOIN crawled c ON c.url = u.url)"
+        ", vd AS (SELECT wm.id AS vid, udom.domain FROM udom JOIN wm ON wm.vid = udom.hvid)"
+    )
+    hostrank_ctes = [
+        f"we AS (SELECT src_url, dst_url FROM read_parquet('{web_oracle_edges_path(n_pages)}'))",
+        "he AS (SELECT "
+        + host.format(col="src_url")
+        + " AS src, "
+        + host.format(col="dst_url")
+        + " AS dst FROM we)",
+        "hew AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM he "
+        "WHERE src <> dst GROUP BY src, dst)",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM hew UNION ALL SELECT dst AS vid FROM hew))",
+        "wd AS (SELECT src AS vid, sum(w) AS wd FROM hew GROUP BY src)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS r FROM verts)",
+    ]
+    for k in range(1, 11):
+        hostrank_ctes.append(
+            f"r{k} AS (SELECT v.vid, (SELECT 0.15/n FROM nv) + 0.85 * coalesce(s.contrib, 0) AS r "
+            f"FROM verts v LEFT JOIN (SELECT hew.dst AS vid, sum((p.r / wd.wd) * hew.w) AS contrib "
+            f"FROM hew JOIN r{k-1} p ON p.vid = hew.src JOIN wd ON wd.vid = hew.src "
+            f"WHERE wd.wd > 0 GROUP BY hew.dst) s ON s.vid = v.vid)"
+        )
     return {
         "web_extract_text": (
             f"SELECT url, text FROM read_parquet('{web_oracle_text_path(n_pages)}')"
+        ),
+        "web_hostrank": (
+            "WITH "
+            + ", ".join(hostrank_ctes)
+            + " SELECT vid AS domain, round(r, 8) AS hostrank FROM r10"
+        ),
+        "web_top_per_domain": _pagerank10_sql(
+            edges_prelude=pre + vd_ctes,
+            tail=(
+                " SELECT vid, domain, pagerank, rk FROM ("
+                "SELECT vd.vid, vd.domain, round(r10.r, 8) AS pagerank, "
+                "CAST(row_number() OVER (PARTITION BY vd.domain "
+                "ORDER BY round(r10.r, 8) DESC, vd.vid) AS BIGINT) AS rk "
+                "FROM vd JOIN r10 ON r10.vid = vd.vid) WHERE rk <= 3"
+            ),
+        ),
+        "web_crawl_schedule": _pagerank10_sql(
+            edges_prelude=pre + vd_ctes,
+            tail=(
+                " SELECT vd.vid, vd.domain, "
+                "CAST(row_number() OVER (PARTITION BY vd.domain "
+                "ORDER BY CAST(floor(round(r10.r, 8) * 1e9) AS BIGINT) DESC, vd.vid) "
+                "AS BIGINT) AS slot "
+                "FROM vd JOIN r10 ON r10.vid = vd.vid"
+            ),
         ),
         "web_anchor_text": (
             f"SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n "

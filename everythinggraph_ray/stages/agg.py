@@ -735,14 +735,19 @@ def dense_renumber_edges(
     src_col: str = "src",
     dst_col: str = "dst",
     num_buckets: int = DEFAULT_BUCKETS,
+    vid_map: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Edge table with both endpoints mapped through :func:`dense_vid_map`
     (two bucketed hash joins — the mapping never broadcasts). Multiplicity
-    and order-insensitivity preserved: one output row per input row."""
+    and order-insensitivity preserved: one output row per input row.
+    ``vid_map``: a precomputed (vid, dense) mapping to reuse (callers
+    that also persist the map avoid computing it twice)."""
     from everythinggraph_ray.datapipe.joins import hash_join
 
-    m = dense_vid_map(
-        edges, src_col=src_col, dst_col=dst_col, num_buckets=num_buckets
+    m = (
+        vid_map
+        if vid_map is not None
+        else dense_vid_map(edges, src_col=src_col, dst_col=dst_col, num_buckets=num_buckets)
     ).materialize()  # small (|V| rows); reused by both joins
     e = hash_join(edges, m, on=src_col, right_on="vid", right_cols=["dense"])
     e = e.map_batches(
