@@ -15,10 +15,15 @@ aggregates — no float-association flakiness at all) or (b) round to a
 precision far coarser than the achievable float error (PageRank 1e-8 vs
 ~1e-14 error).
 
-Web-graph queries (url corpus → blake2b vids) have no SQL oracle by
-construction (the hash isn't SQL-expressible); they are validated
-byte-for-byte / exactly in tests/ against the serial oracles instead and
-get the driver's rows-only check.
+Web-graph queries carry SQL oracles since round 4 via two devices: a
+SERIAL-extractor side parquet in /tmp (corpus.ensure_web_oracle_*) that
+DuckDB reads directly — no Ray code on the oracle side — and dense
+renumbering (rank of the 63-bit url-hash vid over sorted distinct vids,
+= SQL row_number() OVER (ORDER BY vid)) so vertex ids match across
+implementations. Host/domain-level queries key their OUTPUT by the
+domain string so SQL derives it from the side parquet's urls. Only the
+to-convergence PageRank (data-dependent iteration count) and the
+quality-heuristic curation query remain rows-only, by documented design.
 """
 
 from __future__ import annotations
