@@ -1453,7 +1453,9 @@ def q_rel_ktruss(sf_dir):
     sup, _rounds = ktruss(
         rel_edges(sf_dir), KTRUSS_K, max_rounds=KTRUSS_MAX_ROUNDS
     )
-    return sup
+    # anchor the schema: an empty truss (sf0.001) would otherwise lose
+    # its columns through to_pandas and fail the driver's schema check
+    return _typed_collect(sup, {"a": "int64", "b": "int64", "support": "int64"})
 
 
 def q_rel_triangles(sf_dir):
