@@ -27,8 +27,6 @@ per-doc sum is order-dependent, absorbed by the repo-wide
 from __future__ import annotations
 
 import re
-from hashlib import blake2b
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

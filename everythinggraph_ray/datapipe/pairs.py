@@ -23,7 +23,6 @@ import os
 from collections.abc import Callable
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

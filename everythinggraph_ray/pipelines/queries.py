@@ -5306,8 +5306,6 @@ def q_q4_late_orders(sf_dir):
     per-(priority, orderkey) distinct rows per batch, and the distinct
     count rides one bucketed reduce keyed by orderkey (an order's rows
     co-locate, so the final count is exact)."""
-    from hashlib import blake2b
-
     from everythinggraph_ray.datapipe.joins import hash_join
     from everythinggraph_ray.stages.agg import bucketed_reduce, mix64
 
