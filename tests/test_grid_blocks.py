@@ -143,3 +143,32 @@ def test_blocked_exchange_survives_actor_death(tmp_path):
     finally:
         eng.shutdown()
     assert np.array_equal(got, want)
+
+
+def test_weighted_and_sssp_identical_across_block_layouts(tmp_path):
+    """Rounds out the invariance matrix: weighted kernels (needs_weights
+    edge values) and the adaptive SSSP frontier behave bit-identically
+    under the blocked exchange."""
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.kernels import (
+        SSSPWeightedKernel,
+        WeightedPageRankKernel,
+    )
+    from everythinggraph_ray.stages.edges import synthesize_weights
+
+    edges = synthesize_weights(_edges_ds(n_v=300, n_e=4000, seed=17)).materialize()
+    flat = str(tmp_path / "wflat")
+    blocked = str(tmp_path / "wblocked")
+    build_graph(edges, flat, num_partitions=8, hub_threshold=10**9, weighted=True)
+    build_graph(
+        edges, blocked, num_partitions=8, hub_threshold=10**9, weighted=True,
+        dst_blocks=4,
+    )
+    a = _run(flat, WeightedPageRankKernel(), n_iters=10)
+    b = _run(blocked, WeightedPageRankKernel(), n_iters=10)
+    assert np.array_equal(a["wpagerank"].to_numpy(), b["wpagerank"].to_numpy())
+
+    root = int(a["vid"].min())
+    c = _run(flat, SSSPWeightedKernel(root=root))
+    d = _run(blocked, SSSPWeightedKernel(root=root))
+    pd.testing.assert_frame_equal(c, d)
