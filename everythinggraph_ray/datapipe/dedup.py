@@ -200,9 +200,9 @@ def exact_duplicates(docs: ray.data.Dataset, text_col: str = "text") -> ray.data
         return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, pa.string())})
 
     def bucket_of(batch: pa.Table) -> np.ndarray:
-        return np.fromiter(
-            (int(x[:8], 16) for x in batch["h"].to_pylist()), dtype=np.int64, count=batch.num_rows
-        )
+        from everythinggraph_ray.stages.agg import string_buckets
+
+        return string_buckets(batch["h"])
 
     def red(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby("h", as_index=False).agg(
