@@ -398,15 +398,9 @@ def q_events_hash_sample(sf_dir):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def bucket_et(t: pa.Table) -> np.ndarray:
-        et = t["event_type"].to_pandas().to_numpy(object)
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                for s in et
-            ),
-            dtype=np.uint64,
-            count=len(et),
-        ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+        from everythinggraph_ray.stages.agg import string_buckets
+
+        return string_buckets(t["event_type"])
 
     out = bucketed_reduce(
         ev.map_batches(sample_partial, batch_format="pyarrow"),
