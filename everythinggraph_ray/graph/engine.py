@@ -144,6 +144,7 @@ class GraphPartition:
         cpu_limit: int | None = None,
         filesystem=None,
         layout_cache: bool = True,
+        sort_kind: str = "stable",
     ):
         if cpu_limit:
             # honest parallelism-level emulation on a shared box: pin this
@@ -163,6 +164,15 @@ class GraphPartition:
         # identical pack order (pos == bucket).
         self.B = int(meta.get("dst_blocks", 1) or 1)
         self.meta = meta
+        # layout construction strategy (the reference's init_adj_sort vs
+        # init_adj_count comparison, init_all.c:444-790, re-expressed in
+        # numpy terms): "stable" argsort = LSD radix on int64 keys (the
+        # deterministic default — ties keep spill order), "quicksort" =
+        # comparison introsort, measured ~1.6x FASTER on 32M power-law
+        # int64 keys (BASELINE.md round 4) and equally deterministic for
+        # a fixed on-disk build (no randomness; manifests fix read
+        # order). The layout cache is keyed on the choice.
+        self.sort_kind = sort_kind
         self.filesystem = filesystem  # picklable pyarrow fs (None = local)
         self.fs = resolve_fs(filesystem)
 
@@ -229,7 +239,7 @@ class GraphPartition:
         self.n_edges = len(dst) + len(h_dst)
 
         # ---- regular out-edge CSR (grouped by src) -----------------------
-        order = np.argsort(src, kind="stable")
+        order = np.argsort(src, kind=self.sort_kind)
         src, dst = src[order], dst[order]
         if w is not None:
             w = w[order]
@@ -256,7 +266,7 @@ class GraphPartition:
 
         # dst-grouping precompute for the all-active fast path: edges in
         # dst-sorted order as int32 indices into the per-src message vector
-        perm_dst = np.argsort(dst, kind="stable")
+        perm_dst = np.argsort(dst, kind=self.sort_kind)
         dst_sorted = dst[perm_dst]
         starts = (
             np.flatnonzero(np.r_[True, dst_sorted[1:] != dst_sorted[:-1]])
@@ -275,7 +285,7 @@ class GraphPartition:
         # grouped contiguously by block
         bucket = (self.uniq_dst % self.P).astype(np.int64)
         pos = (bucket % self.B) * (self.P // self.B) + bucket // self.B
-        self.pack_perm = np.argsort(pos, kind="stable")
+        self.pack_perm = np.argsort(pos, kind=self.sort_kind)
         self.pack_offsets = np.r_[0, np.cumsum(np.bincount(pos, minlength=self.P))]
         self.uniq_packed = self.uniq_dst[self.pack_perm]
 
@@ -284,7 +294,7 @@ class GraphPartition:
         assert len(h_dst) == 0 or (h_dst % self.P == pid).all(), (
             f"partition {pid}: hub edge not owned by dst — partitioning broken"
         )
-        ho = np.argsort(h_dst, kind="stable")
+        ho = np.argsort(h_dst, kind=self.sort_kind)
         h_src, h_dst = h_src[ho], h_dst[ho]
         if h_w is not None:
             h_w = h_w[ho]
@@ -339,6 +349,7 @@ class GraphPartition:
             f"w={self.meta.get('weighted')}",
             f"by={self.meta.get('partition_edges_by', 'src')}",
             f"dstb={self.B}",
+            f"sk={self.sort_kind}",
         ]
         for sub in ("edges", "verts"):
             d = os.path.join(build_dir, sub, f"p={self.pid:05d}")
@@ -662,6 +673,7 @@ class GraphEngine:
         cpu_limit: int | None = None,
         filesystem=None,
         layout_cache: bool = True,
+        sort_kind: str = "stable",
     ):
         """``actor_cpus=0`` by default: partition actors are resident state
         holders that compute only during supersteps (when nothing else
@@ -680,6 +692,7 @@ class GraphEngine:
         self._filesystem = filesystem
         self._fs = resolve_fs(filesystem)
         self._layout_cache = layout_cache
+        self._sort_kind = sort_kind
         self.meta = read_json(self._fs, os.path.join(build_dir, "meta.json"))
         self.build_dir = build_dir
         self.P = int(self.meta["P"])
@@ -691,7 +704,7 @@ class GraphEngine:
         self.actors = [
             GraphPartition.options(num_cpus=self._actor_cpus).remote(
                 p, self.build_dir, self.meta, self._cpu_limit, self._filesystem,
-                self._layout_cache,
+                self._layout_cache, self._sort_kind,
             )
             for p in range(self.P)
         ]

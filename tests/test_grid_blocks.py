@@ -172,3 +172,39 @@ def test_weighted_and_sssp_identical_across_block_layouts(tmp_path):
     c = _run(flat, SSSPWeightedKernel(root=root))
     d = _run(blocked, SSSPWeightedKernel(root=root))
     pd.testing.assert_frame_equal(c, d)
+
+
+def test_sort_kind_layout_strategies_agree(tmp_path):
+    """The construction-strategy option (radix 'stable' vs comparison
+    'quicksort' — the reference's init_adj_sort/init_adj_count
+    comparison in numpy terms): same build, both strategies produce the
+    same CSR SEMANTICS — exact WCC/BFS, allclose PageRank (per-src edge
+    order may differ between sorts, reassociating float sums within
+    ulps)."""
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import BFSKernel, PageRankKernel, WCCKernel
+
+    edges = _edges_ds(n_v=400, n_e=5000, seed=23).materialize()
+    bdir = str(tmp_path / "g")
+    build_graph(edges, bdir, num_partitions=4, hub_threshold=64)
+
+    def run(kind, kernel, **kw):
+        eng = GraphEngine(bdir, layout_cache=False, sort_kind=kind)
+        try:
+            return (
+                eng.run(kernel, **kw)["dataset"]
+                .to_pandas()
+                .sort_values("vid")
+                .reset_index(drop=True)
+            )
+        finally:
+            eng.shutdown()
+
+    a = run("stable", PageRankKernel(), n_iters=10)
+    b = run("quicksort", PageRankKernel(), n_iters=10)
+    assert np.allclose(a["pagerank"], b["pagerank"], atol=1e-12)
+    pd.testing.assert_frame_equal(run("stable", WCCKernel()), run("quicksort", WCCKernel()))
+    pd.testing.assert_frame_equal(
+        run("stable", BFSKernel(root=0)), run("quicksort", BFSKernel(root=0))
+    )
