@@ -35,23 +35,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """DuckDB equivalents for every SQL-expressible query. The web
     flagship family (web_edges / web_pagerank10 / web_wcc / web_top10)
     reads a SERIAL-extractor side parquet from /tmp — materialized here
-    (cached, <1 s) so the SQL binds whenever the driver runs it.
+    (cached, <1 s) so the SQL binds whenever the driver runs it. The web
+    oracle corpus scale is resolved from ``sf_dir`` through the SAME
+    sf→n_pages mapping the Ray-side queries use, so a correctness pass at
+    any sf compares against the matching corpus (the driver calls this
+    with no argument → sf0.01 → the 3000-page corpus).
     Hash/model-based ops with no SQL form (MinHash, language-ID
     heuristic, to-convergence PageRank's data-dependent iteration count)
     are intentionally omitted → rows-only check, with exactness covered
     by tests/ against serial oracles."""
-    from everythinggraph_ray.corpus import (
-        ensure_web_oracle_anchors,
-        ensure_web_oracle_edges,
-        ensure_web_oracle_text,
+    from everythinggraph_ray.pipelines.queries import (
+        ORACLES,
+        register_web_oracles,
+        web_oracle_pages_for,
     )
-    from everythinggraph_ray.pipelines.queries import ORACLES
 
-    ensure_web_oracle_edges(3000, seed=42)  # the sf0.01 corpus scale
-    ensure_web_oracle_text(3000, seed=42)
-    ensure_web_oracle_anchors(3000, seed=42)
+    register_web_oracles(web_oracle_pages_for(sf_dir), ensure=True)
     return dict(ORACLES)

@@ -8086,7 +8086,39 @@ def _web_oracle_sqls(n_pages: int = 3000) -> dict[str, str]:
     }
 
 
-ORACLES.update(_web_oracle_sqls())
+def register_web_oracles(n_pages: int = 3000, *, ensure: bool = False) -> None:
+    """(Re-)register the web_* oracle SQL for an (n_pages, seed=42) corpus.
+
+    The web_* Ray queries read ``_corpus_for(sf_dir)`` — a corpus whose
+    size varies with sf (``_CORPUS_ROWS``) — while the oracle SQL reads
+    serial side parquets pinned to one n_pages. The two must agree:
+    ``__ray_entry__.oracle_sql(sf_dir=...)`` calls this with the n_pages
+    resolved from the SAME sf mapping, so a correctness pass at any sf
+    compares against the matching corpus (round-4 ADVICE item 1).
+    ``ensure=True`` also materializes the serial side parquets (cached).
+    """
+    if ensure:
+        from everythinggraph_ray.corpus import (
+            ensure_web_oracle_anchors,
+            ensure_web_oracle_edges,
+            ensure_web_oracle_text,
+        )
+
+        ensure_web_oracle_edges(n_pages, seed=42)
+        ensure_web_oracle_text(n_pages, seed=42)
+        ensure_web_oracle_anchors(n_pages, seed=42)
+    ORACLES.update(_web_oracle_sqls(n_pages))
+
+
+def web_oracle_pages_for(sf_dir: str) -> int:
+    """Corpus size (n_pages) for an sf dir — the single source of truth
+    shared by the Ray-side ``_corpus_for`` and the oracle registration."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return _CORPUS_ROWS.get(tag, 3000)
+
+
+# import-time default: the driver's correctness scale (sf0.01 → 3000)
+register_web_oracles(3000)
 
 # rel_pagerank's agreement-witness oracle (round-3 VERDICT item 2): the
 # vertex count is real SQL; n_agree = n_vertices is the CLAIM the Ray
@@ -9156,3 +9188,50 @@ from everythinggraph_ray.pipelines.analytics_extra47 import (  # noqa: E402
 
 QUERIES.update(ANALYTICS47_QUERIES)
 ORACLES.update(ANALYTICS47_ORACLES)
+
+# ----------------------------------------------------------------------
+# Driver correctness-window ordering (round-4 VERDICT next-round item 1).
+#
+# The driver's CORRECTNESS_r{N}.json hashes the FIRST ~50 ``queries()``
+# entries; previously those were 50 rel_* graph kernels, so the web
+# flagship family and the LLM-pipeline headliners never appeared in a
+# driver artifact even though they are oracle-green. Reorder QUERIES so
+# the window is a representative cross-section: 25 graph kernels
+# (push+pull PageRank/BFS/SSSP, WCC/labelprop, SpMV, triangles, k-core,
+# HITS), the 11 hash-oracle web entries (incl. the north rule's
+# byte-identity web_extract_text), and 14 LLM-pipeline / TPC-H
+# headliners (dedup, jaccard join, minhash, kNN, as-of join, TPC-H).
+# Pure reordering — same keys, same callables; every windowed name is
+# asserted to exist AND to carry a DuckDB hash oracle.
+# ----------------------------------------------------------------------
+DRIVER_WINDOW = [
+    # graph kernels (25)
+    "rel_edges", "rel_degree", "rel_distinct_edges", "rel_top_outdegree",
+    "rel_pagerank10", "rel_pagerank10_pull", "rel_pagerank", "rel_ppr",
+    "rel_wpagerank10", "rel_pagerank10_dangling", "rel_bfs", "rel_bfs_pull",
+    "rel_msbfs", "rel_wcc", "rel_wcc_incremental", "rel_labelprop",
+    "rel_labelprop_seeded", "rel_sssp_maxdist", "rel_sssp_weighted",
+    "rel_spmv", "rel_spmv_edgecentric", "rel_triangles", "rel_edge_support",
+    "rel_kcore", "rel_hits10",
+    # web flagship family (11, all hash-oracle)
+    "web_extract_text", "web_edges", "web_anchor_text", "web_pagerank10",
+    "web_top10", "web_wcc", "web_hits", "web_kcore", "web_top_per_domain",
+    "web_crawl_schedule", "web_hostrank",
+    # LLM-pipeline / TPC-H headliners (14, all hash-oracle)
+    "docs_exact_dedup", "docs_jaccard_join", "docs_minhash_md5",
+    "emb_allpairs_sim", "docs_dup_spans", "docs_quality", "docs_tfidf",
+    "knn_top10", "knn_ivf_top10", "events_asof_prev",
+    "orders_customer_join", "q1_returnflag", "q6_revenue", "events_sessions",
+]
+
+_missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+_no_oracle = [n for n in DRIVER_WINDOW if n not in ORACLES]
+if _missing or _no_oracle:  # fail loudly at import, not in the driver
+    raise RuntimeError(
+        f"DRIVER_WINDOW misconfigured: missing={_missing} no_oracle={_no_oracle}"
+    )
+
+QUERIES = {
+    **{k: QUERIES[k] for k in DRIVER_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in DRIVER_WINDOW},
+}
