@@ -265,12 +265,15 @@ def ngram_jaccard_pairs(
 
     if isinstance(pairs, pd.DataFrame):
         pairs = ray.data.from_pandas(pairs[["a", "b"]].astype("int64"))
+    from everythinggraph_ray.datapipe.pairs import batch_jaccard
+
     return pairwise_verify(
         shingle_payloads(docs, shingle_k),
         pairs,
         jaccard,
         out_col="jaccard",
         pay_type=pa.list_(pa.int64()),
+        batch_score_fn=batch_jaccard,
     )
 
 
@@ -342,12 +345,15 @@ def minhash_near_duplicates(
         # (pairs only — texts/signatures are not re-read)
         cand = cand.materialize()
         starred_milli = starred_milli_of(cand)
+    from everythinggraph_ray.datapipe.pairs import batch_jaccard
+
     scored = pairwise_verify(
         shingles,
         cand,
         jaccard,
         out_col="jaccard",
         pay_type=pa.list_(pa.int64()),
+        batch_score_fn=batch_jaccard,
     )
     kept = scored.map_batches(
         lambda t, _th=threshold: t.filter(pc.greater_equal(t["jaccard"], _th)),
@@ -775,8 +781,11 @@ def containment_pairs(
         return batch.filter(pa.array(keep)).select(["a", "b"])
 
     cand = cand.map_batches(drop_starred, batch_format="pyarrow")
+    from everythinggraph_ray.datapipe.pairs import batch_containment
+
     scored = pairwise_verify(
-        pay, cand, containment, out_col="cont", pay_type=pa.list_(pa.int64())
+        pay, cand, containment, out_col="cont", pay_type=pa.list_(pa.int64()),
+        batch_score_fn=batch_containment,
     )
 
     def gate(batch: pa.Table) -> pa.Table:

@@ -431,12 +431,15 @@ def embedding_near_duplicates(
             }
         )
 
+    from everythinggraph_ray.datapipe.pairs import batch_cosine
+
     scored = pairwise_verify(
         embeddings.map_batches(payloads, batch_format="pyarrow"),
         cand,
         _cosine,
         out_col="cos",
         pay_type=pa.list_(pa.float64()),
+        batch_score_fn=batch_cosine,
     )
     return scored.map_batches(
         lambda t, _th=threshold: t.filter(pc.greater_equal(t["cos"], _th)),

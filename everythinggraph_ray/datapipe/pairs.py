@@ -35,6 +35,83 @@ _ROLE_SIDE_A = 1
 _ROLE_SIDE_B = 2
 
 
+def _ragged_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for ragged slices [starts[k], starts[k]+lens[k])
+    — the vectorized ragged-range idiom (no per-group Python loop)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lens)
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - lens, lens)
+        + np.repeat(starts.astype(np.int64), lens)
+    )
+
+
+def _pair_intersections(
+    vals_a: np.ndarray, lens_a: np.ndarray, vals_b: np.ndarray, lens_b: np.ndarray
+) -> np.ndarray:
+    """|A_k ∩ B_k| per pair k, vectorized across ALL pairs of a bucket.
+    Requires each side's values to be distinct WITHIN a pair (every
+    payload here is a distinct-token / distinct-shingle set), so a value
+    seen twice under one pair id == one intersection element. One lexsort
+    over (pair, value) replaces a per-pair ``np.intersect1d`` loop."""
+    n = len(lens_a)
+    pair_ids = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), lens_a),
+         np.repeat(np.arange(n, dtype=np.int64), lens_b)]
+    )
+    vals = np.concatenate([vals_a, vals_b])
+    o = np.lexsort((vals, pair_ids))
+    p, v = pair_ids[o], vals[o]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    return np.bincount(p[1:][dup], minlength=n)
+
+
+def batch_jaccard(vals_a, lens_a, vals_b, lens_b) -> np.ndarray:
+    """Vectorized exact Jaccard |A∩B|/|A∪B| per pair (float64);
+    both-empty → 1.0, matching ``dedup.jaccard``."""
+    inter = _pair_intersections(vals_a, lens_a, vals_b, lens_b)
+    union = lens_a + lens_b - inter
+    return np.divide(inter, union, out=np.ones(len(lens_a)), where=union > 0)
+
+
+def batch_jaccard_milli(vals_a, lens_a, vals_b, lens_b) -> np.ndarray:
+    """Vectorized integer-exact (1000*|A∩B|)//|A∪B| per pair (float64) —
+    bit-identical to the serial ``(1000*inter)//union``."""
+    inter = _pair_intersections(vals_a, lens_a, vals_b, lens_b)
+    union = lens_a + lens_b - inter
+    out = np.zeros(len(lens_a), np.int64)
+    np.floor_divide(1000 * inter, union, out=out, where=union > 0)
+    return out.astype(np.float64)
+
+
+def batch_containment(vals_a, lens_a, vals_b, lens_b) -> np.ndarray:
+    """Vectorized |A∩B| / min(|A|,|B|) per pair (float64)."""
+    inter = _pair_intersections(vals_a, lens_a, vals_b, lens_b)
+    m = np.minimum(lens_a, lens_b)
+    return np.divide(inter, m, out=np.zeros(len(lens_a)), where=m > 0)
+
+
+def batch_cosine(vals_a, lens_a, vals_b, lens_b) -> np.ndarray:
+    """Vectorized cosine per pair for FIXED-dimension float payloads
+    (reshape + row-wise dot); ragged inputs raise — callers with ragged
+    vectors keep the per-pair path."""
+    n = len(lens_a)
+    if n == 0:
+        return np.zeros(0)
+    d = int(lens_a[0])
+    if (lens_a != d).any() or (lens_b != d).any():
+        raise ValueError("batch_cosine requires fixed-dimension payloads")
+    a = np.asarray(vals_a, np.float64).reshape(n, d)
+    b = np.asarray(vals_b, np.float64).reshape(n, d)
+    num = np.einsum("ij,ij->i", a, b)
+    # clamp like knn._cosine: max(norm_a*norm_b, 1e-30)
+    den = np.maximum(np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-30)
+    return num / den
+
+
 def pairwise_verify(
     payloads: ray.data.Dataset,
     pairs: ray.data.Dataset,
@@ -45,6 +122,9 @@ def pairwise_verify(
     out_col: str = "score",
     pay_type: pa.DataType | None = None,
     num_buckets: int = 64,
+    batch_score_fn: Callable[
+        [np.ndarray, np.ndarray, np.ndarray, np.ndarray], np.ndarray
+    ] | None = None,
 ) -> ray.data.Dataset:
     """Score every (a, b) candidate pair with ``score_fn(payload_a,
     payload_b)`` — fully distributed (see module docstring). Returns a
@@ -52,6 +132,15 @@ def pairwise_verify(
 
     ``payloads``: (id_col, payload_col:list<...>) — one row per doc that
     MAY appear in a pair (extra rows are dropped by the co-group merge).
+
+    ``batch_score_fn(vals_a, lens_a, vals_b, lens_b) -> float64[n]``:
+    optional vectorized scorer over ALL of a bucket's pairs at once —
+    ``vals_*`` are the concatenated payload values of every pair's
+    side (ragged, per-pair lengths in ``lens_*``). String payloads are
+    dictionary-encoded to int32 codes (one Arrow C pass, exact) before
+    the call. When set it replaces the per-pair ``score_fn`` loop — the
+    hot stage of every verify-bound pipeline (round-4 VERDICT item 2);
+    ``score_fn`` stays as the semantic reference and ragged fallback.
     """
     if pay_type is None:
         pay_type = payloads.schema().base_schema.field(payload_col).type
@@ -195,11 +284,40 @@ def pairwise_verify(
         lens = np.diff(np.r_[starts, n])
         ok = (lens == 2) & (role[starts] == _ROLE_SIDE_A)
         i = starts[ok]
-        # per-pair scoring is inherent (exact Jaccard / cosine of ONE
-        # pair); the loop covers this bucket's pairs only — never the driver
-        out_s = [
-            float(score_fn(pay_of(o[j]), pay_of(o[j + 1]))) for j in i
-        ]
+        if batch_score_fn is not None and len(i) and (
+            pa.types.is_list(pay.type) or pa.types.is_large_list(pay.type)
+        ):
+            # vectorized bucket-wide scoring: gather both sides' ragged
+            # payload values with two flat takes, then ONE batch call
+            import pyarrow.compute as pc
+
+            offs64 = offs.astype(np.int64)
+            row_lens = offs64[1:] - offs64[:-1]
+            ja, jb = o[i], o[i + 1]
+            lens_a, lens_b = row_lens[ja], row_lens[jb]
+            idx_a = _ragged_idx(offs64[ja], lens_a)
+            idx_b = _ragged_idx(offs64[jb], lens_b)
+            if pa.types.is_string(pay.type.value_type) or pa.types.is_large_string(
+                pay.type.value_type
+            ):
+                # exact int codes via ONE dictionary_encode over both
+                # sides (consistent codes, no Python string boxing)
+                enc = pc.take(
+                    pay.values, pa.array(np.concatenate([idx_a, idx_b]), pa.int64())
+                ).dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                vals_a, vals_b = codes[: len(idx_a)], codes[len(idx_a):]
+            else:
+                flat = pay.values.to_numpy(zero_copy_only=False)
+                vals_a, vals_b = flat[idx_a], flat[idx_b]
+            out_s = np.asarray(batch_score_fn(vals_a, lens_a, vals_b, lens_b), np.float64)
+        else:
+            # per-pair scoring fallback (ragged cosine / exotic payloads);
+            # the loop covers this bucket's pairs only — never the driver
+            out_s = np.asarray(
+                [float(score_fn(pay_of(o[j]), pay_of(o[j + 1]))) for j in i],
+                np.float64,
+            )
         return pa.table(
             {
                 "a": pa.array(a[i], pa.int64()),

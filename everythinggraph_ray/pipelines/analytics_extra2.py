@@ -1591,8 +1591,11 @@ def q_docs_minhash_recall(sf_dir):
     stage = MinHashStage(64, 16, 3)
     bands_ds = shingles.map_batches(stage.bands_from_payloads, batch_format="pyarrow")
     cand = group_pairs(bands_ds, ["band_id", "band_hash"], max_bucket=512)
+    from everythinggraph_ray.datapipe.pairs import batch_jaccard
+
     lsh_scored = pairwise_verify(
-        shingles, cand, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64())
+        shingles, cand, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64()),
+        batch_score_fn=batch_jaccard,
     )
     lsh_kept = lsh_scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], MINHASH_RECALL_T)),
@@ -1608,7 +1611,8 @@ def q_docs_minhash_recall(sf_dir):
         pa.table({"a": pa.array(ids[i], pa.int64()), "b": pa.array(ids[j], pa.int64())})
     )
     true_scored = pairwise_verify(
-        shingles, allp, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64())
+        shingles, allp, jaccard, out_col="jaccard", pay_type=pa.list_(pa.int64()),
+        batch_score_fn=batch_jaccard,
     )
     true_kept = true_scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], MINHASH_RECALL_T)),

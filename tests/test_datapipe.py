@@ -1505,3 +1505,80 @@ def test_starred_fraction_propagated():
     # the helper itself, over simhash candidates of identical docs
     cand = simhash_candidates(_docs_ds([txt] * 12), max_bucket=4).materialize()
     assert starred_milli_of(cand) == 1000
+
+
+def test_pairwise_batch_scorers_match_serial():
+    """The vectorized bucket-wide scorers (round-4 VERDICT item 2) are
+    bit-identical to their per-pair reference functions on ragged sets,
+    including empty-set edge cases."""
+    from everythinggraph_ray.datapipe.dedup import containment, jaccard
+    from everythinggraph_ray.datapipe.knn import _cosine
+    from everythinggraph_ray.datapipe.pairs import (
+        batch_containment,
+        batch_cosine,
+        batch_jaccard,
+        batch_jaccard_milli,
+    )
+
+    rng = np.random.default_rng(7)
+    sets = [
+        np.sort(rng.choice(50, size=s, replace=False)).astype(np.int64)
+        for s in [0, 1, 3, 7, 20, 50]
+    ]
+    pairs = [(i, j) for i in range(len(sets)) for j in range(len(sets))]
+    lens_a = np.array([len(sets[i]) for i, _ in pairs])
+    lens_b = np.array([len(sets[j]) for _, j in pairs])
+    vals_a = np.concatenate([sets[i] for i, _ in pairs])
+    vals_b = np.concatenate([sets[j] for _, j in pairs])
+
+    got_j = batch_jaccard(vals_a, lens_a, vals_b, lens_b)
+    got_m = batch_jaccard_milli(vals_a, lens_a, vals_b, lens_b)
+    got_c = batch_containment(vals_a, lens_a, vals_b, lens_b)
+    for k, (i, j) in enumerate(pairs):
+        assert got_j[k] == jaccard(sets[i], sets[j])
+        inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+        union = len(sets[i]) + len(sets[j]) - inter
+        assert got_m[k] == (float((1000 * inter) // union) if union else 0.0)
+        assert got_c[k] == containment(sets[i], sets[j])
+
+    vecs = rng.normal(size=(6, 16))
+    va = np.concatenate([vecs[i] for i, _ in pairs[:10]])
+    vb = np.concatenate([vecs[j] for _, j in pairs[:10]])
+    d16 = np.full(10, 16)
+    got_cos = batch_cosine(va, d16, vb, d16)
+    for k, (i, j) in enumerate(pairs[:10]):
+        assert abs(got_cos[k] - _cosine(vecs[i], vecs[j])) < 1e-12
+
+
+def test_jaccard_join_fixture_groups_under_cap():
+    """Driver-gate guard: at the correctness fixture scales every prefix
+    token group stays under the default max_bucket, so the distributed
+    join is EXACT there (the star fallback never fires). If a testdata
+    regeneration ever breaks this, the driver hash gate would silently
+    compare a truncated join — fail here instead."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    import duckdb
+
+    from everythinggraph_ray.datapipe.text import WORD_RE
+
+    rx = _re.compile(WORD_RE)
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).df()
+    toks = {
+        int(i): sorted(set(rx.findall(str(t).lower())))
+        for i, t in zip(df.doc_id, df.text)
+    }
+    dfreq = _Counter(t for s in toks.values() for t in s)
+    grp: _Counter = _Counter()
+    m = 500
+    for s in toks.values():
+        s2 = sorted(s, key=lambda t: (dfreq[t], t))
+        n = len(s2)
+        p = n - (-((-m * n) // 1000)) + 1
+        for t in s2[: max(p, 0)]:
+            grp[t] += 1
+    assert max(grp.values(), default=0) <= 512
