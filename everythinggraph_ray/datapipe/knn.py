@@ -146,20 +146,26 @@ def _grouped_search(
     groupby) — no corpus materialization (round-2 VERDICT fix)."""
     probe_ref = ray.put(probe)
 
-    def search(g: pd.DataFrame) -> pd.DataFrame:
+    def search(g: pa.Table) -> pa.Table:
+        # Arrow-native group reducer (round-4 VERDICT item 6: the last
+        # batch_format="pandas" hop repo-wide): zero-copy flatten of the
+        # embedding list column, vectorized matmul, per-query exact
+        # tie-aware top-k (the loop is over this bucket's PROBING
+        # queries, not rows)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
         pm = ray.get(probe_ref)
-        got = pm.get(int(g[bucket_col].iloc[0]))
+        got = pm.get(int(g[bucket_col][0].as_py())) if g.num_rows else None
         if got is None:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.array([], dtype="int64"),
-                    "neighbor_id": pd.array([], dtype="int64"),
-                    "sim": pd.array([], dtype="float64"),
-                }
-            )
+            return empty
         qids, qm = got
-        ids = g[id_col].to_numpy(np.int64)
-        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(g, emb_col))
         sims = m @ qm.T  # (bucket_n, Q_b)
         kk = min(k + 1, len(ids))  # +1: the query itself lives in one bucket
         out_q, out_n, out_s = [], [], []
@@ -169,17 +175,17 @@ def _grouped_search(
             out_q.append(np.full(len(top), qids[j], dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(s[top])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
     cand = (
         bucketed.groupby(bucket_col)
-        .map_groups(search, batch_format="pandas")
+        .map_groups(search, batch_format="pyarrow")
         .to_pandas()  # ≤ |queries| × probed buckets × (k+1) rows — small
     )
     if not len(cand):
