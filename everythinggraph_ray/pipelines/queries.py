@@ -720,11 +720,23 @@ def q_rel_pagerank(sf_dir):
     vertex count — any push/pull divergence beyond 1e-9 hash-fails.
     Per-vertex exactness vs the serial NumPy oracle stays
     pytest-covered; the full rank vectors remain driver-visible via
-    rel_pagerank10 / rel_pagerank10_pull."""
+    rel_pagerank10 / rel_pagerank10_pull.
+
+    The pull engine runs for the PUSH engine's recorded iteration
+    count rather than its own tol stop (round-4 ADVICE item 2): a
+    near-threshold Δ could stop one engine an iteration earlier on a
+    new dataset, failing the 1e-9 grid wholesale with no real bug;
+    pinning the count leaves only FP-order divergence to disagree."""
     from everythinggraph_ray.graph.pull import pagerank_pull
 
-    push = _run_engine(_rel_build(sf_dir), PageRankKernel(), tol=1e-6)
-    res = pagerank_pull(_rel_pull_build(sf_dir), tol=1e-6)
+    eng = GraphEngine(_rel_build(sf_dir))
+    try:
+        pres = eng.run(PageRankKernel(), tol=1e-6)
+        push = pres["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
+        push_iters = int(pres["iterations"])
+    finally:
+        eng.shutdown()
+    res = pagerank_pull(_rel_pull_build(sf_dir), tol=None, n_iters=push_iters)
     pull = res["dataset"].to_pandas().sort_values("vid").reset_index(drop=True)
     m = push.merge(pull, on="vid", suffixes=("_push", "_pull"), how="outer")
     g_push = np.round(m["pagerank_push"].to_numpy() * 1e9)
@@ -2308,9 +2320,10 @@ def q_web_kcore(sf_dir):
     from everythinggraph_ray.graph.kcore import kcore
 
     core, rounds = kcore(ray.data.read_parquet(_web_dense_edges_dir(sf_dir)), 3)
-    assert rounds <= WEB_KCORE_SQL_ROUNDS, (
-        f"web kcore peel took {rounds} rounds; raise WEB_KCORE_SQL_ROUNDS"
-    )
+    if rounds > WEB_KCORE_SQL_ROUNDS:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"web kcore peel took {rounds} rounds; raise WEB_KCORE_SQL_ROUNDS"
+        )
     return core
 
 
