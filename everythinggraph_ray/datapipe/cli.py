@@ -143,7 +143,7 @@ def _run(args) -> int:
             return 2
         from everythinggraph_ray.datapipe.cluster import emb_kmeans
 
-        emb = ray.data.read_parquet(args.embeddings)
+        emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col or "vec_id", "embedding"])
         res = emb_kmeans(
             emb, n_clusters=args.n_centroids, id_col=args.id_col or "vec_id"
         )["assignments"]
@@ -160,7 +160,12 @@ def _run(args) -> int:
 
         from everythinggraph_ray.datapipe import cluster
 
-        emb = ray.data.read_parquet(args.embeddings)
+        emb = ray.data.read_parquet(
+            args.embeddings,
+            # logreg trains on the label column; pca needs vectors only
+            columns=[args.id_col or "vec_id", "embedding"]
+            + (["label"] if args.op == "logreg" else []),
+        )
         if args.op == "pca":
             r = cluster.emb_power_iteration(emb)
             res = pd.DataFrame(
@@ -209,7 +214,7 @@ def _run(args) -> int:
             return 2
         from everythinggraph_ray.datapipe.quantize import sq8_quantize
 
-        emb = ray.data.read_parquet(args.embeddings)
+        emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col or "vec_id", "embedding"])
         res = sq8_quantize(emb, id_col=args.id_col or "vec_id")
         n = _write(res, args, args.id_col or "vec_id")
         print(json.dumps({"op": "sq8", "out": args.out, "rows": n}))
@@ -219,7 +224,12 @@ def _run(args) -> int:
         if not args.embeddings:
             print("error: this op needs --embeddings", file=sys.stderr)
             return 2
-        emb = ray.data.read_parquet(args.embeddings)
+        emb = ray.data.read_parquet(
+            args.embeddings,
+            # gram computes X'y from the label column; the others need vectors only
+            columns=[args.id_col or "vec_id", "embedding"]
+            + (["label"] if args.op == "gram" else []),
+        )
         id_col = args.id_col or "vec_id"
         if args.op == "pq-codes":
             from everythinggraph_ray.datapipe.pq import pq_encode
@@ -245,7 +255,7 @@ def _run(args) -> int:
             return 2
         from everythinggraph_ray.datapipe.pq import knn_pq
 
-        emb = ray.data.read_parquet(args.embeddings)
+        emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col or "vec_id", "embedding"])
         id_col = args.id_col or "vec_id"
         if args.queries:
             qids = [int(x) for x in args.queries.split(",")]
@@ -262,7 +272,9 @@ def _run(args) -> int:
         if not args.docs:
             print("error: this op needs --docs", file=sys.stderr)
             return 2
-        docs = ray.data.read_parquet(args.docs)
+        docs = ray.data.read_parquet(
+            args.docs, columns=[args.id_col or "doc_id", args.text_col]
+        )
         if args.op == "snm":
             res = dedup.snm_near_duplicates(
                 docs, window=args.window, threshold_milli=args.threshold_milli,
@@ -287,7 +299,7 @@ def _run(args) -> int:
         if not args.embeddings:
             print("error: this op needs --embeddings", file=sys.stderr)
             return 2
-        emb = ray.data.read_parquet(args.embeddings)
+        emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col or "vec_id", "embedding"])
         id_col = args.id_col or "vec_id"
         if args.op == "emb-near-dup":
             res = knn.embedding_near_duplicates(
@@ -421,7 +433,7 @@ def _run(args) -> int:
             if not args.bench:
                 print("error: decontaminate needs --bench", file=sys.stderr)
                 return 2
-            bench = ray.data.read_parquet(args.bench)
+            bench = ray.data.read_parquet(args.bench, columns=[tc])
             res = curate.decontaminate(
                 docs, bench, ngram=args.ngram, text_col=tc, id_col=id_col
             )

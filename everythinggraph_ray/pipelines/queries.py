@@ -2345,34 +2345,39 @@ def q_web_wcc(sf_dir):
 # ----------------------------------------------------------------------
 # documents / embeddings / events queries
 # ----------------------------------------------------------------------
-def _docs(sf_dir):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir, columns: list[str] | None = None):
+    """Documents table; pass ``columns`` to prune at the read — callers
+    that consume only (doc_id, text) should not ship lang/source/n_chars
+    off storage (round-4 VERDICT item 8)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
 
 
 def q_doc_stats(sf_dir):
-    return doc_stats(_docs(sf_dir))
+    return doc_stats(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_exact_dedup(sf_dir):
-    return exact_duplicates(_docs(sf_dir))
+    return exact_duplicates(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_quality(sf_dir):
-    return quality_score(_docs(sf_dir))
+    return quality_score(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_lang_counts(sf_dir):
     from ray.data.aggregate import Count
 
-    return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n"))
+    return _docs(sf_dir, columns=["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
 
 
 def q_docs_top_tokens(sf_dir):
-    return top_tokens(_docs(sf_dir), k=50)
+    return top_tokens(_docs(sf_dir, columns=["doc_id", "text"]), k=50)
 
 
 def q_docs_langid(sf_dir):
-    return lang_id(_docs(sf_dir))
+    return lang_id(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_top_tokens_per_lang(sf_dir):
@@ -2397,7 +2402,7 @@ def q_docs_containment(sf_dir):
     from everythinggraph_ray.datapipe.dedup import containment_pairs
 
     return _typed_collect(
-        containment_pairs(_docs(sf_dir), threshold_milli=800),
+        containment_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold_milli=800),
         {"a": "int64", "b": "int64", "cont_milli": "int64"},
     )
 
@@ -2410,7 +2415,7 @@ def q_docs_snm_pairs(sf_dir):
     from everythinggraph_ray.datapipe.dedup import snm_near_duplicates
 
     return _typed_collect(
-        snm_near_duplicates(_docs(sf_dir), window=5, threshold_milli=700),
+        snm_near_duplicates(_docs(sf_dir, columns=["doc_id", "text"]), window=5, threshold_milli=700),
         {"a": "int64", "b": "int64", "jac_milli": "int64"},
     )
 
@@ -2480,11 +2485,11 @@ def q_docs_bigram_lm(sf_dir):
     integer counts shared verbatim with the SQL."""
     from everythinggraph_ray.datapipe.lm import bigram_lm
 
-    return bigram_lm(_docs(sf_dir))
+    return bigram_lm(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_fingerprint(sf_dir):
-    return fingerprint(_docs(sf_dir))
+    return fingerprint(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_top_quality_per_lang(sf_dir):
@@ -2522,7 +2527,7 @@ def q_docs_minhash_clusters(sf_dir):
     per-mille fraction of candidate pairs proposed via oversized-bucket
     star hubs — recall loss is visible in every run's output."""
     return _typed_collect(
-        minhash_near_duplicates(_docs(sf_dir), threshold=0.8, with_starred_frac=True),
+        minhash_near_duplicates(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, with_starred_frac=True),
         {"doc_id": "int64", "cluster_id": "int64", "starred_milli": "int64"},
     )
 
@@ -2530,7 +2535,7 @@ def q_docs_minhash_clusters(sf_dir):
 def q_docs_simhash(sf_dir):
     from everythinggraph_ray.datapipe.dedup import simhash
 
-    return simhash(_docs(sf_dir))
+    return simhash(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_simhash_dedup(sf_dir):
@@ -2545,7 +2550,7 @@ def q_docs_simhash_dedup(sf_dir):
         starred_milli_of,
     )
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
     cand = simhash_candidates(docs).materialize()
     sm = starred_milli_of(cand)
     out = ngram_jaccard_pairs(docs, cand.select_columns(["a", "b"]))
@@ -2626,7 +2631,7 @@ def q_docs_minhash_md5(sf_dir):
     from everythinggraph_ray.datapipe.dedup import minhash_signatures_md5
 
     return _typed_collect(
-        minhash_signatures_md5(_docs(sf_dir)),
+        minhash_signatures_md5(_docs(sf_dir, columns=["doc_id", "text"])),
         {"doc_id": "int64", "seed": "int64", "minhash": "int64"},
     )
 
@@ -2771,7 +2776,7 @@ def q_docs_dedup_keep_best(sf_dir):
     from everythinggraph_ray.datapipe.text import quality_score
     from everythinggraph_ray.stages.agg import grouped_top_k
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
     clusters = minhash_near_duplicates(docs, threshold=0.8).materialize()
     if clusters.count() == 0:
         return pd.DataFrame(
@@ -2828,7 +2833,7 @@ def q_docs_candidate_starred(sf_dir):
     from everythinggraph_ray.datapipe.dedup import MinHashStage, simhash_candidates
     from everythinggraph_ray.datapipe.pairs import group_pairs
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
     stage = MinHashStage()
     minhash_cand = group_pairs(
         docs.map_batches(stage, batch_format="pyarrow"), ["band_id", "band_hash"]
@@ -4281,7 +4286,7 @@ def q_docs_cdc_chunks(sf_dir):
     edit-locality + determinism + bounds are pytest-asserted."""
     from everythinggraph_ray.datapipe.chunk import cdc_chunks
 
-    return cdc_chunks(_docs(sf_dir))
+    return cdc_chunks(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_pack_sequences(sf_dir):
@@ -4290,7 +4295,7 @@ def q_docs_pack_sequences(sf_dir):
     cluster-scale). SQL oracle = window cumsum ordered by doc_id."""
     from everythinggraph_ray.datapipe.pack import pack_sequences
 
-    return pack_sequences(_docs(sf_dir), bin_tokens=2000)
+    return pack_sequences(_docs(sf_dir, columns=["doc_id", "text"]), bin_tokens=2000)
 
 
 def _augment_pii(batch: pa.Table) -> pa.Table:
@@ -4342,7 +4347,7 @@ def q_docs_repetition(sf_dir):
     """Gopher-style within-doc repetition stats (all-integer signals)."""
     from everythinggraph_ray.datapipe.curate import repetition_stats
 
-    return repetition_stats(_docs(sf_dir))
+    return repetition_stats(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def q_docs_decontaminate(sf_dir):
@@ -4443,7 +4448,7 @@ def q_docs_pmi_pairs(sf_dir):
 
     from everythinggraph_ray.stages.agg import bucketed_reduce
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
     rx = re.compile(r"[a-z0-9]+")
     W = PMI_WINDOW
 
@@ -4524,7 +4529,7 @@ def q_docs_dup_spans(sf_dir):
     gram hashes shared verbatim with the SQL oracle)."""
     from everythinggraph_ray.datapipe.substr import duplicate_spans
 
-    return duplicate_spans(_docs(sf_dir), n=DUP_SPAN_N)
+    return duplicate_spans(_docs(sf_dir, columns=["doc_id", "text"]), n=DUP_SPAN_N)
 
 
 WINNOW_K, WINNOW_W = 5, 4
@@ -4537,7 +4542,7 @@ def q_docs_winnow(sf_dir):
     (datapipe/text.py winnow_fingerprints; one map_batches, no shuffle)."""
     from everythinggraph_ray.datapipe.text import winnow_fingerprints
 
-    return winnow_fingerprints(_docs(sf_dir), k=WINNOW_K, w=WINNOW_W)
+    return winnow_fingerprints(_docs(sf_dir, columns=["doc_id", "text"]), k=WINNOW_K, w=WINNOW_W)
 
 
 CMS_WIDTH, CMS_DEPTH, CMS_THRESHOLD = 1024, 4, 900
@@ -4551,7 +4556,7 @@ def q_docs_cms_heavy(sf_dir):
     from everythinggraph_ray.datapipe.sketch import cms_heavy_hitters
 
     return cms_heavy_hitters(
-        _docs(sf_dir), CMS_THRESHOLD, width=CMS_WIDTH, depth=CMS_DEPTH
+        _docs(sf_dir, columns=["doc_id", "text"]), CMS_THRESHOLD, width=CMS_WIDTH, depth=CMS_DEPTH
     )
 
 
@@ -4668,7 +4673,7 @@ def q_docs_gopher_filter(sf_dir):
     repetition_stats' output (no second pass over text)."""
     from everythinggraph_ray.datapipe.curate import repetition_stats
 
-    stats = repetition_stats(_docs(sf_dir))
+    stats = repetition_stats(_docs(sf_dir, columns=["doc_id", "text"]))
 
     def gate(batch: pa.Table) -> pa.Table:
         nw = batch["n_words"].to_numpy(zero_copy_only=False)
@@ -4685,7 +4690,7 @@ def q_docs_mix_weights(sf_dir):
     (integer floor division — bit-exact vs the SQL window oracle)."""
     from everythinggraph_ray.datapipe.curate import mix_weights
 
-    return mix_weights(_docs(sf_dir))
+    return mix_weights(_docs(sf_dir, columns=["doc_id", "text", "lang", "source"]))
 
 
 def q_events_purchase_window(sf_dir):
@@ -4748,7 +4753,7 @@ def q_docs_inverted_index(sf_dir):
     min_df=2."""
     from everythinggraph_ray.datapipe.text import inverted_index
 
-    return inverted_index(_docs(sf_dir), min_df=2)
+    return inverted_index(_docs(sf_dir, columns=["doc_id", "text"]), min_df=2)
 
 
 def q_docs_tfidf(sf_dir):
@@ -4991,8 +4996,13 @@ def q_q5_region_revenue(sf_dir):
 
     from everythinggraph_ray.datapipe.joins import hash_join
 
-    region = ray.data.read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
-    nation = ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = ray.data.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    ).to_pandas()
     rk = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"]
     nmap = nation[nation["n_regionkey"].isin(rk)]
     name_of = _ray.put(
