@@ -340,8 +340,11 @@ ANALYTICS16_QUERIES["docs_nb_langid"] = q_docs_nb_langid
 # ----------------------------------------------------------------------
 # greedy set cover (suppliers covering parts)
 # ----------------------------------------------------------------------
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=0.25)
 class _CoverPartition:
+    # fractional CPUs: 8 partition actors must co-schedule even on a
+    # 4-CPU test session (each round's work is a sub-ms bincount; the
+    # pool would deadlock waiting for 8 full cores otherwise)
     """One supplier-hash partition of the distinct supplier→part
     incidence, pinned in actor memory (the engine's C1/C2 pattern) so
     each greedy round is ONE vectorized pass + one RPC instead of a
