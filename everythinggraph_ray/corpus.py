@@ -169,6 +169,12 @@ def generate_pages(n_pages: int, seed: int = 42) -> pa.Table:
     )
 
 
+def corpus_path(n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus") -> str:
+    """Corpus directory for (n_pages, seed) WITHOUT materializing it —
+    for oracle SQL generation at import time (ensure_corpus writes)."""
+    return os.path.join(root, f"pages_n{n_pages}_s{seed}_v2")
+
+
 def ensure_corpus(n_pages: int, seed: int = 42, root: str = "/tmp/egray_corpus") -> str:
     """Write (once) and return the parquet path for a (n_pages, seed) corpus.
 

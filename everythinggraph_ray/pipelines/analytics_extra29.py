@@ -178,4 +178,23 @@ def q_events_user_lis(sf_dir):
 
 
 ANALYTICS29_QUERIES["events_user_lis"] = q_events_user_lis
-# no SQL oracle: LIS needs DP; serial O(n^2) replay pytest.
+# LIS as a recursive chain-extension CTE (round-4 VERDICT item 9):
+# states (user, rn, v, len) = "an increasing subsequence of length len
+# ends at rn"; UNION dedups states, so the frontier is bounded by
+# n_events x lis_len per user — fixture-scale tractable, and max(len)
+# is exactly the strict-LIS length.
+ANALYTICS29_ORACLES["events_user_lis"] = (
+    "WITH RECURSIVE ev AS ("
+    "SELECT user_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
+    "FROM events), "
+    "n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY user_id), "
+    "ch(user_id, rn, v, len) AS ("
+    "SELECT user_id, rn, v, 1 FROM ev "
+    "UNION "
+    "SELECT e.user_id, e.rn, e.v, ch.len + 1 FROM ch "
+    "JOIN ev e ON e.user_id = ch.user_id AND e.rn > ch.rn AND e.v > ch.v) "
+    "SELECT n.user_id, n.n_events, m.lis_len FROM n JOIN "
+    "(SELECT user_id, CAST(max(len) AS BIGINT) AS lis_len FROM ch GROUP BY user_id) m "
+    "USING (user_id)"
+)

@@ -97,5 +97,22 @@ def q_events_debounce(sf_dir):
 
 
 ANALYTICS42_QUERIES["events_debounce"] = q_events_debounce
-# rows-only: the kept-chain recursion has no tractable SQL form; serial
-# replay pytest.
+# kept-chain as a recursive CTE (round-4 VERDICT item 9): the anchor
+# (last kept ts) carries through the recursion one row_number step at a
+# time — exactly the serial chain semantics, fixture-scale tractable.
+ANALYTICS42_ORACLES["events_debounce"] = (
+    "WITH RECURSIVE e AS ("
+    "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, "
+    "CAST(row_number() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id) AS BIGINT) AS rn FROM events), "
+    "r(user_id, event_type, rn, event_id, kept, anchor) AS ("
+    "SELECT user_id, event_type, rn, event_id, 1, ts_us FROM e WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT e.user_id, e.event_type, e.rn, e.event_id, "
+    f"CASE WHEN e.ts_us - r.anchor >= {DEBOUNCE_US} THEN 1 ELSE 0 END, "
+    f"CASE WHEN e.ts_us - r.anchor >= {DEBOUNCE_US} THEN e.ts_us ELSE r.anchor END "
+    "FROM r JOIN e ON e.user_id = r.user_id AND e.event_type = r.event_type "
+    "AND e.rn = r.rn + 1) "
+    "SELECT CAST(event_id AS BIGINT) AS event_id, "
+    "CAST(user_id AS BIGINT) AS user_id, CAST(kept AS BIGINT) AS kept FROM r"
+)

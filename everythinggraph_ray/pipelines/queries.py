@@ -7992,6 +7992,12 @@ ORACLES.update(_curation_oracles())
 # SQL. __ray_entry__.oracle_sql() materializes the side parquet lazily
 # before returning these strings.
 # ----------------------------------------------------------------------
+def _corpus_glob(n_pages: int) -> str:
+    from everythinggraph_ray.corpus import corpus_path
+
+    return os.path.join(corpus_path(n_pages), "*.parquet")
+
+
 def _web_sql_prelude(n_pages: int = 3000, *, undirect: bool = False) -> str:
     from everythinggraph_ray.corpus import web_oracle_edges_path
 
@@ -8105,6 +8111,17 @@ def _web_oracle_sqls(n_pages: int = 3000) -> dict[str, str]:
                 " SELECT vid, round(r, 7) AS pagerank FROM r10 "
                 "ORDER BY pagerank DESC, vid LIMIT 10"
             ),
+        ),
+        # binary-content dedup certificate: GROUP BY the raw html BLOB
+        # (bit-exact content equality; the Ray side's md5 keys equal it
+        # modulo md5 collisions) over the same cached corpus parquet
+        "multimodal_exact_dedup": (
+            "WITH g AS (SELECT count(*) AS c FROM "
+            f"read_parquet('{_corpus_glob(n_pages)}') GROUP BY html) "
+            "SELECT CAST(sum(c) AS BIGINT) AS n_items, "
+            "CAST(count(*) AS BIGINT) AS n_unique, "
+            "CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_items, "
+            "CAST(max(c) AS BIGINT) AS max_group FROM g"
         ),
         "web_wcc": (
             "WITH RECURSIVE "
