@@ -205,13 +205,12 @@ def exact_duplicates(docs: ray.data.Dataset, text_col: str = "text") -> ray.data
         return string_buckets(batch["h"])
 
     def red(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
-        )
+        # Arrow-native grouped (min, count) — pyarrow C++ hash aggregate
+        agg = g.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
         return pa.table(
             {
-                "doc_id": pa.array(df["doc_id"], pa.int64()),
-                "n_copies": pa.array(df["n_copies"], pa.int64()),
+                "doc_id": agg["doc_id_min"].cast(pa.int64()),
+                "n_copies": agg["doc_id_count"].cast(pa.int64()),
             }
         )
 
@@ -470,12 +469,19 @@ def simhash_candidates(
         return mix64_pair(a, b)
 
     def red(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby(["a", "b"], as_index=False)["starred"].max()
+        # numpy-native distinct-with-max: sort (a, b, starred-first) and
+        # keep each pair's first row — no pandas groupby
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["starred"].to_numpy(zero_copy_only=False).astype(bool)
+        o = np.lexsort((~s, b, a))
+        a, b, s = a[o], b[o], s[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
         return pa.table(
             {
-                "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
-                "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
-                "starred": pa.array(df["starred"].to_numpy(bool), pa.bool_()),
+                "a": pa.array(a[first], pa.int64()),
+                "b": pa.array(b[first], pa.int64()),
+                "starred": pa.array(s[first], pa.bool_()),
             }
         )
 
@@ -661,12 +667,21 @@ def snm_near_duplicates(
 
     # --- 3. stage 1: per-range sort + boundary replication -------------
     def pad(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(["k", id_col], kind="stable")
-        r = int(df["r"].iloc[0])
-        df["fb"] = r
-        tail = df.tail(W - 1).copy()
-        tail["fb"] = r + 1
-        return pa.Table.from_pandas(pd.concat([df, tail]), preserve_index=False)
+        # Arrow-native per-range sort + boundary replication: sort by
+        # (k, id), tag fb=r, append the last W-1 rows again with fb=r+1
+        order = pc.sort_indices(
+            g, sort_keys=[("k", "ascending"), (id_col, "ascending")]
+        )
+        t = g.take(order)
+        r = int(t["r"][0].as_py())
+        main = t.append_column(
+            "fb", pa.array(np.full(t.num_rows, r, np.int64), pa.int64())
+        )
+        tail = t.slice(max(0, t.num_rows - (W - 1)))
+        tail = tail.append_column(
+            "fb", pa.array(np.full(tail.num_rows, r + 1, np.int64), pa.int64())
+        )
+        return pa.concat_tables([main, tail])
 
     padded = bucketed_reduce(
         tagged, lambda b: b["r"].to_numpy(zero_copy_only=False), pad,
@@ -675,9 +690,12 @@ def snm_near_duplicates(
 
     # --- 4. stage 2: window scan + Jaccard verify -----------------------
     def scan(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(["k", id_col], kind="stable")
-        ids = df[id_col].to_numpy(np.int64)
-        sh = [_token_shingles(t) for t in df[text_col].tolist()]
+        order = pc.sort_indices(
+            g, sort_keys=[("k", "ascending"), (id_col, "ascending")]
+        )
+        t = g.take(order)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = [_token_shingles(x) for x in t[text_col].to_pylist()]
         oa, ob, oj = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, min(i + W, len(ids))):
@@ -704,8 +722,19 @@ def snm_near_duplicates(
 
     # --- 5. distinct (overlap rows can re-find a pair) ------------------
     def uniq(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        jm = g["jac_milli"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, jm = a[o], b[o], jm[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a": pa.array(a[first], pa.int64()),
+                "b": pa.array(b[first], pa.int64()),
+                "jac_milli": pa.array(jm[first], pa.int64()),
+            }
+        )
 
     return bucketed_reduce(
         pairs,
