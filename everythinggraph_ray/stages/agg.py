@@ -124,6 +124,36 @@ def _hash_arrow_strings(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, np.uint64)
+    # dictionary_encode first (one Arrow C pass — the zero-boxing
+    # analogue of pandas categorize=True): the polynomial pass then
+    # touches each DISTINCT value's bytes once, and the per-row answer
+    # is a single int32 gather. Wins at any repetition factor and ties
+    # on all-unique columns.
+    null_mask = (
+        arr.is_null().to_numpy(zero_copy_only=False) if arr.null_count else None
+    )
+    enc = arr.dictionary_encode()
+    dic = enc.dictionary
+    idx = enc.indices
+    if null_mask is not None:
+        import pyarrow.compute as pc
+
+        idx = pc.fill_null(idx, 0)  # masked out below
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dh = _poly_hash_string_values(dic)
+    h = dh[codes] if len(dh) else np.zeros(n, np.uint64)
+    if null_mask is not None:
+        h = h.copy()
+        h[null_mask] = np.uint64(0x7FFFFFFF)
+    return h
+
+
+def _poly_hash_string_values(arr: pa.Array) -> np.ndarray:
+    """uint64 polynomial hash of each element of a (dictionary) string
+    array, computed directly on the UTF-8 value buffer."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     raw = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
     offs = raw[arr.offset : arr.offset + n + 1].astype(np.int64)
