@@ -372,37 +372,118 @@ def group_pairs(
             h = mix64(h ^ batch[c].to_numpy(zero_copy_only=False).astype(np.uint64))
         return h.astype(np.int64) & 0x7FFFFFFF
 
-    def red(g: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "starred": pa.array([], pa.bool_()),
+        }
+    )
+
+    def _red_generic(g: pa.Table) -> pa.Table:
+        # fallback for non-integer group columns: per-group pandas loop
         df = g.to_pandas().drop_duplicates(group_cols + [id_col])
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_star: list[np.ndarray] = []
         for _, grp in df.groupby(group_cols, sort=False):
-            ids = np.sort(grp[id_col].to_numpy(np.int64))
-            if len(ids) < 2:
+            gids = np.sort(grp[id_col].to_numpy(np.int64))
+            if len(gids) < 2:
                 continue
-            if len(ids) > max_bucket:
-                out_a.append(np.full(len(ids) - 1, ids[0]))
-                out_b.append(ids[1:])
-                out_star.append(np.ones(len(ids) - 1, dtype=bool))
+            if len(gids) > max_bucket:
+                out_a.append(np.full(len(gids) - 1, gids[0]))
+                out_b.append(gids[1:])
+                out_star.append(np.ones(len(gids) - 1, dtype=bool))
             else:
-                i, j = np.triu_indices(len(ids), k=1)
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+                i, j = np.triu_indices(len(gids), k=1)
+                out_a.append(gids[i])
+                out_b.append(gids[j])
                 out_star.append(np.zeros(len(i), dtype=bool))
         if not out_a:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "starred": pa.array([], pa.bool_()),
-                }
-            )
+            return empty
         return pa.table(
             {
                 "a": pa.array(np.concatenate(out_a), pa.int64()),
                 "b": pa.array(np.concatenate(out_b), pa.int64()),
                 "starred": pa.array(np.concatenate(out_star), pa.bool_()),
+            }
+        )
+
+    def red(g: pa.Table) -> pa.Table:
+        # fully vectorized bucket reducer (no pandas, no per-group
+        # Python loop — buckets hold ~10^5 groups in LSH band tables):
+        # ONE lexsort by (group..., id) makes groups contiguous with
+        # ids ascending, a neighbor-diff mask dedups, run-lengths give
+        # group sizes; star edges are ragged gathers and clique pairs
+        # come from the closed-form triangular-index inversion.
+        if not all(pa.types.is_integer(g.schema.field(c).type) for c in group_cols):
+            return _red_generic(g)
+        cols = [
+            g[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in group_cols
+        ]
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return empty
+        o = np.lexsort((ids, *reversed(cols)))
+        ids = ids[o]
+        cols = [c[o] for c in cols]
+        same_row = np.ones(n - 1, bool)
+        for c in cols:
+            same_row &= c[1:] == c[:-1]
+        keep = np.r_[True, ~(same_row & (ids[1:] == ids[:-1]))]
+        ids = ids[keep]
+        cols = [c[keep] for c in cols]
+        m = len(ids)
+        same_grp = np.ones(m - 1, bool)
+        for c in cols:
+            same_grp &= c[1:] == c[:-1]
+        starts = np.r_[0, np.flatnonzero(~same_grp) + 1].astype(np.int64)
+        s = np.diff(np.r_[starts, m]).astype(np.int64)
+
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
+        parts_star: list[np.ndarray] = []
+        star = s > max_bucket
+        if star.any():
+            st, ss = starts[star], s[star]
+            parts_a.append(np.repeat(ids[st], ss - 1))
+            parts_b.append(ids[_ragged_idx(st + 1, ss - 1)])
+            parts_star.append(np.ones(int((ss - 1).sum()), bool))
+        cl = (~star) & (s >= 2)
+        if cl.any():
+            st, ss = starts[cl], s[cl]
+            c = ss * (ss - 1) // 2
+            total = int(c.sum())
+            gp = np.repeat(np.arange(len(ss), dtype=np.int64), c)
+            t = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c)
+            sp = ss[gp]
+            # invert F(i) = i*(2s-i-1)/2 <= t for the row index i of the
+            # t-th upper-triangle pair (exact in float64 for s ≤ ~3e7;
+            # one clamp pass fixes any boundary rounding)
+            disc = (2 * sp - 1).astype(np.float64) ** 2 - 8.0 * t
+            i = ((2 * sp - 1) - np.sqrt(disc)).astype(np.int64) // 2
+            np.clip(i, 0, sp - 2, out=i)
+            F = i * (2 * sp - i - 1) // 2
+            over = F > t
+            i[over] -= 1
+            F[over] = i[over] * (2 * sp[over] - i[over] - 1) // 2
+            under = (i + 1 <= sp - 2) & ((i + 1) * (2 * sp - i - 2) // 2 <= t)
+            i[under] += 1
+            F[under] = i[under] * (2 * sp[under] - i[under] - 1) // 2
+            j = t - F + i + 1
+            base = st[gp]
+            parts_a.append(ids[base + i])
+            parts_b.append(ids[base + j])
+            parts_star.append(np.zeros(total, bool))
+        if not parts_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(parts_a), pa.int64()),
+                "b": pa.array(np.concatenate(parts_b), pa.int64()),
+                "starred": pa.array(np.concatenate(parts_star), pa.bool_()),
             }
         )
 

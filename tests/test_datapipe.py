@@ -1643,3 +1643,59 @@ def test_stdlib_raster_decode_exact():
     img = np.linspace(0, 1, 7 * 5).reshape(7, 5).astype(np.float32)
     bm = _block_mean_features(img)
     assert bm.shape == (16,) and np.isfinite(bm).all()
+
+
+def test_group_pairs_vectorized_matches_reference():
+    """The lexsort + triangular-index-inversion group_pairs reducer is
+    pair-for-pair identical to the per-group reference (np.triu_indices
+    cliques, min-id stars) across random group shapes, duplicates, and
+    boundary sizes (1, 2, exactly max_bucket, max_bucket+1)."""
+    from everythinggraph_ray.datapipe.pairs import group_pairs
+
+    rng = np.random.default_rng(11)
+    rows_g, rows_i = [], []
+    sizes = [1, 2, 3, 7, 64, 65, 500]
+    for gi, s in enumerate(sizes):
+        ids = rng.choice(10000, size=s, replace=False)
+        rows_g.extend([gi] * s)
+        rows_i.extend(ids.tolist())
+        # duplicate (group, id) rows must not create pairs
+        rows_g.extend([gi] * min(3, s))
+        rows_i.extend(ids[: min(3, s)].tolist())
+    perm = rng.permutation(len(rows_g))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(rows_i)[perm], pa.int64()),
+            "grp": pa.array(np.asarray(rows_g)[perm], pa.int64()),
+        }
+    )
+    got = (
+        group_pairs(ray.data.from_arrow(t), ["grp"], max_bucket=64)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # serial reference
+    ref_rows = []
+    for gi, s in enumerate(sizes):
+        ids = np.sort(
+            np.unique(
+                np.asarray(rows_i)[np.asarray(rows_g) == gi]
+            )
+        )
+        if len(ids) < 2:
+            continue
+        if len(ids) > 64:
+            for b in ids[1:]:
+                ref_rows.append((ids[0], b, True))
+        else:
+            i, j = np.triu_indices(len(ids), k=1)
+            for x, y in zip(ids[i], ids[j]):
+                ref_rows.append((x, y, False))
+    ref = (
+        pd.DataFrame(ref_rows, columns=["a", "b", "starred"])
+        .astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
