@@ -416,6 +416,21 @@ def grouped_quantiles(
     return bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"), bucket_of, red, num_buckets=num_buckets)
 
 
+def _cell_runs(gv, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """starts/lens of contiguous (group, range-bucket) cells in a sorted
+    bucket table (gv may be None for the ungrouped case, or an object
+    array — None group keys compare equal to themselves elementwise)."""
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if gv is None:
+        new = np.r_[True, b[1:] != b[:-1]]
+    else:
+        new = np.r_[True, (gv[1:] != gv[:-1]) | (b[1:] != b[:-1])]
+    starts = np.flatnonzero(new).astype(np.int64)
+    return starts, np.diff(np.r_[starts, n]).astype(np.int64)
+
+
 def grouped_row_number(
     ds: ray.data.Dataset,
     group_col: str | None,
@@ -493,14 +508,14 @@ def grouped_row_number(
 
     # 2. (group, range-bucket) counts → start offsets + group totals
     def count_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {c: batch[c].to_pandas() for c in gcols}
-            | {"__b": batch["__b"].to_numpy(zero_copy_only=False)}
+        # Arrow C++ hash aggregate (null group keys stay groups)
+        t = batch.select(gcols + ["__b"]).append_column(
+            "__one", pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
         )
-        g = df.groupby(gcols + ["__b"], as_index=False, dropna=False).size()
-        cols = {c: pa.Array.from_pandas(g[c]) for c in gcols}
-        cols["__b"] = pa.array(g["__b"].to_numpy(np.int64), pa.int64())
-        cols["__n"] = pa.array(g["size"].to_numpy(np.int64), pa.int64())
+        agg = t.group_by(gcols + ["__b"]).aggregate([("__one", "sum")])
+        cols = {c: agg[c] for c in gcols}
+        cols["__b"] = agg["__b"]
+        cols["__n"] = agg["__one_sum"].cast(pa.int64())
         return pa.table(cols)
 
     def cnt_bucket(batch: pa.Table) -> np.ndarray:
@@ -517,8 +532,11 @@ def grouped_row_number(
         )
 
     def cnt_red(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby(gcols + ["__b"], as_index=False, dropna=False)["__n"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        agg = g.group_by(gcols + ["__b"]).aggregate([("__n", "sum")])
+        cols = {c: agg[c] for c in gcols}
+        cols["__b"] = agg["__b"]
+        cols["__n"] = agg["__n_sum"].cast(pa.int64())
+        return pa.table(cols)
 
     counts = bucketed_reduce(
         assigned.map_batches(count_partial, batch_format="pyarrow"),
@@ -544,37 +562,51 @@ def grouped_row_number(
         return cnt_bucket(batch)
 
     def rank_cell(g: pa.Table) -> pa.Table:
+        # Arrow/numpy-native cell ranking: one sort_indices, cell runs
+        # via neighbor diffs, and the broadcast offset/total lookups
+        # happen once per CELL (then np.repeat) instead of once per row
+        import pyarrow.compute as pc2
+
         offs, tots = _ray.get(off_ref)
-        df = g.to_pandas().sort_values(
-            gcols + ["__k", tiebreak_col], kind="stable"
+        order = pc2.sort_indices(
+            g,
+            sort_keys=[(c, "ascending") for c in gcols]
+            + [("__k", "ascending"), (tiebreak_col, "ascending")],
         )
-        grouper = df.groupby(gcols + ["__b"], sort=False, dropna=False)
-        local = grouper.cumcount().to_numpy(np.int64)
-        if gcols:
-            base = np.fromiter(
-                (offs[gv][bv] for gv, bv in zip(df[group_col].to_numpy(object), df["__b"].to_numpy(np.int64))),
+        t = g.take(order)
+        b = t["__b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gv = (
+            t[group_col].to_numpy(zero_copy_only=False) if gcols else None
+        )
+        starts, lens = _cell_runs(gv, b)
+        local = np.arange(t.num_rows, dtype=np.int64) - np.repeat(starts, lens)
+        cg = gv[starts] if gcols else np.full(len(starts), None, object)
+        base = np.repeat(
+            np.fromiter(
+                (offs[gk][int(bk)] for gk, bk in zip(cg, b[starts])),
                 np.int64,
-                len(df),
-            )
-            n_g = np.fromiter(
-                (tots[gv] for gv in df[group_col].to_numpy(object)), np.int64, len(df)
-            )
-        else:
-            base = np.fromiter(
-                (offs[None][bv] for bv in df["__b"].to_numpy(np.int64)), np.int64, len(df)
-            )
-            n_g = np.full(len(df), tots[None], np.int64)
+                len(starts),
+            ),
+            lens,
+        )
         rn = base + local + 1
-        df = df.drop(columns=["__k", "__b"])
-        df[rank_col] = rn
+        out = t.drop_columns(["__k", "__b"]).append_column(
+            rank_col, pa.array(rn, pa.int64())
+        )
         if ntile is not None:
-            t = int(ntile)
-            q, r = n_g // t, n_g % t
+            n_g = np.repeat(
+                np.fromiter((tots[gk] for gk in cg), np.int64, len(starts)), lens
+            )
+            tt = int(ntile)
+            q, r = n_g // tt, n_g % tt
             big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
-            df[ntile_col] = np.where(
-                rn <= big, (rn - 1) // np.maximum(q + 1, 1), r + (rn - 1 - big) // np.maximum(q, 1)
+            nt = np.where(
+                rn <= big,
+                (rn - 1) // np.maximum(q + 1, 1),
+                r + (rn - 1 - big) // np.maximum(q, 1),
             ).astype(np.int64) + 1
-        return pa.Table.from_pandas(df, preserve_index=False)
+            out = out.append_column(ntile_col, pa.array(nt, pa.int64()))
+        return out
 
     return bucketed_reduce(assigned, cell_bucket, rank_cell, num_buckets=num_buckets)
 
@@ -647,17 +679,17 @@ def running_sum(
     assigned = keyed.map_batches(assign, batch_format="pyarrow")
 
     def sum_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {c: batch[c].to_pandas() for c in gcols}
-            | {
-                "__b": batch["__b"].to_numpy(zero_copy_only=False),
-                "__s": batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64),
-            }
+        t = batch.select(gcols + ["__b"]).append_column(
+            "__s",
+            pa.array(
+                batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64(),
+            ),
         )
-        g = df.groupby(gcols + ["__b"], as_index=False, dropna=False)["__s"].sum()
-        cols = {c: pa.Array.from_pandas(g[c]) for c in gcols}
-        cols["__b"] = pa.array(g["__b"].to_numpy(np.int64), pa.int64())
-        cols["__s"] = pa.array(g["__s"].to_numpy(np.int64), pa.int64())
+        agg = t.group_by(gcols + ["__b"]).aggregate([("__s", "sum")])
+        cols = {c: agg[c] for c in gcols}
+        cols["__b"] = agg["__b"]
+        cols["__s"] = agg["__s_sum"].cast(pa.int64())
         return pa.table(cols)
 
     def cell_bucket(batch: pa.Table) -> np.ndarray:
@@ -674,8 +706,11 @@ def running_sum(
         )
 
     def sum_red(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby(gcols + ["__b"], as_index=False, dropna=False)["__s"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        agg = g.group_by(gcols + ["__b"]).aggregate([("__s", "sum")])
+        cols = {c: agg[c] for c in gcols}
+        cols["__b"] = agg["__b"]
+        cols["__s"] = agg["__s_sum"].cast(pa.int64())
+        return pa.table(cols)
 
     sums = bucketed_reduce(
         assigned.map_batches(sum_partial, batch_format="pyarrow"),
@@ -695,35 +730,36 @@ def running_sum(
     off_ref = _ray.put(offsets)
 
     def scan_cell(g: pa.Table) -> pa.Table:
+        # Arrow/numpy-native cell scan: per-cell inclusive cumsum via one
+        # global cumsum differenced at cell starts; offset lookups once
+        # per CELL (np.repeat), not per row
+        import pyarrow.compute as pc2
+
         offs = _ray.get(off_ref)
-        df = g.to_pandas().sort_values(gcols + ["__k", tiebreak_col], kind="stable")
-        v = df[val_col].to_numpy(np.int64)
-        local = (
-            df.assign(__v=v)
-            .groupby(gcols + ["__b"], sort=False, dropna=False)["__v"]
-            .cumsum()
-            .to_numpy(np.int64)
+        order = pc2.sort_indices(
+            g,
+            sort_keys=[(c, "ascending") for c in gcols]
+            + [("__k", "ascending"), (tiebreak_col, "ascending")],
         )
-        if gcols:
-            base = np.fromiter(
-                (
-                    offs[gv][bv]
-                    for gv, bv in zip(
-                        df[group_col].to_numpy(object), df["__b"].to_numpy(np.int64)
-                    )
-                ),
+        t = g.take(order)
+        b = t["__b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gv = t[group_col].to_numpy(zero_copy_only=False) if gcols else None
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, lens = _cell_runs(gv, b)
+        csum = np.cumsum(v)
+        local = csum - np.repeat(csum[starts] - v[starts], lens)
+        cg = gv[starts] if gcols else np.full(len(starts), None, object)
+        base = np.repeat(
+            np.fromiter(
+                (offs[gk][int(bk)] for gk, bk in zip(cg, b[starts])),
                 np.int64,
-                len(df),
-            )
-        else:
-            base = np.fromiter(
-                (offs[None][bv] for bv in df["__b"].to_numpy(np.int64)),
-                np.int64,
-                len(df),
-            )
-        df = df.drop(columns=["__k", "__b"])
-        df[out_col] = base + local
-        return pa.Table.from_pandas(df, preserve_index=False)
+                len(starts),
+            ),
+            lens,
+        )
+        return t.drop_columns(["__k", "__b"]).append_column(
+            out_col, pa.array(base + local, pa.int64())
+        )
 
     return bucketed_reduce(assigned, cell_bucket, scan_cell, num_buckets=num_buckets)
 
