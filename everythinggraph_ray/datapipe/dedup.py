@@ -43,18 +43,27 @@ _MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
 
 
 def _token_shingles(text: str, k: int = 3) -> np.ndarray:
-    """k-token shingles → stable 64-bit hashes (blake2b over the joined
-    shingle), deduped."""
+    """k-token shingles → stable 64-bit hashes, deduped (sorted).
+
+    Vectorized: tokens hash once through pandas' C siphash (fixed key,
+    process-independent), then k consecutive token hashes fold with a
+    rolling polynomial + mix64 — no per-shingle string join or digest
+    call. Consumers treat the result as a SET of stable shingle ids
+    (MinHash perms, exact Jaccard/containment), so the only contract is
+    determinism + injectivity-in-practice, which a 64-bit fold gives."""
+    from pandas.util import hash_array
+
     toks = _SHINGLE_RE.findall(text.lower())
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = {
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-        for s in joined
-    }
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    if not toks:
+        return np.empty(0, np.uint64)
+    th = hash_array(np.asarray(toks, object), categorize=False).astype(np.uint64)
+    kk = min(k, len(th))
+    m = len(th) - kk + 1
+    acc = np.zeros(m, np.uint64)
+    P = np.uint64(0x100000001B3)
+    for j in range(kk):
+        acc = acc * P + th[j : j + m]
+    return np.unique(mix64(acc))
 
 
 
