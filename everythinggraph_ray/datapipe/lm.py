@@ -10,14 +10,17 @@ the observed bigram space). Tokenization is the repo-wide word rule
 (lower + ``[a-z0-9]+``, shared verbatim with the SQL oracles —
 `docs_top_tokens`).
 
-Shape (the tfidf pattern, datapipe/text.py): doc-bigram rows stream;
-the bigram count table reduces via the shared bucketed_reduce; counts
-attach back with two bucketed `hash_join`s (no vocab broadcast — the
-count tables can exceed driver memory at corpus scale); the per-doc
-score is a per-batch partial + doc-bucketed final. The corpus is
-tokenized twice (count pass + attach pass) — the streaming trade the
-tfidf stage documents; nothing row-wise ever lands on the driver except
-the one scalar ``B``.
+Shape (round-5 fused — the jaccard-join idiom): doc-bigram rows stream
+through TWO chained co-groups that each fuse a count reduce with its
+attach — (w1, w2)-bucketed (every row of a bigram in one bucket ⇒ cb
+computed AND attached in place, plus a per-bigram first-row flag whose
+global sum is ``B``), then w1-bucketed (distinct (w1, w2, cb) rows give
+cu ⇒ attached in place). The attached table materializes ONCE (it is
+consumed by the B aggregate and the scoring reduce), replacing the old
+double tokenization + two bucketed hash_joins: 4 shuffles and one
+tokenization pass instead of 6 and two. No vocab broadcast — count
+tables can exceed driver memory at corpus scale; nothing row-wise ever
+lands on the driver except the one scalar ``B``.
 
 Float parity: each term is ``ln`` of a ratio of exact integers; the
 per-doc sum is order-dependent, absorbed by the repo-wide
@@ -96,52 +99,109 @@ def bigram_lm(
 
     bi = _doc_bigrams(docs, text_col, id_col)
 
-    # corpus bigram counts cb(w1, w2) — the "model". Materialized: it is
-    # the multiply-consumed SMALL side (bounded by distinct bigrams, not
-    # corpus size), read again for cu and the attach join.
-    def red_cb(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby(["w1", "w2"], as_index=False)["c"].sum()
+    # --- co-group 1: (w1, w2)-bucketed — compute cb AND attach it, and
+    # flag each bigram's first row (Σ flags == B, the smoothing constant)
+    def red_cb_attach(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        if g.num_rows == 0:
+            return g
+
+        order = pc2.sort_indices(
+            g, sort_keys=[("w1", "ascending"), ("w2", "ascending")]
+        )
+        t = g.take(order)
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
+        w2 = t["w2"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        first = (
+            np.r_[True, (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])]
+            if n
+            else np.empty(0, bool)
+        )
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        csum = np.cumsum(c)
+        cb = np.repeat(csum[np.r_[starts[1:] - 1, n - 1]] - (csum[starts] - c[starts]), lens)
         return pa.table(
             {
-                "w1": pa.array(df["w1"], pa.string()),
-                "w2": pa.array(df["w2"], pa.string()),
-                "cb": pa.array(df["c"], pa.int64()),
+                id_col: t[id_col],
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "c": pa.array(c, pa.int64()),
+                "cb": pa.array(cb, pa.int64()),
+                "nb_first": pa.array(first.astype(np.int64), pa.int64()),
             }
         )
 
-    cb = bucketed_reduce(
-        bi.select_columns(["w1", "w2", "c"]), _str_pair_bucket, red_cb
-    ).materialize()
-    B = int(cb.count())  # distinct corpus bigrams (the smoothing constant)
+    att1 = bucketed_reduce(bi, _str_pair_bucket, red_cb_attach)
 
-    def red_cu(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby("w1", as_index=False)["cb"].sum()
+    # --- co-group 2: w1-bucketed — cu(w1) = Σ cb over DISTINCT (w1, w2)
+    # within the bucket, attached in place
+    def red_cu_attach(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        if g.num_rows == 0:
+            return g
+
+        order = pc2.sort_indices(
+            g, sort_keys=[("w1", "ascending"), ("w2", "ascending")]
+        )
+        t = g.take(order)
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
+        w2 = t["w2"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(cb)
+        new_w1 = np.r_[True, w1[1:] != w1[:-1]] if n else np.empty(0, bool)
+        new_bi = (
+            np.r_[True, (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])]
+            if n
+            else np.empty(0, bool)
+        )
+        starts = np.flatnonzero(new_w1)
+        lens = np.diff(np.r_[starts, n])
+        dsum = np.cumsum(np.where(new_bi, cb, 0))
+        ends = np.r_[starts[1:] - 1, n - 1] if n else starts
+        cu = np.repeat(
+            dsum[ends] - (dsum[starts] - np.where(new_bi, cb, 0)[starts]), lens
+        )
         return pa.table(
-            {"w1": pa.array(df["w1"], pa.string()), "cu": pa.array(df["cb"], pa.int64())}
+            {
+                id_col: t[id_col],
+                "c": t["c"],
+                "cb": t["cb"],
+                "cu": pa.array(cu, pa.int64()),
+                "nb_first": t["nb_first"],
+            }
         )
 
-    cu = bucketed_reduce(cb, _str_bucket, red_cu)
-
-    j = hash_join(bi, cb, on=["w1", "w2"], right_cols=["cb"])
-    j = hash_join(j, cu, on="w1", right_cols=["cu"])
+    # materialized ONCE: consumed by the B aggregate and the scoring
+    # reduce (replaces the old second tokenization pass — token-level
+    # rows live in the object store, which spills at corpus scale)
+    att2 = bucketed_reduce(att1, _str_bucket, red_cu_attach).materialize()
+    B = int(att2.sum("nb_first"))  # distinct corpus bigrams
 
     def partial(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
         c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
         cbv = batch["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
         cuv = batch["cu"].to_numpy(zero_copy_only=False).astype(np.float64)
         term = c * (np.log(cbv + 1.0) - np.log(cuv + float(B)))
-        import pandas as pd
-
-        df = pd.DataFrame({id_col: ids, "n": batch["c"].to_numpy(zero_copy_only=False), "lp": term})
-        agg = df.groupby(id_col, as_index=False).sum()
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                "n": batch["c"],
+                "lp": pa.array(term, pa.float64()),
+            }
+        )
+        agg = t.group_by(id_col).aggregate([("n", "sum"), ("lp", "sum")])
         yield pa.table(
             {
-                id_col: pa.array(agg[id_col]),
-                "n": pa.array(agg["n"], pa.int64()),
-                "lp": pa.array(agg["lp"], pa.float64()),
+                id_col: agg[id_col],
+                "n": agg["n_sum"].cast(pa.int64()),
+                "lp": agg["lp_sum"],
             }
         )
 
@@ -149,16 +209,21 @@ def bigram_lm(
         return mix64(batch[id_col].to_numpy(zero_copy_only=False)) & 0x7FFFFFFF
 
     def red_doc(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby(id_col, as_index=False).sum()
+        agg = g.group_by(id_col).aggregate([("n", "sum"), ("lp", "sum")])
         return pa.table(
             {
-                id_col: pa.array(df[id_col]),
-                "n_bigrams": pa.array(df["n"], pa.int64()),
-                "logprob": pa.array(np.round(df["lp"].to_numpy(), 7), pa.float64()),
+                id_col: agg[id_col],
+                "n_bigrams": agg["n_sum"].cast(pa.int64()),
+                "logprob": pa.array(
+                    np.round(agg["lp_sum"].to_numpy(zero_copy_only=False), 7),
+                    pa.float64(),
+                ),
             }
         )
 
-    scores = bucketed_reduce(j.map_batches(partial, batch_format="pyarrow"), doc_bucket, red_doc)
+    scores = bucketed_reduce(
+        att2.map_batches(partial, batch_format="pyarrow"), doc_bucket, red_doc
+    )
 
     # every input doc surfaces (no-bigram docs score 0): LEFT-attach
     out = hash_join(
