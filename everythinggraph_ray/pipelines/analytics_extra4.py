@@ -433,19 +433,60 @@ ANALYTICS4_ORACLES["emb_centroid_assign"] = SQL_CENTROID_ASSIGN
 DENSEST_MAX_ROUNDS = 12  # SQL unroll depth; test scales peel in <= 6
 
 
+DENSEST_SERIAL_TAIL_EDGES = 500_000  # MIS-precedent gated serial tail
+
+
+def _densest_serial_tail(
+    a: np.ndarray, b: np.ndarray, r0: int, stats: list[tuple[int, int, int, int]]
+) -> None:
+    """Finish the peel on a pulled (a, b) edge array with the IDENTICAL
+    integer threshold math — appends per-round stats in place. Only
+    entered once the surviving edge set is under
+    ``DENSEST_SERIAL_TAIL_EDGES`` (the MIS/coreness gated-tail
+    precedent: each distributed round costs ~5 fixed-latency stages,
+    while the set shrinks geometrically — the tail is O(E log V) numpy
+    on a bounded array)."""
+    r = r0
+    while len(a):
+        if r >= DENSEST_MAX_ROUNDS:
+            raise RuntimeError(
+                f"densest peel exceeded {DENSEST_MAX_ROUNDS} rounds — raise the "
+                "SQL unroll depth in lockstep"
+            )
+        u, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        V, E = len(u), len(a)
+        stats.append((r, V, E, (1_000_000 * E) // V))
+        alive = u[cnt * 5 * V > 11 * E]
+        if not len(alive):
+            break
+        keep = np.isin(a, alive) & np.isin(b, alive)
+        a, b = a[keep], b[keep]
+        r += 1
+
+
 def _densest_peel_stats(edges: ray.data.Dataset) -> list[tuple[int, int, int, int]]:
     """Run the batch peel over canonical undirected ``edges`` and return
     per-round (round, V, E, density_ppm). Round k drops every vertex
     with deg·5·V ≤ 11·E (deg ≤ 2.2·E/V, all-int64); survivors number
-    at most 10V/11, so rounds = O(log V). Each round: one exploded
-    degree ``sum_by_key`` + two semi ``hash_join``s, edge set
-    materialized per round (it shrinks geometrically — the coreness
-    lineage-cut precedent)."""
+    at most 10V/11, so rounds = O(log V). While the edge set is LARGE
+    each round is one exploded degree ``sum_by_key`` + two semi
+    ``hash_join``s with the edge set materialized per round (it shrinks
+    geometrically — the coreness lineage-cut precedent); once it fits
+    ``DENSEST_SERIAL_TAIL_EDGES`` the remaining rounds run serially on
+    one pulled array with identical integer math (the gated MIS-tail
+    pattern — a distributed round's fixed stage latency dwarfs the
+    bounded numpy tail)."""
     stats: list[tuple[int, int, int, int]] = []
     cur = edges.materialize()
     for r in range(DENSEST_MAX_ROUNDS + 1):
         E = cur.count()
         if E == 0:
+            break
+        if E <= DENSEST_SERIAL_TAIL_EDGES:
+            df = cur.to_pandas()
+            _densest_serial_tail(
+                df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64), r, stats
+            )
             break
         if r == DENSEST_MAX_ROUNDS:
             raise RuntimeError(
