@@ -66,7 +66,7 @@ def feature_propagation(
     absent from it contribute nothing but still receive. Returns
     (vid, f0..f{dim-1}) for vertices with ≥1 contributing in-edge."""
     fcols = [f"f{i}" for i in range(dim)]
-    e = dedup_edges(edges.select_columns(["src", "dst"]))
+    e = dedup_edges(edges.select_columns(["src", "dst"])).materialize()
 
     # src out-degree of the distinct graph (matches the SQL GROUP BY src):
     # per-batch partial counts, bucketed exact sum
@@ -85,26 +85,20 @@ def feature_propagation(
         "vid", ["deg_partial"], out_names=["outdeg"],
     )
 
+    # ONE-TIME degree-weighted edge table (round-5: outdeg was re-joined
+    # to the feature table every round, and e/deg re-executed their
+    # lineage per reuse — 3 shuffles/round + recomputes → 2 shuffles/
+    # round over a materialized static table). The per-term value is the
+    # SAME f64 division x[src]/outdeg(src), just evaluated per edge.
+    ew = hash_join(e, deg, on="src", right_on="vid", right_cols=["outdeg"]).materialize()
+
     x = features
     for _ in range(n_iters):
-        xd = hash_join(x, deg, on="vid", right_cols=["outdeg"])
-
-        def scale(batch: pa.Table) -> pa.Table:
-            d = batch["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
-            cols = {"vid": batch["vid"]}
-            for c in fcols:
-                cols[c] = pa.array(
-                    batch[c].to_numpy(zero_copy_only=False) / d, pa.float64()
-                )
-            return pa.table(cols)
-
-        scaled = xd.map_batches(scale, batch_format="pyarrow")
-        contrib = hash_join(
-            e, scaled, on="src", right_on="vid", right_cols=fcols
-        )
+        contrib = hash_join(ew, x, on="src", right_on="vid", right_cols=fcols)
 
         def partial(batch: pa.Table) -> pa.Table:
             d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            od = batch["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
             o = np.argsort(d, kind="stable")
             ds_ = d[o]
             st = (
@@ -113,7 +107,7 @@ def feature_propagation(
             )
             cols = {"vid": pa.array(ds_[st] if len(ds_) else ds_, pa.int64())}
             for c in fcols:
-                v = batch[c].to_numpy(zero_copy_only=False)[o]
+                v = batch[c].to_numpy(zero_copy_only=False)[o] / od[o]
                 cols[c] = pa.array(
                     np.add.reduceat(v, st) if len(st) else v[:0], pa.float64()
                 )
