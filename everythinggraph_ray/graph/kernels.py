@@ -1232,3 +1232,64 @@ class MultiSeedHopsKernel(SSSPHopsKernel):
         a = np.zeros(len(vids), dtype=bool)
         a[self._seed_positions(vids)] = True
         return a
+
+
+class ThresholdCascadeKernel(Kernel):
+    """Synchronous bootstrap percolation (threshold cascade): a vertex
+    activates when ≥ ``threshold`` DISTINCT in-neighbors are active;
+    seeds are active at round 0. Build precondition: the graph must be
+    the DISTINCT simple digraph (duplicate edges would double-count the
+    sum-combined +1 messages; self-loops would let a vertex count
+    itself) — build from dedup'd, loop-free edges.
+
+    State packs (accumulated-active-in-neighbor count << 32) |
+    (activation_round + 1), 0 low bits = inactive. Each newly active
+    vertex sends +1 along its out-edges exactly ONCE (frontier scatter,
+    sum combine, resend_safe=False — the PathCountBFS precedent), so the
+    accumulated count equals the full recount over all active
+    in-neighbors: actives never deactivate. Every round's active-set
+    size is recoverable from the final state alone (cumulative count of
+    activation rounds ≤ r), so early frontier exhaustion needs no
+    padding bookkeeping in the kernel."""
+
+    name = "cascade"
+    combine = "sum"
+    frontier = True
+    dtype = np.int64
+    skip_self_loops = True
+
+    def __init__(self, seed_max: int, threshold: int = 2, rounds: int = 10):
+        self.seed_max = int(seed_max)
+        self.threshold = int(threshold)
+        self.fixed_iters = int(rounds)
+
+    def init_values(self, vids, outdeg, ctx):
+        v = np.zeros(len(vids), dtype=np.int64)
+        v[vids < self.seed_max] = 1  # activation round 0 → low bits 1
+        return v
+
+    def init_active(self, vids, ctx):
+        return vids < self.seed_max
+
+    def src_messages(self, vals, outdeg):
+        return np.ones(len(vals), dtype=np.int64)
+
+    def apply(self, old, agg, has_msg, ctx):
+        # per-instance lockstep superstep counter (the PathCountBFS
+        # idiom: every partition applies exactly once per superstep)
+        self._rnd = getattr(self, "_rnd", 0) + 1
+        rnd = self._rnd
+        inactive = (old & np.int64(0xFFFFFFFF)) == 0
+        cnt = (old >> np.int64(32)) + np.where(has_msg, agg, np.int64(0))
+        newly = inactive & (cnt >= self.threshold)
+        new = old.copy()
+        # inactive vertices persist their accumulated count
+        new[inactive] = cnt[inactive] << np.int64(32)
+        new[newly] = (cnt[newly] << np.int64(32)) | np.int64(rnd + 1)
+        return new, newly, 0.0
+
+    @staticmethod
+    def activation_rounds(packed: np.ndarray) -> np.ndarray:
+        """activation round per vertex (-1 = never activated)."""
+        low = packed.astype(np.int64) & np.int64(0xFFFFFFFF)
+        return np.where(low > 0, low - 1, -1)

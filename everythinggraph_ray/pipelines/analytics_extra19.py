@@ -193,114 +193,43 @@ ANALYTICS19_ORACLES["events_rolling_median"] = (
 def q_rel_threshold_cascade(sf_dir):
     """(rnd, n_active): synchronous bootstrap percolation — seeds
     vid < 20, activation at >= 2 distinct active in-neighbors, 10
-    rounds over the distinct self-loop-free rel digraph."""
-    from everythinggraph_ray.pipelines.queries import (
-        _typed_collect,
-        rel_edges,
+    rounds over the distinct self-loop-free rel digraph.
+
+    Round 5: rides the engine's ThresholdCascadeKernel (sum-combine
+    frontier kernel over a dedicated distinct-graph build) — one fused
+    RPC per round instead of a semi-join + grouped-count + union
+    Dataset pipeline per round; every round's active count falls out of
+    the final packed state (activation round per vertex)."""
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import ThresholdCascadeKernel
+    from everythinggraph_ray.pipelines.flagship import build_dir_for
+    from everythinggraph_ray.pipelines.queries import _typed_collect, rel_edges
+    from everythinggraph_ray.stages.edges import dedup_edges
+
+    def nonloop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["src"], t["dst"]))
+
+    bdir = build_dir_for(f"relcascade|{sf_dir}", 8)
+    build_graph(
+        dedup_edges(rel_edges(sf_dir).map_batches(nonloop, batch_format="pyarrow")),
+        bdir,
+        num_partitions=8,
+        hub_threshold=10**9,  # dense small ids: no hubs
     )
-    from everythinggraph_ray.stages.agg import sum_by_key_pair
-
-    def distinct_tag(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.not_equal(t["src"], t["dst"]))
-        return pa.table(
-            {
-                "src": keep["src"],
-                "dst": keep["dst"],
-                "one": pa.array(np.ones(keep.num_rows, np.int64)),
-            }
-        )
-
-    edges = (
-        sum_by_key_pair(
-            rel_edges(sf_dir).map_batches(distinct_tag, batch_format="pyarrow"),
-            "src",
-            "dst",
-            ["one"],
-        )
-        .map_batches(
-            lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-
-    def v_bucket(t: pa.Table) -> np.ndarray:
-        return mix64(t["v"].to_numpy(zero_copy_only=False)).astype(np.int64) & 0x7FFFFFFF
-
-    def uniq_v(g: pa.Table) -> pa.Table:
-        return pa.table(
-            {"v": pa.array(np.unique(g["v"].to_numpy(zero_copy_only=False)), pa.int64())}
-        )
-
-    # seed set: every vid < CASCADE_SEED_MAX present in the universe
-    univ = edges.map_batches(
-        lambda t: pa.table(
-            {
-                "v": pa.array(
-                    np.unique(
-                        np.r_[
-                            t["src"].to_numpy(zero_copy_only=False),
-                            t["dst"].to_numpy(zero_copy_only=False),
-                        ]
-                    ),
-                    pa.int64(),
-                )
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    active = sever(
-        bucketed_reduce(
-            univ.map_batches(
-                lambda t: t.filter(pc.less(t["v"], CASCADE_SEED_MAX)),
-                batch_format="pyarrow",
-            ),
-            v_bucket,
-            uniq_v,
-        )
-    )
-
-    counts = [(0, int(active.count()))]
-    for rnd in range(1, CASCADE_ROUNDS + 1):
-        # distinct active in-neighbor count per dst (edges are distinct)
-        src_active = hash_join(
-            edges, active.map_batches(
-                lambda t: pa.table({"src": t["v"]}), batch_format="pyarrow"
-            ),
-            on="src",
-            how="semi",
-        )
-        newly = (
-            sum_by_key(
-                src_active.map_batches(
-                    lambda t: pa.table(
-                        {"v": t["dst"], "c": pa.array(np.ones(t.num_rows, np.int64))}
-                    ),
-                    batch_format="pyarrow",
-                ),
-                "v",
-                ["c"],
-            )
-            .map_batches(
-                lambda t: t.filter(pc.greater_equal(t["c"], CASCADE_THRESH)).select(
-                    ["v"]
-                ),
-                batch_format="pyarrow",
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(
+            ThresholdCascadeKernel(
+                CASCADE_SEED_MAX, threshold=CASCADE_THRESH, rounds=CASCADE_ROUNDS
             )
         )
-        active = sever(
-            bucketed_reduce(active.union(newly), v_bucket, uniq_v)
-        )
-        n = int(active.count())
-        counts.append((rnd, n))
-        if n == counts[-2][1]:
-            # monotone fixpoint: every remaining round is identical —
-            # emit the constant tail without running the barriers
-            counts.extend(
-                (r, n) for r in range(rnd + 1, CASCADE_ROUNDS + 1)
-            )
-            break
-
+        vals = res["dataset"].to_pandas()
+    finally:
+        eng.shutdown()
+    act = ThresholdCascadeKernel.activation_rounds(vals["cascade"].to_numpy(np.int64))
+    act = act[act >= 0]
+    counts = [(r, int((act <= r).sum())) for r in range(CASCADE_ROUNDS + 1)]
     out = pd.DataFrame(counts, columns=["rnd", "n_active"]).astype("int64")
     return _typed_collect(
         ray.data.from_pandas(out), {"rnd": "int64", "n_active": "int64"}

@@ -1033,3 +1033,72 @@ def test_latest_departure_respects_time_ordering(tmp_path):
     got = run(sv, dv, tv)
     for v, d in got.items():
         assert d == dep[v], v
+
+
+def test_threshold_cascade_kernel_matches_serial(tmp_path):
+    """ThresholdCascadeKernel over the engine == a serial synchronous
+    bootstrap-percolation replay on a random distinct digraph: same
+    activation rounds per vertex, same per-round active counts, and
+    early frontier exhaustion reconstructs the constant tail."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from everythinggraph_ray.graph.build import build_graph
+    from everythinggraph_ray.graph.engine import GraphEngine
+    from everythinggraph_ray.graph.kernels import ThresholdCascadeKernel
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 120, 900)
+    dst = rng.integers(0, 120, 900)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+
+    SEED_MAX, TH, R = 6, 2, 8
+    # serial synchronous replay
+    univ = np.unique(np.concatenate([src, dst]))
+    active = set(int(v) for v in univ if v < SEED_MAX)
+    act_round = {v: 0 for v in active}
+    counts = [len(active)]
+    for r in range(1, R + 1):
+        cnt: dict[int, int] = {}
+        for s, d in zip(src, dst):
+            if int(s) in active and int(d) not in active:
+                cnt[int(d)] = cnt.get(int(d), 0) + 1
+        newly = {v for v, c in cnt.items() if c >= TH}
+        for v in newly:
+            act_round[v] = r
+        active |= newly
+        counts.append(len(active))
+
+    bdir = str(tmp_path / "cascade_build")
+    build_graph(
+        ray.data.from_arrow(
+            pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+        ),
+        bdir,
+        num_partitions=4,
+        hub_threshold=10**9,
+    )
+    eng = GraphEngine(bdir)
+    try:
+        res = eng.run(ThresholdCascadeKernel(SEED_MAX, threshold=TH, rounds=R))
+        vals = res["dataset"].to_pandas()
+    finally:
+        eng.shutdown()
+    got = ThresholdCascadeKernel.activation_rounds(
+        vals["cascade"].to_numpy(np.int64)
+    )
+    got_map = {
+        int(v): int(r) for v, r in zip(vals["vid"], got) if r >= 0
+    }
+    assert got_map == act_round
+    got_counts = [
+        sum(1 for r in got_map.values() if r <= k) for k in range(R + 1)
+    ]
+    assert got_counts == counts
