@@ -67,7 +67,10 @@ def main():
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # pass the sf under test: web/corpus oracles resolve their side
+    # parquets through the same sf→n_pages map as the Ray queries
+    # (oracle_sql defaults to sf0.01 — the driver's correctness scale)
+    oracles = entry_mod.oracle_sql(sf_dir)
 
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
