@@ -2306,7 +2306,7 @@ def q_web_hits(sf_dir):
     return df[["vid", "auth", "hub"]]
 
 
-WEB_KCORE_SQL_ROUNDS = 12  # unrolled peel rounds in the oracle; must
+WEB_KCORE_SQL_ROUNDS = 16  # unrolled peel rounds in the oracle; must
 # exceed the data's true peel-round count — the query asserts it
 
 
